@@ -1,0 +1,20 @@
+"""Test configuration: run on CPU with a virtual 8-device mesh.
+
+Mirrors the reference CI strategy (.travis.yml: same numerics under OpenMP /
+different BLAS backends) — here: same numerics on CPU-jax, single-device vs
+sharded over a virtual mesh. TPU correctness is covered by the driver's
+bench/compile checks on real hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+REFERENCE_DIR = "/root/reference"

@@ -1,0 +1,84 @@
+"""KKT residual oracle — the universal correctness check.
+
+Batched re-implementation of ``tree_qp_out_calculate_KKT_res``
+(reference tree_qp_common.c:540-765) and ``tree_qp_out_max_KKT_res``
+(tree_qp_common.c:769-788). Every solver's output is validated against this,
+independent of the algorithm that produced it (reference test strategy,
+examples/random_qp.c:240-254).
+
+Conventions (matching the reference exactly):
+
+* stationarity_x = Q x + q + S' u + mu_x + C' mu_d - lam_self + sum_kids A_c' lam_c
+* stationarity_u = R u + r + S x + mu_u + D' mu_d + sum_kids B_c' lam_c
+* dynamics  = A_c x_parent + B_c u_parent + b_c - x_c          (non-root c)
+* bound feasibility = one-sided violation (0 inside the box)
+* complementarity   = mu * (z - upper) if mu > 0 else mu * (lower - z)
+
+All terms are masked to the real (unpadded) dims; the reported value is the
+max abs over all residual components.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut
+
+__all__ = ["kkt_residuals", "max_kkt_residual"]
+
+
+def kkt_residuals(qp: TreeQPIn, out: TreeQPOut) -> dict:
+    """Return the per-family KKT residual arrays (masked, padded layout)."""
+    topo = qp.topo
+    dt = qp.dtype
+    xm = jnp.asarray(topo.x_mask, dt)
+    um = jnp.asarray(topo.u_mask, dt)
+    cm = jnp.asarray(topo.c_mask, dt)
+    nrxm = jnp.asarray(topo.nonroot_x_mask, dt)
+    par = topo.parent_np.copy()
+    par[0] = 0  # safe gather index for the root row (masked out)
+
+    x, u, lam = out.x * xm, out.u * um, out.lam * nrxm
+    mu_x, mu_u, mu_d = out.mu_x * xm, out.mu_u * um, out.mu_d * cm
+
+    # --- stationarity
+    st_x = (jnp.einsum("nij,nj->ni", qp.Q, x) + qp.q
+            + jnp.einsum("nji,nj->ni", qp.S, u)
+            + mu_x + jnp.einsum("nji,nj->ni", qp.C, mu_d) - lam)
+    st_u = (jnp.einsum("nij,nj->ni", qp.R, u) + qp.r
+            + jnp.einsum("nij,nj->ni", qp.S, x)
+            + mu_u + jnp.einsum("nji,nj->ni", qp.D, mu_d))
+    # + sum over children: A_c' lam_c into parent rows
+    contrib_x = jnp.einsum("nji,nj->ni", qp.A, lam)  # [Nn, nxm] (row c: A_c' lam_c)
+    contrib_u = jnp.einsum("nji,nj->ni", qp.B, lam)
+    st_x = st_x + jax.ops.segment_sum(contrib_x[1:], par[1:], num_segments=topo.Nn)
+    st_u = st_u + jax.ops.segment_sum(contrib_u[1:], par[1:], num_segments=topo.Nn)
+    st_x, st_u = st_x * xm, st_u * um
+
+    # --- dynamics feasibility (non-root)
+    xp, up = x[par], u[par]
+    dyn = (jnp.einsum("nij,nj->ni", qp.A, xp)
+           + jnp.einsum("nij,nj->ni", qp.B, up) + qp.b - x) * nrxm
+
+    # --- bound feasibility / complementarity
+    def box(z, lo, hi, mu, mask):
+        feas = (jnp.maximum(z - hi, 0.0) + jnp.maximum(lo - z, 0.0)) * mask
+        comp = jnp.where(mu > 0, mu * (z - hi), mu * (lo - z)) * mask
+        return feas, comp
+
+    fx, cx = box(x, qp.xmin, qp.xmax, mu_x, xm)
+    fu, cu = box(u, qp.umin, qp.umax, mu_u, um)
+    t = (jnp.einsum("nij,nj->ni", qp.C, x) + jnp.einsum("nij,nj->ni", qp.D, u))
+    fd, cd = box(t, qp.dmin, qp.dmax, mu_d, cm)
+
+    return dict(stat_x=st_x, stat_u=st_u, dyn=dyn,
+                feas_x=fx, feas_u=fu, feas_d=fd,
+                comp_x=cx, comp_u=cu, comp_d=cd)
+
+
+def max_kkt_residual(qp: TreeQPIn, out: TreeQPOut):
+    """Max-norm KKT residual (``tree_qp_out_max_KKT_res``)."""
+    parts = kkt_residuals(qp, out)
+    return jnp.max(jnp.stack([jnp.max(jnp.abs(v)) for v in parts.values()]))
