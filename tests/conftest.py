@@ -8,13 +8,17 @@ bench/compile checks on real hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+# NOTE: this environment's sitecustomize registers a remote TPU backend and
+# pins jax_platforms to it; the env var alone is ignored. config.update after
+# import reliably selects the local CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 REFERENCE_DIR = "/root/reference"

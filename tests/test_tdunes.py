@@ -1,0 +1,66 @@
+"""tdunes solver tests, mirroring the reference unit-test strategy
+(examples/random_qp.c:240-254: KKT < 1e-12, deviation from stored optimum
+< 1e-12, unconstrained convergence in <= 1 Newton iteration)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from treeqp_tpu import TreeQPIn, load_tree_qp_file, max_kkt_residual
+from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
+from benchmarks.models import spring_mass_qp
+
+DATASETS = sorted(glob.glob("/root/reference/examples/random_qp_utils/data0[0-5].json"))
+DENSE_OPTS = TdunesOpts(stage_solver="dense", tol=1e-10, max_iter=10, reg_type="none")
+
+
+@pytest.mark.parametrize("path", DATASETS)
+def test_golden_datasets_dense(path):
+    qp, extras = load_tree_qp_file(path)
+    out = tdunes_solve(qp, None, DENSE_OPTS)
+    assert int(out.info["status"]) == 0
+    # unconstrained QPs must converge in <= 1 dual Newton iteration
+    assert int(out.info["iter"]) <= 1
+    kkt = float(max_kkt_residual(qp, out))
+    err = max(np.max(np.abs(np.asarray(out.x) - extras["xopt"])),
+              np.max(np.abs(np.asarray(out.u) - extras["uopt"])))
+    assert kkt < 1e-12
+    assert err < 1e-12
+
+
+def test_spring_mass_clipping():
+    qp, _ = spring_mass_qp()
+    opts = TdunesOpts(stage_solver="clipping", tol=1e-10, max_iter=100)
+    out = tdunes_solve(qp, None, opts)
+    assert int(out.info["status"]) == 0
+    kkt = float(max_kkt_residual(qp, out))
+    assert kkt < 1e-10
+    # input bound active at the beginning of the horizon (spring_mass setup)
+    u = np.asarray(out.u)
+    assert np.max(np.abs(u)) <= 1.0 + 1e-10
+    assert np.any(np.abs(np.abs(u[qp.topo.nkids > 0, 0]) - 1.0) < 1e-8)
+
+
+def test_spring_mass_warm_start():
+    """Dual warm starting = the checkpoint/resume analog (SURVEY.md 5.4)."""
+    qp, _ = spring_mass_qp()
+    opts = TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=100)
+    out = tdunes_solve(qp, None, opts)
+    out2 = tdunes_solve(qp, out.lam, opts)
+    assert int(out2.info["iter"]) <= 2
+    assert float(max_kkt_residual(qp, out2)) < 1e-8
+
+
+def test_eliminate_x0_matches():
+    """x0 elimination (tree_qp_common.c:404-525) must not change the solution."""
+    qp, x0 = spring_mass_qp()
+    opts = TdunesOpts(stage_solver="clipping", tol=1e-10, max_iter=100)
+    out_full = tdunes_solve(qp, None, opts)
+    qp_e = qp.eliminate_x0()
+    out_e = tdunes_solve(qp_e, None, opts)
+    assert float(max_kkt_residual(qp_e, out_e)) < 1e-10
+    x_f, x_e = np.asarray(out_full.x), np.asarray(out_e.x)
+    u_f, u_e = np.asarray(out_full.u), np.asarray(out_e.u)
+    assert np.max(np.abs(x_f[1:] - x_e[1:])) < 1e-8
+    assert np.max(np.abs(u_f - u_e)) < 1e-8

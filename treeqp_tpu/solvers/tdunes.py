@@ -1,0 +1,517 @@
+"""tdunes — dual Newton on the tree formulation (the flagship solver).
+
+TPU-native re-design of the reference ``treeqp/src/dual_Newton_tree.{h,c}``
+with its stage-QP plugins (``dual_Newton_tree_clipping.c``,
+``dual_Newton_tree_qpoases.c``). The algorithm: dualize all parent->child
+dynamics constraints with multipliers lambda_c (one per non-root node); each
+node becomes an independent small QP parametric in lambda; run a non-smooth
+Newton method on the concave dual, whose block-sparse Hessian is factorized
+by a tree-structured block Cholesky.
+
+Architectural translation (not a port):
+
+* The reference solves Nn stage QPs in an OpenMP loop
+  (dual_Newton_tree.c:256-330); here one batched closed-form clip / matmul
+  over all nodes.
+* The dual Hessian assembly uses a unified formulation M = J P J' where J is
+  the dynamics Jacobian and P_n the per-node sensitivity dz/d(gradient)
+  (diagonal "calligraphic inverse" QinvCal/RinvCal for clipping,
+  dual_Newton_tree_clipping.c:221-224; dense null-space elimination matrix
+  P = Z (Z'HZ)^-1 Z' for general stage QPs,
+  dual_Newton_tree_qpoases.c:153-214). W/Ut blocks become batched einsums
+  over the slot-padded lambda-group layout.
+* The level-synchronous tree Cholesky (dual_Newton_tree.c:668-775) becomes a
+  static sweep over depths with batched potrf/trsm/syrk over all parent
+  blocks of a depth, with scatter-adds for the parent Schur updates.
+* The active-set change tracking (`checkLastActiveSet`) is intentionally
+  dropped: on TPU always-dense masked recomputation beats branchy skipping.
+* The Armijo line search (dual_Newton_tree.c:922-1019) runs under
+  lax.while_loop with batched dual-function evaluations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut
+from treeqp_tpu.utils.tree import TreeStructure
+
+__all__ = ["TdunesOpts", "tdunes_solve", "TDUNES_OPTIMAL", "TDUNES_MAX_ITER",
+           "TDUNES_NOT_DESCENT"]
+
+# status codes (cf. reference utils/types.h return_t)
+TDUNES_OPTIMAL = 0
+TDUNES_MAX_ITER = 1
+TDUNES_NOT_DESCENT = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TdunesOpts:
+    """Solver options (reference treeqp_tdunes_opts_t, dual_Newton_tree.h:67-87;
+    defaults at dual_Newton_tree.c:92-120)."""
+
+    max_iter: int = 100
+    termination: str = "infnorm"  # infnorm | twonorm | sumsquared
+    tol: float = 1e-8
+    ls_max_iter: int = 50
+    ls_gamma: float = 0.1
+    ls_beta: float = 0.6
+    ls_restart_trigger: int = -1  # consecutive maxed-out line searches -> full step
+    reg_type: str = "on_the_fly"  # none | always | on_the_fly
+    reg_tol: float = 1e-6
+    reg_value: float = 1e-6
+    stage_solver: str = "clipping"  # clipping | dense
+
+
+# ---------------------------------------------------------------------------
+# static (numpy) prep derived from the topology
+
+
+class _Prep:
+    """Precomputed static index arrays for one topology."""
+
+    def __init__(self, topo: TreeStructure):
+        self.topo = topo
+        self.Nn = topo.Nn
+        self.nxm, self.num = topo.nxm, topo.num
+        self.K = max(topo.Kmax, 1)
+        self.G = self.K * topo.nxm
+        self.NpG = topo.num_groups
+        self.par = topo.parent_np.copy()
+        self.par[0] = 0  # safe gather for root row (masked)
+        self.gnodes = topo.group_nodes
+        self.kidsP = topo.kids_padded  # [NpG, K]
+        self.kvalid = topo.kids_valid  # [NpG, K]
+        self.gdad = topo.group_dad
+        self.gslot = topo.group_slot
+        self.gstage = topo.group_stage
+        self.stages = [s for s in topo.groups_by_stage]
+        # per-node -> position of its lambda inside its group vector
+        self.slot_of_node = topo.sib_index
+        self.group_of_node = topo.group_of_node
+
+        # --- padded per-depth schedule for the scan-based tree Cholesky.
+        # Stages s = Nh-1 .. 1 (groups at stage 0 = the root block, handled
+        # separately). Invalid lanes point at a scratch block NpG.
+        occupied = [s for s in range(len(self.stages) - 1, 0, -1)
+                    if len(self.stages[s]) > 0]
+        self.n_sweep = len(occupied)
+        Wmax = max((len(self.stages[s]) for s in occupied), default=0)
+        nS = self.n_sweep
+        self.bwd_idx = np.full((nS, Wmax), self.NpG, dtype=np.int32)
+        self.bwd_dad = np.full((nS, Wmax), self.NpG, dtype=np.int32)
+        self.bwd_slot = np.zeros((nS, Wmax), dtype=np.int32)
+        self.bwd_valid = np.zeros((nS, Wmax), dtype=bool)
+        for r, s in enumerate(occupied):
+            g = self.stages[s]
+            self.bwd_idx[r, : len(g)] = g
+            self.bwd_dad[r, : len(g)] = self.gdad[g]
+            self.bwd_slot[r, : len(g)] = self.gslot[g]
+            self.bwd_valid[r, : len(g)] = True
+        # forward order = reverse
+        self.fwd_idx = self.bwd_idx[::-1].copy()
+        self.fwd_dad = self.bwd_dad[::-1].copy()
+        self.fwd_slot = self.bwd_slot[::-1].copy()
+        self.fwd_valid = self.bwd_valid[::-1].copy()
+
+
+def _get_prep(topo: TreeStructure) -> _Prep:
+    if not hasattr(_get_prep, "_cache"):
+        _get_prep._cache = {}
+    if topo not in _get_prep._cache:
+        _get_prep._cache[topo] = _Prep(topo)
+    return _get_prep._cache[topo]
+
+
+# ---------------------------------------------------------------------------
+# solver
+
+
+def _masks(qp: TreeQPIn):
+    dt = qp.dtype
+    t = qp.topo
+    return (jnp.asarray(t.x_mask, dt), jnp.asarray(t.u_mask, dt),
+            jnp.asarray(t.nonroot_x_mask, dt))
+
+
+def _stage_data(qp: TreeQPIn, opts: TdunesOpts):
+    """Per-node solver data: diag weights + inverses (clipping,
+    dual_Newton_tree_clipping.c:149-184) or dense H factor/inverse P = H^-1
+    (unconstrained general stage QPs)."""
+    xm, um, _ = _masks(qp)
+    data = {}
+    if opts.stage_solver == "clipping":
+        Qd = jnp.diagonal(qp.Q, axis1=1, axis2=2) * xm + (1.0 - xm)
+        Rd = jnp.diagonal(qp.R, axis1=1, axis2=2) * um + (1.0 - um)
+        data["Qd"], data["Rd"] = Qd, Rd
+        data["Qinv"], data["Rinv"] = 1.0 / Qd, 1.0 / Rd
+    else:
+        nxm, num = qp.topo.nxm, qp.topo.num
+        H = jnp.zeros((qp.topo.Nn, nxm + num, nxm + num), qp.dtype)
+        H = H.at[:, :nxm, :nxm].set(qp.Q * xm[:, :, None] * xm[:, None, :])
+        H = H.at[:, nxm:, nxm:].set(qp.R * um[:, :, None] * um[:, None, :])
+        Sm = qp.S * um[:, :, None] * xm[:, None, :]
+        H = H.at[:, nxm:, :nxm].set(Sm)
+        H = H.at[:, :nxm, nxm:].set(Sm.swapaxes(1, 2))
+        zmask = jnp.concatenate([xm, um], axis=1)
+        H = H + jnp.eye(nxm + num, dtype=qp.dtype)[None] * (1.0 - zmask)[:, :, None]
+        # P = H^-1 via Cholesky (stage Hessians are SPD)
+        L = jnp.linalg.cholesky(H)
+        eye = jnp.broadcast_to(jnp.eye(nxm + num, dtype=qp.dtype), H.shape)
+        Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+        data["H"] = H
+        data["P"] = Linv.swapaxes(1, 2) @ Linv
+    return data
+
+
+def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep):
+    """qmod/rmod with the minus sign built in (solve_stage_problems,
+    dual_Newton_tree.c:264-292): qmod = -q + lam_self - sum_kids A_c' lam_c."""
+    xm, um, nrxm = _masks(qp)
+    AtL = jnp.einsum("nji,nj->ni", qp.A, lam)
+    BtL = jnp.einsum("nji,nj->ni", qp.B, lam)
+    sum_A = jax.ops.segment_sum(AtL[1:], prep.par[1:], num_segments=prep.Nn)
+    sum_B = jax.ops.segment_sum(BtL[1:], prep.par[1:], num_segments=prep.Nn)
+    qmod = (-qp.q + lam - sum_A) * xm
+    rmod = (-qp.r - sum_B) * um
+    return qmod, rmod
+
+
+def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep):
+    """Batched stage-QP solve over all nodes.
+
+    clipping (dual_Newton_tree_clipping.c:188-227): closed-form
+    x = clip(Qinv qmod), with active-set-masked inverses qtilde/rtilde.
+    dense (unconstrained): z = P hmod.
+    Returns the solution plus whatever the Hessian build needs.
+    """
+    xm, um, _ = _masks(qp)
+    qmod, rmod = _modified_gradient(qp, lam, prep)
+    sol = dict(qmod=qmod, rmod=rmod)
+    if opts.stage_solver == "clipping":
+        xUnc = data["Qinv"] * qmod
+        uUnc = data["Rinv"] * rmod
+        x = jnp.clip(xUnc, qp.xmin, qp.xmax) * xm
+        u = jnp.clip(uUnc, qp.umin, qp.umax) * um
+        x_active = (xUnc > qp.xmax) | (xUnc < qp.xmin)
+        u_active = (uUnc > qp.umax) | (uUnc < qp.umin)
+        sol.update(
+            x=x, u=u, xUnc=xUnc, uUnc=uUnc,
+            qtilde=jnp.where(x_active, 0.0, data["Qinv"]),
+            rtilde=jnp.where(u_active, 0.0, data["Rinv"]),
+        )
+    else:
+        nxm = prep.nxm
+        hmod = jnp.concatenate([qmod, rmod], axis=1)
+        z = jnp.einsum("nij,nj->ni", data["P"], hmod)
+        sol.update(x=z[:, :nxm] * xm, u=z[:, nxm:] * um)
+    return sol
+
+
+def _dual_residual(qp: TreeQPIn, sol, prep: _Prep):
+    """Dual gradient res_c = A_c x_p + B_c u_p + b_c - x_c (non-root)
+    (build_dual_problem, dual_Newton_tree.c:519-539)."""
+    _, _, nrxm = _masks(qp)
+    xp = sol["x"][prep.par]
+    up = sol["u"][prep.par]
+    res = (jnp.einsum("nij,nj->ni", qp.A, xp)
+           + jnp.einsum("nij,nj->ni", qp.B, up) + qp.b - sol["x"]) * nrxm
+    return res
+
+
+def _residual_error(res, opts: TdunesOpts):
+    if opts.termination == "infnorm":
+        return jnp.max(jnp.abs(res))
+    sq = jnp.sum(res * res)
+    return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
+
+
+def _dual_value(qp: TreeQPIn, lam, sol, data, opts: TdunesOpts):
+    """f(lambda) = -g(lambda), the quantity the reference minimizes
+    (stage_qp_clipping_eval_dual_term, dual_Newton_tree_clipping.c:359-382):
+    per node -1/2 x'Qx + qmod'x - 1/2 u'Ru + rmod'u, minus sum_c b_c'lam_c."""
+    x, u = sol["x"], sol["u"]
+    if opts.stage_solver == "clipping":
+        quad = jnp.sum(x * data["Qd"] * x) + jnp.sum(u * data["Rd"] * u)
+    else:
+        z = jnp.concatenate([x, u], axis=1)
+        quad = jnp.sum(z * jnp.einsum("nij,nj->ni", data["H"], z))
+    lin = jnp.sum(sol["qmod"] * x) + jnp.sum(sol["rmod"] * u)
+    cmod = jnp.sum(qp.b * lam)  # lam rows are masked to non-root support
+    return -0.5 * quad + lin - cmod
+
+
+def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep):
+    """Assemble the lambda-group blocks W [NpG,G,G] and parent couplings
+    Ut [NpG,nxm,G] of M = J P J' (build_dual_problem,
+    dual_Newton_tree.c:551-615 + clipping/qpoases vtable contributions)."""
+    dt = qp.dtype
+    K, G, nxm, NpG = prep.K, prep.G, prep.nxm, prep.NpG
+    kidsP, kvalid = prep.kidsP, prep.kvalid
+    kv = jnp.asarray(kvalid, dt)
+    Ak = qp.A[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,nxm]
+    Bk = qp.B[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,num]
+
+    if opts.stage_solver == "clipping":
+        qtp = sol["qtilde"][prep.gnodes]  # [NpG, nxm] parent's masked inverse
+        rtp = sol["rtilde"][prep.gnodes]
+        As = Ak * jnp.sqrt(qtp)[:, None, None, :]
+        Bs = Bk * jnp.sqrt(rtp)[:, None, None, :]
+        Af = As.reshape(NpG, G, nxm)
+        Bf = Bs.reshape(NpG, G, prep.num)
+        W = Af @ Af.swapaxes(1, 2) + Bf @ Bf.swapaxes(1, 2)
+        # + E P_c E' on the diagonal (add_EPmE): child's own qtilde
+        dvals = jnp.where(kv[:, :, None] > 0, sol["qtilde"][kidsP],
+                          jnp.ones((), dt)).reshape(NpG, G)
+        W = W + jnp.zeros((NpG, G, G), dt).at[
+            :, jnp.arange(G), jnp.arange(G)].set(dvals)
+        # Ut (coupling of group g to its parent's lambda): -qtilde_p * A_k'
+        Ut = -(qtp[:, :, None]) * Ak.transpose(0, 3, 1, 2).reshape(NpG, nxm, G)
+    else:
+        nzm = nxm + prep.num
+        Pp = data["P"][prep.gnodes]  # [NpG, nzm, nzm]
+        Cf = jnp.concatenate([Ak, Bk], axis=-1).reshape(NpG, G, nzm)
+        W = Cf @ Pp @ Cf.swapaxes(1, 2)
+        Px = data["P"][:, :nxm, :nxm]  # E P E' per node
+        eye = jnp.eye(nxm, dtype=dt)
+        for k in range(K):
+            blk = jnp.where(kv[:, k, None, None] > 0, Px[kidsP[:, k]], eye[None])
+            W = W.at[:, k * nxm:(k + 1) * nxm, k * nxm:(k + 1) * nxm].add(blk)
+        Ut = -(Pp[:, :nxm, :] @ Cf.swapaxes(1, 2))
+    return W, Ut
+
+
+def _reg_cholesky(W, opts: TdunesOpts):
+    """Regularized Cholesky (treeqp_dpotrf_l_with_reg_opts,
+    dual_Newton_common.c:35-123): NO / ALWAYS-LM / ON-THE-FLY-LM."""
+    if opts.reg_type == "none":
+        return jnp.linalg.cholesky(W)
+    eye = jnp.eye(W.shape[-1], dtype=W.dtype)
+    if opts.reg_type == "always":
+        return jnp.linalg.cholesky(W + opts.reg_value * eye)
+    L1 = jnp.linalg.cholesky(W)
+    diag = jnp.diagonal(L1, axis1=-2, axis2=-1)
+    bad = jnp.any(~jnp.isfinite(L1), axis=(-2, -1)) | jnp.any(diag <= opts.reg_tol, axis=-1)
+    L2 = jnp.linalg.cholesky(W + opts.reg_value * eye)
+    return jnp.where(bad[..., None, None], L2, L1)
+
+
+def _tri_solve(L, b, trans=False):
+    """Solve L y = b (or L' y = b) for batched lower-triangular L; b [..., G]."""
+    y = jax.lax.linalg.triangular_solve(
+        L, b[..., None], left_side=True, lower=True, transpose_a=trans)
+    return y[..., 0]
+
+
+def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
+    """Tree-structured block Cholesky solve M dlam = res, level-synchronous
+    over depths (calculate_delta_lambda, dual_Newton_tree.c:641-805).
+
+    Backward: for parent stages Nh-1..1, batched over that depth's groups:
+    factor W, trsm the parent coupling, syrk-update the parent diagonal
+    block and gemv-update the parent RHS. Then root factor + forward
+    substitution stages 1..Nh-1.
+    """
+    dt = W.dtype
+    nxm, G, NpG = prep.nxm, prep.G, prep.NpG
+    ar = jnp.arange(nxm)
+
+    # extended arrays with a scratch block at index NpG: invalid (padding)
+    # lanes of a depth read/write only the scratch block, so garbage never
+    # leaks into real blocks.
+    Wx = jnp.concatenate([W, jnp.eye(G, dtype=dt)[None]], axis=0)
+    Utx = jnp.concatenate([Ut, jnp.zeros((1, nxm, G), dt)], axis=0)
+    rx = jnp.concatenate([rg, jnp.zeros((1, G), dt)], axis=0)
+    CholW = jnp.zeros((NpG + 1, G, G), dt)
+    CholUt = jnp.zeros((NpG + 1, nxm, G), dt)
+    ybar = jnp.zeros((NpG + 1, G), dt)
+
+    if prep.n_sweep > 0:
+        bwd_xs = (jnp.asarray(prep.bwd_idx), jnp.asarray(prep.bwd_dad),
+                  jnp.asarray(prep.bwd_slot), jnp.asarray(prep.bwd_valid))
+
+        def bwd(carry, xs):
+            Wx, rx, CholW, CholUt, ybar = carry
+            idx, dad, slot, valid = xs
+            Lb = _reg_cholesky(Wx[idx], opts)
+            yb = _tri_solve(Lb, rx[idx])
+            # CholUt solves X L' = Ut  (trsm_rltn)
+            CUb = jax.lax.linalg.triangular_solve(
+                Lb, Utx[idx], left_side=False, lower=True, transpose_a=True)
+            Sb = CUb @ CUb.swapaxes(1, 2)  # [b, nxm, nxm]
+            rv = jnp.einsum("big,bg->bi", CUb, yb)
+            tgt = jnp.where(valid, dad, NpG)
+            rows = slot[:, None] * nxm + ar[None, :]  # [b, nxm]
+            Wx = Wx.at[tgt[:, None, None], rows[:, :, None], rows[:, None, :]].add(-Sb)
+            rx = rx.at[tgt[:, None], rows].add(-rv)
+            st = jnp.where(valid, idx, NpG)
+            CholW = CholW.at[st].set(Lb)
+            CholUt = CholUt.at[st].set(CUb)
+            ybar = ybar.at[st].set(yb)
+            return (Wx, rx, CholW, CholUt, ybar), None
+
+        (Wx, rx, CholW, CholUt, ybar), _ = jax.lax.scan(
+            bwd, (Wx, rx, CholW, CholUt, ybar), bwd_xs)
+
+    # root group (always group 0, stage 0)
+    L0 = _reg_cholesky(Wx[0], opts)
+    y0 = _tri_solve(L0, rx[0])
+    dl0 = _tri_solve(L0, y0, trans=True)
+    dlam_x = jnp.zeros((NpG + 1, G), dt).at[0].set(dl0)
+
+    if prep.n_sweep > 0:
+        fwd_xs = (jnp.asarray(prep.fwd_idx), jnp.asarray(prep.fwd_dad),
+                  jnp.asarray(prep.fwd_slot), jnp.asarray(prep.fwd_valid))
+
+        def fwd(dlam_x, xs):
+            idx, dad, slot, valid = xs
+            rows = slot[:, None] * nxm + ar[None, :]
+            dp = dlam_x[dad[:, None], rows]  # parent's dlam slice [b, nxm]
+            d = ybar[idx] - jnp.einsum("big,bi->bg", CholUt[idx], dp)
+            dl = _tri_solve(CholW[idx], d, trans=True)
+            st = jnp.where(valid, idx, NpG)
+            return dlam_x.at[st].set(dl), None
+
+        dlam_x, _ = jax.lax.scan(fwd, dlam_x, fwd_xs)
+    return dlam_x[:NpG]
+
+
+def _group_to_nodes(v_g, prep: _Prep, dt):
+    """Scatter a grouped vector [NpG, G] back to per-node rows [Nn, nxm]."""
+    rows = prep.slot_of_node[:, None] * prep.nxm + np.arange(prep.nxm)[None, :]
+    out = v_g[prep.group_of_node[:, None], rows]
+    return out.at[0].set(0.0)
+
+
+def _nodes_to_group(v_n, prep: _Prep):
+    """Gather per-node rows into the grouped layout [NpG, G]."""
+    kv = np.repeat(prep.kvalid, prep.nxm, axis=1)
+    return v_n[prep.kidsP].reshape(prep.NpG, prep.G) * jnp.asarray(kv, v_n.dtype)
+
+
+def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restart):
+    """Armijo backtracking on f = -g (line_search, dual_Newton_tree.c:922-1019).
+
+    Accept tau when f(lam + tau d) <= f(lam) + gamma tau grad'd, where
+    grad'd = -sum res.dlam. Returns (new lam, ls iters, descent_ok, restart).
+    """
+    dt = lam.dtype
+    dot = -jnp.sum(rg * dlam_g)
+    descent_ok = dot < 1e-10  # NaN compares false -> not ok
+
+    f0 = _dual_value(qp, lam, sol0, data, opts)
+
+    def f_at(tau):
+        lt = lam + tau * dlam_nodes
+        return _dual_value(qp, lt, _stage_solve(qp, lt, data, opts, prep), data, opts)
+
+    one = jnp.ones((), dt)
+    f1 = f_at(one)
+    acc0 = f1 <= f0 + opts.ls_gamma * one * dot
+
+    def cond(c):
+        tau, f, it, acc = c
+        return (~acc) & (it < opts.ls_max_iter)
+
+    def body(c):
+        tau, f, it, acc = c
+        tau2 = opts.ls_beta * tau
+        f2 = f_at(tau2)
+        acc2 = f2 <= f0 + opts.ls_gamma * tau2 * dot
+        return (tau2, f2, it + 1, acc2)
+
+    tau, f, ls_iter, acc = jax.lax.while_loop(cond, body, (one, f1, jnp.ones((), jnp.int32), acc0))
+
+    # restart heuristic: after `ls_restart_trigger` consecutive maxed-out
+    # line searches, take a full step (dual_Newton_tree.c:973-1000)
+    maxed = ~acc
+    restart = jnp.where(maxed, restart + 1, 0)
+    full_step = (opts.ls_restart_trigger > 0) & (restart >= opts.ls_restart_trigger)
+    tau = jnp.where(full_step, one, tau)
+    restart = jnp.where(full_step, 0, restart)
+
+    lam_new = lam + tau * dlam_nodes
+    return lam_new, ls_iter, descent_ok, restart
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
+    """Solve a tree QP with dual Newton on the tree formulation.
+
+    Equivalent of ``treeqp_tdunes_solve`` (dual_Newton_tree.c:1104-1263).
+    ``lam0`` is the dual warm start [Nn, nxm] per non-root node (the
+    checkpoint/resume analog, cf. treeqp_tdunes_set_dual_initialization).
+    """
+    topo = qp.topo
+    prep = _get_prep(topo)
+    dt = qp.dtype
+    xm, um, nrxm = _masks(qp)
+
+    if lam0 is None:
+        lam0 = jnp.zeros((topo.Nn, topo.nxm), dt)
+    lam0 = lam0 * nrxm
+
+    data = _stage_data(qp, opts)
+
+    def newton_step(carry):
+        lam, it, err, status, restart, ls_it = carry
+        sol = _stage_solve(qp, lam, data, opts, prep)
+        res = _dual_residual(qp, sol, prep)
+        W, Ut = _build_dual_hessian(qp, sol, data, opts, prep)
+        rg = _nodes_to_group(res, prep)
+        dlam_g = _newton_direction(W, Ut, rg, opts, prep)
+        dlam_nodes = _group_to_nodes(dlam_g, prep, dt) * nrxm
+        lam_new, ls_it, descent_ok, restart = _line_search(
+            qp, lam, dlam_nodes, sol, dlam_g, rg, data, opts, prep, restart)
+        status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
+        lam_new = jnp.where(descent_ok, lam_new, lam)
+        return lam_new, it + 1, err, status, restart, ls_it
+
+    def cond(carry):
+        lam, it, err, status, restart, ls_it = carry
+        return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+
+    def body(carry):
+        lam, it, err, status, restart, ls_it = carry
+        # residual/termination first (build_dual_problem:519-546), then Newton
+        sol = _stage_solve(qp, lam, data, opts, prep)
+        res = _dual_residual(qp, sol, prep)
+        err = _residual_error(res, opts)
+        converged = err < opts.tol
+        return jax.lax.cond(
+            converged,
+            lambda c: (c[0], c[1], err, c[3], c[4], c[5]),
+            lambda c: newton_step((c[0], c[1], err, c[3], c[4], c[5])),
+            carry)
+
+    init = (lam0, jnp.zeros((), jnp.int32), jnp.full((), jnp.inf, dt),
+            jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    lam, it, err, status, _, ls_it = jax.lax.while_loop(cond, body, init)
+
+    # final stage solve + multiplier recovery (export, dual_Newton_tree.c:1235-1247)
+    sol = _stage_solve(qp, lam, data, opts, prep)
+    res = _dual_residual(qp, sol, prep)
+    err = _residual_error(res, opts)
+    status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
+                       TDUNES_MAX_ITER, status)
+
+    if opts.stage_solver == "clipping":
+        # mu = Q .* (xUnc - x) (stage_qp_clipping_export_mu)
+        mu_x = data["Qd"] * (sol["xUnc"] - sol["x"]) * xm
+        mu_u = data["Rd"] * (sol["uUnc"] - sol["u"]) * um
+    else:
+        mu_x = jnp.zeros_like(sol["x"])
+        mu_u = jnp.zeros_like(sol["u"])
+
+    return TreeQPOut(
+        x=sol["x"], u=sol["u"], lam=lam * nrxm,
+        mu_x=mu_x, mu_u=mu_u,
+        mu_d=jnp.zeros((topo.Nn, topo.ncm), dt),
+        info=dict(iter=it, status=status, error=err, ls_iter=ls_it),
+    )
