@@ -1,0 +1,99 @@
+"""Headline benchmark: dual-Newton iterations/s on a quadcopter-class
+scenario-tree QP (256 scenarios), solved to 1e-8 KKT.
+
+Protocol mirrors the reference (min wall-time over NREP repeats,
+Makefile.rule:78-79 / treeqp_main.m:29). Prints ONE JSON line.
+
+``vs_baseline`` compares against an estimated single-core treeQP+BLASFEO
+iteration rate on the same tree (see BASELINE.md: the reference repo
+publishes no numbers and its BLAS submodules are not vendored here, so the
+baseline is an engineering estimate, documented in BENCH_NOTES.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated single-core treeQP+BLASFEO dual-Newton iteration rate on the
+# 256-scenario quadcopter-class tree (see BENCH_NOTES.md for the derivation).
+BASELINE_ITERS_PER_SEC = 400.0
+
+# quadcopter-class workload (BASELINE.md north star): 256 scenarios
+MD, NR, NH, NM = 4, 4, 20, 4  # md^Nr = 256 scenarios, nx = 8, Nh = 20
+NREP = 5
+
+
+def build_problem():
+    """Build on CPU (eager ops are RPCs on the remote-TPU backend)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from benchmarks.models import spring_mass_chain
+        from treeqp_tpu.solvers.tdunes_multistage import split_multistage
+
+        qp, _ = spring_mass_chain(nm=NM, md=MD, Nr=NR, Nh=NH)
+        ms = split_multistage(qp)
+    return qp, ms
+
+
+def main():
+    from treeqp_tpu.solvers.tdunes import TdunesOpts
+    from treeqp_tpu.solvers.tdunes_multistage import tdunes_ms_solve, merge_output
+    from treeqp_tpu.core.kkt import max_kkt_residual
+
+    qp, ms = build_problem()
+
+    # move to the default (accelerator) device
+    dev = jax.devices()[0]
+    ms = jax.device_put(ms, dev)
+
+    opts = TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=120)
+
+    def run():
+        cro, cho, info = tdunes_ms_solve(ms, None, None, opts)
+        return cro, cho, info
+
+    # compile + correctness check
+    cro, cho, info = jax.block_until_ready(run())
+    n_iter = int(info["iter"])
+    status = int(info["status"])
+    out = merge_output(ms, cro, cho, info)
+    kkt = float(max_kkt_residual(jax.device_put(qp, dev), out))
+
+    times = []
+    for _ in range(NREP):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    iters_per_sec = n_iter / t
+
+    result = {
+        "metric": "tdunes_iters_per_sec_quadcopter_class_256scen",
+        "value": round(iters_per_sec, 1),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
+        "detail": {
+            "device": str(dev),
+            "scenarios": MD**NR,
+            "nodes": qp.topo.Nn,
+            "nx": 2 * NM,
+            "horizon": NH,
+            "newton_iters": n_iter,
+            "status": status,
+            "kkt_residual": kkt,
+            "solve_time_s": round(t, 4),
+            "nrep": NREP,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -169,20 +169,28 @@ def _stage_data(qp: TreeQPIn, opts: TdunesOpts):
     return data
 
 
-def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep):
+def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep, extra_q=None, extra_r=None):
     """qmod/rmod with the minus sign built in (solve_stage_problems,
-    dual_Newton_tree.c:264-292): qmod = -q + lam_self - sum_kids A_c' lam_c."""
+    dual_Newton_tree.c:264-292): qmod = -q + lam_self - sum_kids A_c' lam_c.
+
+    ``extra_q/extra_r`` add externally-computed -A'lam contributions (used by
+    the multistage solver to inject chain-edge terms into crown nodes)."""
     xm, um, nrxm = _masks(qp)
     AtL = jnp.einsum("nji,nj->ni", qp.A, lam)
     BtL = jnp.einsum("nji,nj->ni", qp.B, lam)
     sum_A = jax.ops.segment_sum(AtL[1:], prep.par[1:], num_segments=prep.Nn)
     sum_B = jax.ops.segment_sum(BtL[1:], prep.par[1:], num_segments=prep.Nn)
+    if extra_q is not None:
+        sum_A = sum_A + extra_q
+    if extra_r is not None:
+        sum_B = sum_B + extra_r
     qmod = (-qp.q + lam - sum_A) * xm
     rmod = (-qp.r - sum_B) * um
     return qmod, rmod
 
 
-def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep):
+def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
+                 extra_q=None, extra_r=None):
     """Batched stage-QP solve over all nodes.
 
     clipping (dual_Newton_tree_clipping.c:188-227): closed-form
@@ -191,7 +199,7 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep):
     Returns the solution plus whatever the Hessian build needs.
     """
     xm, um, _ = _masks(qp)
-    qmod, rmod = _modified_gradient(qp, lam, prep)
+    qmod, rmod = _modified_gradient(qp, lam, prep, extra_q, extra_r)
     sol = dict(qmod=qmod, rmod=rmod)
     if opts.stage_solver == "clipping":
         xUnc = data["Qinv"] * qmod

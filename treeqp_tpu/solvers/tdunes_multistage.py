@@ -1,0 +1,443 @@
+"""Scenario-sharded dual Newton for multistage robust-MPC trees.
+
+The TPU-native scaling path (SURVEY.md 5.7/5.8). A multistage tree
+(branch ``md`` ways for ``Nr`` stages, then chains to horizon ``Nh``,
+reference ``setup_multistage_tree`` tree.c:247-280) splits into:
+
+* the **crown** — stages 0..Nr, a small tree replicated on every device;
+* ``S = md**Nr`` independent **chains** of length ``L = Nh - Nr``, stored as
+  stacked ``[S, L, ...]`` arrays and sharded over the mesh axis ``"scen"``.
+
+Every chain operation is batched over scenarios (one XLA kernel, local to
+each device); the only cross-device communication is (a) the all-gather of
+the chain-root duals / Schur complements into the replicated crown — the
+exact analog of the reference's non-anticipativity coupling — and (b) the
+psum/pmax reductions for the termination norm and the line-search dual value.
+The sequential part is the length-L banded sweep per chain (lax.scan), the
+direct counterpart of the reference's per-scenario banded Cholesky
+(dual_Newton_scenarios.c:590-689) but factorized over the tree formulation.
+
+The module is written shard-agnostically: running it under jit with chain
+arrays sharded ``P("scen")`` and crown arrays replicated makes XLA/GSPMD
+insert the collectives. ``make_sharded_solver`` wires that up for a mesh.
+
+Restrictions (round 1): clipping stage QPs (diag Q/R, S=0, nc=0), uniform
+dims along chains — the standard robust-MPC setting of the reference's
+spring_mass/quadcopter/crane benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut
+from treeqp_tpu.utils.tree import TreeStructure
+from treeqp_tpu.solvers import tdunes as td
+from treeqp_tpu.solvers.tdunes import (
+    TdunesOpts, TDUNES_OPTIMAL, TDUNES_MAX_ITER, TDUNES_NOT_DESCENT)
+
+__all__ = ["MultistageQP", "split_multistage", "tdunes_ms_solve", "merge_output"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultistageQP:
+    """A multistage tree QP in crown + stacked-chain layout."""
+
+    crown: TreeQPIn  # crown tree (stages 0..Nr); stage-Nr nodes keep real nu
+    # chain arrays [S, L, ...]; j-th entry = chain node at stage Nr+1+j
+    Qd: Any  # [S, L, nx] diagonal weights (identity-padded)
+    Rd: Any  # [S, L, nu]
+    q: Any
+    r: Any
+    xmin: Any
+    xmax: Any
+    umin: Any
+    umax: Any
+    A: Any  # [S, L, nx, nx] edge into chain node j (j=0: from crown node)
+    B: Any  # [S, L, nx, nu]
+    b: Any  # [S, L, nx]
+    meta: Any = dataclasses.field(metadata=dict(static=True))  # _MsMeta
+
+
+@dataclasses.dataclass(frozen=True)
+class _MsMeta:
+    md: int
+    Nr: int
+    Nh: int
+    S: int
+    L: int
+    nx: int
+    nu: int
+    crown_topo: TreeStructure
+    full_topo: TreeStructure
+    # crown node ids of the S chain roots (stage-Nr nodes), scenario order
+    root_ids: tuple
+
+    def __hash__(self):
+        return hash((self.md, self.Nr, self.Nh, self.crown_topo, self.full_topo))
+
+
+def split_multistage(qp: TreeQPIn) -> MultistageQP:
+    """Split a multistage TreeQPIn into crown + stacked chains."""
+    topo = qp.topo
+    params = topo.multistage_params
+    assert params is not None, "not a multistage scenario tree"
+    md, Nr, Nh = params
+    S = md**Nr if md > 1 else 1
+    L = Nh - Nr
+    ss = topo.stage_start
+    root_ids = tuple(range(int(ss[Nr]), int(ss[Nr + 1])))
+    assert len(root_ids) == S
+
+    # chain node id grid [S, L]: stage-contiguous BFS numbering keeps
+    # scenario order within each stage
+    ids = np.stack([np.arange(ss[Nr + 1 + j], ss[Nr + 2 + j]) for j in range(L)],
+                   axis=1).astype(np.int32)  # [S, L]
+    # consistency: each chain node's parent is the previous chain node
+    par = topo.parent_np
+    assert np.array_equal(par[ids[:, 0]], np.asarray(root_ids))
+    for j in range(1, L):
+        assert np.array_equal(par[ids[:, j]], ids[:, j - 1])
+
+    nx = topo.nx[root_ids[0]]
+    nu = topo.nu[root_ids[0]]
+    nxm, num = topo.nxm, topo.num
+
+    crown_nodes = int(ss[Nr + 1])
+    crown_topo = TreeStructure.from_parent(
+        topo.parent[:crown_nodes], topo.nx[:crown_nodes],
+        topo.nu[:crown_nodes], topo.nc[:crown_nodes])
+
+    xm = jnp.asarray(topo.x_mask, qp.dtype)[ids]  # [S, L, nxm]
+    um = jnp.asarray(topo.u_mask, qp.dtype)[ids]
+    Qd = jnp.diagonal(qp.Q, axis1=1, axis2=2)[ids] * xm + (1 - xm)
+    Rd = jnp.diagonal(qp.R, axis1=1, axis2=2)[ids] * um + (1 - um)
+
+    crown = TreeQPIn(
+        **{f: getattr(qp, f)[:crown_nodes] for f in
+           ("Q", "R", "S", "q", "r", "xmin", "xmax", "umin", "umax",
+            "C", "D", "dmin", "dmax", "A", "B", "b")},
+        topo=crown_topo)
+
+    meta = _MsMeta(md=md, Nr=Nr, Nh=Nh, S=S, L=L, nx=nx, nu=nu,
+                   crown_topo=crown_topo, full_topo=topo, root_ids=root_ids)
+    return MultistageQP(
+        crown=crown, Qd=Qd, Rd=Rd,
+        q=qp.q[ids], r=qp.r[ids],
+        xmin=qp.xmin[ids], xmax=qp.xmax[ids],
+        umin=qp.umin[ids], umax=qp.umax[ids],
+        A=qp.A[ids], B=qp.B[ids], b=qp.b[ids],
+        meta=meta)
+
+
+# ---------------------------------------------------------------------------
+# chain operations (all batched over [S, L])
+
+
+def _chain_stage_solve(ms: MultistageQP, lam_ch):
+    """Clipping stage solve for all chain nodes.
+
+    qmod[s,j] = -q + lam[s,j] - A[s,j+1]' lam[s,j+1]   (last j: no kid term)
+    """
+    Aup = jnp.einsum("sljn,slj->sln", ms.A[:, 1:], lam_ch[:, 1:])  # A_{j+1}'lam_{j+1}
+    Bup = jnp.einsum("sljn,slj->sln", ms.B[:, 1:], lam_ch[:, 1:])
+    qmod = -ms.q + lam_ch
+    qmod = qmod.at[:, :-1].add(-Aup)
+    rmod = -ms.r
+    rmod = rmod.at[:, :-1].add(-Bup)
+    Qinv, Rinv = 1.0 / ms.Qd, 1.0 / ms.Rd
+    xUnc = Qinv * qmod
+    uUnc = Rinv * rmod
+    x = jnp.clip(xUnc, ms.xmin, ms.xmax)
+    u = jnp.clip(uUnc, ms.umin, ms.umax)
+    qt = jnp.where((xUnc > ms.xmax) | (xUnc < ms.xmin), 0.0, Qinv)
+    rt = jnp.where((uUnc > ms.umax) | (uUnc < ms.umin), 0.0, Rinv)
+    return dict(qmod=qmod, rmod=rmod, x=x, u=u, xUnc=xUnc, uUnc=uUnc, qt=qt, rt=rt)
+
+
+def _chain_root_contrib(ms: MultistageQP, lam_ch):
+    """-A0'lam0 / -B0'lam0 terms to inject into the crown stage-Nr nodes'
+    modified gradients, in crown [Ncrown, nxm/num] layout (all-gathered)."""
+    cq = jnp.einsum("sjn,sj->sn", ms.A[:, 0], lam_ch[:, 0])  # [S, nxm]
+    cr = jnp.einsum("sjn,sj->sn", ms.B[:, 0], lam_ch[:, 0])
+    Ncrown = ms.meta.crown_topo.Nn
+    rid = np.asarray(ms.meta.root_ids)
+    extra_q = jnp.zeros((Ncrown, cq.shape[-1]), cq.dtype).at[rid].set(cq)
+    extra_r = jnp.zeros((Ncrown, cr.shape[-1]), cr.dtype).at[rid].set(cr)
+    return extra_q, extra_r
+
+
+def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown):
+    """res[s,j] = A x_parent + B u_parent + b - x  over all chain edges."""
+    rid = np.asarray(ms.meta.root_ids)
+    xp = jnp.concatenate([x_crown[rid][:, None], ch["x"][:, :-1]], axis=1)
+    up = jnp.concatenate([u_crown[rid][:, None], ch["u"][:, :-1]], axis=1)
+    return (jnp.einsum("sljn,sln->slj", ms.A, xp)
+            + jnp.einsum("sljn,sln->slj", ms.B, up) + ms.b - ch["x"])
+
+
+def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown):
+    """Dual-Hessian chain blocks Wc [S,L,nx,nx] / Utc [S,L,nx,nx].
+
+    Wc[s,j]  = A_j qt_p A_j' + B_j rt_p B_j' + qt_j   (p = parent of node j)
+    Utc[s,j] = -qt_p * A_j'   (coupling of lam[s,j] to the parent's lambda)
+    """
+    rid = np.asarray(ms.meta.root_ids)
+    qt_p = jnp.concatenate([qt_crown[rid][:, None], ch["qt"][:, :-1]], axis=1)
+    rt_p = jnp.concatenate([rt_crown[rid][:, None], ch["rt"][:, :-1]], axis=1)
+    Wc = (jnp.einsum("slin,sln,sljn->slij", ms.A, qt_p, ms.A)
+          + jnp.einsum("slin,sln,sljn->slij", ms.B, rt_p, ms.B))
+    nxm = Wc.shape[-1]
+    Wc = Wc + jnp.eye(nxm, dtype=Wc.dtype) * ch["qt"][:, :, None, :] * \
+        jnp.eye(nxm, dtype=Wc.dtype)
+    Utc = -(qt_p[:, :, :, None] * ms.A.swapaxes(2, 3))  # [S,L,nx(parent),nx(child)]
+    return Wc, Utc
+
+
+def _chain_backward(Wc, Utc, res_ch, opts: TdunesOpts):
+    """Banded backward sweep per chain, scan j = L-1 .. 0.
+
+    Returns per-step factors (Lc, CU, y) and the Schur complement + RHS
+    update flowing into the crown (for j=0 the parent lambda lives in the
+    crown). Mirrors the reference per-scenario reverse Cholesky
+    (dual_Newton_scenarios.c:590-689) on the tree-formulation blocks.
+    """
+    S, L, nx, _ = Wc.shape
+    dt = Wc.dtype
+
+    def step(carry, inp):
+        schur, radd = carry  # [S,nx,nx], [S,nx] flowing into this node
+        Wj, Utj, rj = inp
+        Weff = Wj - schur
+        Lb = td._reg_cholesky(Weff, opts)
+        y = jax.lax.linalg.triangular_solve(
+            Lb, (rj - radd)[..., None], left_side=True, lower=True)[..., 0]
+        CU = jax.lax.linalg.triangular_solve(
+            Lb, Utj, left_side=False, lower=True, transpose_a=True)
+        return (CU @ CU.swapaxes(1, 2), jnp.einsum("sij,sj->si", CU, y)), (Lb, CU, y)
+
+    inps = (jnp.flip(Wc, 1).swapaxes(0, 1), jnp.flip(Utc, 1).swapaxes(0, 1),
+            jnp.flip(res_ch, 1).swapaxes(0, 1))
+    init = (jnp.zeros((S, nx, nx), dt), jnp.zeros((S, nx), dt))
+    (schur0, radd0), (Ls, CUs, ys) = jax.lax.scan(step, init, inps)
+    # un-flip back to j ascending: scan produced j = L-1..0
+    Ls = jnp.flip(Ls, 0).swapaxes(0, 1)   # [S, L, nx, nx]
+    CUs = jnp.flip(CUs, 0).swapaxes(0, 1)
+    ys = jnp.flip(ys, 0).swapaxes(0, 1)
+    return Ls, CUs, ys, schur0, radd0
+
+
+def _chain_forward(Ls, CUs, ys, dlam_root):
+    """Forward substitution down each chain, scan j = 0 .. L-1.
+
+    dlam[s,j] = L^-T (y[s,j] - CU[s,j]' dlam_parent).
+    ``dlam_root`` [S, nx] is the crown's dlam at the edge into each chain root.
+    """
+    def step(dp, inp):
+        Lb, CU, y = inp
+        d = y - jnp.einsum("sij,si->sj", CU, dp)
+        dl = jax.lax.linalg.triangular_solve(
+            Lb, d[..., None], left_side=True, lower=True, transpose_a=True)[..., 0]
+        return dl, dl
+
+    _, dls = jax.lax.scan(step, dlam_root,
+                          (Ls.swapaxes(0, 1), CUs.swapaxes(0, 1), ys.swapaxes(0, 1)))
+    return dls.swapaxes(0, 1)  # [S, L, nx]
+
+
+def _chain_dual_terms(ms: MultistageQP, ch, lam_ch):
+    """Chain contribution to f = -g: per node -1/2 x'Qx + qmod'x (+u terms),
+    minus sum over chain edges b'lam."""
+    x, u = ch["x"], ch["u"]
+    quad = jnp.sum(x * ms.Qd * x) + jnp.sum(u * ms.Rd * u)
+    lin = jnp.sum(ch["qmod"] * x) + jnp.sum(ch["rmod"] * u)
+    cmod = jnp.sum(ms.b * lam_ch)
+    return -0.5 * quad + lin - cmod
+
+
+# ---------------------------------------------------------------------------
+# full solve
+
+
+def _ms_stage_solve(ms: MultistageQP, crown_data, lam_cr, lam_ch, opts, prep_cr):
+    ch = _chain_stage_solve(ms, lam_ch)
+    extra_q, extra_r = _chain_root_contrib(ms, lam_ch)
+    cr = td._stage_solve(ms.crown, lam_cr, crown_data, opts, prep_cr,
+                         extra_q, extra_r)
+    return cr, ch
+
+
+def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts):
+    f_cr = td._dual_value(ms.crown, lam_cr, cr, crown_data, opts)
+    return f_cr + _chain_dual_terms(ms, ch, lam_ch)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
+                    opts: TdunesOpts = TdunesOpts()):
+    """Dual Newton solve in crown+chains layout.
+
+    Returns (out_crown: TreeQPOut on the crown topology minus chain parts,
+    chain solution dict, info). Use ``merge_output`` for a full-tree
+    TreeQPOut. Shard chain arrays over a mesh axis to scale scenarios.
+    """
+    assert opts.stage_solver == "clipping", "multistage solver: clipping only"
+    meta = ms.meta
+    prep_cr = td._get_prep(meta.crown_topo)
+    dt = ms.q.dtype
+    crown_data = td._stage_data(ms.crown, opts)
+    xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
+
+    if lam0_crown is None:
+        lam0_crown = jnp.zeros((meta.crown_topo.Nn, meta.crown_topo.nxm), dt)
+    if lam0_chain is None:
+        lam0_chain = jnp.zeros_like(ms.q)
+    lam0_crown = lam0_crown * nrxm_cr
+
+    rid = np.asarray(meta.root_ids)
+    # crown-group position of each chain root's lambda-edge: the Schur
+    # complement of chain j=0 lands on the diagonal block of the crown group
+    # holding lam(edge into root_ids[s])
+    g_of = prep_cr.group_of_node[rid]            # crown group index per scenario
+    slot = prep_cr.slot_of_node[rid]
+    nxm = meta.crown_topo.nxm
+    rows = slot[:, None] * nxm + np.arange(nxm)[None, :]  # [S, nxm]
+
+    def compute_residuals(lam_cr, lam_ch):
+        cr, ch = _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
+        res_cr = td._dual_residual(ms.crown, cr, prep_cr)
+        res_ch = _chain_residual(ms, ch, cr["x"], cr["u"])
+        return cr, ch, res_cr, res_ch
+
+    def error_of(res_cr, res_ch):
+        if opts.termination == "infnorm":
+            return jnp.maximum(jnp.max(jnp.abs(res_cr)), jnp.max(jnp.abs(res_ch)))
+        sq = jnp.sum(res_cr**2) + jnp.sum(res_ch**2)
+        return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
+
+    def newton_step(carry):
+        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
+        cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
+
+        # --- dual Hessian
+        W, Ut = td._build_dual_hessian(ms.crown, cr, crown_data, opts, prep_cr)
+        Wc, Utc = _chain_blocks(ms, ch, cr["qtilde"], cr["rtilde"])
+
+        # --- backward: chains first, Schur into the crown
+        Ls, CUs, ys, schur0, radd0 = _chain_backward(Wc, Utc, res_ch, opts)
+        W = W.at[g_of[:, None, None], rows[:, :, None], rows[:, None, :]].add(-schur0)
+        rg = td._nodes_to_group(res_cr, prep_cr)
+        rg = rg.at[g_of[:, None], rows].add(-radd0)
+
+        # --- crown Newton direction (replicated, small)
+        dlam_g = td._newton_direction(W, Ut, rg, opts, prep_cr)
+        dlam_cr = td._group_to_nodes(dlam_g, prep_cr, dt) * nrxm_cr
+
+        # --- forward down the chains
+        dlam_root = dlam_cr[rid]  # [S, nxm]
+        dlam_ch = _chain_forward(Ls, CUs, ys, dlam_root)
+
+        # --- Armijo line search on f = -g over (crown, chain) jointly
+        dot = -(jnp.sum(res_cr * dlam_cr) + jnp.sum(res_ch * dlam_ch))
+        descent_ok = dot < 1e-10
+        f0 = _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts)
+
+        def f_at(tau):
+            lc = lam_cr + tau * dlam_cr
+            lh = lam_ch + tau * dlam_ch
+            cr2, ch2 = _ms_stage_solve(ms, crown_data, lc, lh, opts, prep_cr)
+            return _ms_dual_value(ms, crown_data, lc, lh, cr2, ch2, opts)
+
+        one = jnp.ones((), dt)
+        f1 = f_at(one)
+        acc0 = f1 <= f0 + opts.ls_gamma * one * dot
+
+        def cond_ls(c):
+            tau, f, i, acc = c
+            return (~acc) & (i < opts.ls_max_iter)
+
+        def body_ls(c):
+            tau, f, i, acc = c
+            tau2 = opts.ls_beta * tau
+            f2 = f_at(tau2)
+            return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot)
+
+        tau, _, ls_it, acc = jax.lax.while_loop(
+            cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc0))
+        maxed = ~acc
+        restart = jnp.where(maxed, restart + 1, 0)
+        full_step = (opts.ls_restart_trigger > 0) & (restart >= opts.ls_restart_trigger)
+        tau = jnp.where(full_step, one, tau)
+        restart = jnp.where(full_step, 0, restart)
+
+        lam_cr2 = jnp.where(descent_ok, lam_cr + tau * dlam_cr, lam_cr)
+        lam_ch2 = jnp.where(descent_ok, lam_ch + tau * dlam_ch, lam_ch)
+        status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
+        return lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it
+
+    def cond(carry):
+        _, _, it, err, status, _, _ = carry
+        return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+
+    def body(carry):
+        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
+        _, _, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
+        err = error_of(res_cr, res_ch)
+        return jax.lax.cond(
+            err < opts.tol,
+            lambda c: (c[0], c[1], c[2], err, c[4], c[5], c[6]),
+            lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5], c[6])),
+            carry)
+
+    init = (lam0_crown, lam0_chain, jnp.zeros((), jnp.int32),
+            jnp.full((), jnp.inf, dt), jnp.full((), TDUNES_OPTIMAL, jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    lam_cr, lam_ch, it, err, status, _, ls_it = jax.lax.while_loop(cond, body, init)
+
+    cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
+    err = error_of(res_cr, res_ch)
+    status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
+                       TDUNES_MAX_ITER, status)
+
+    mu_x_cr = crown_data["Qd"] * (cr["xUnc"] - cr["x"]) * xm_cr
+    mu_u_cr = crown_data["Rd"] * (cr["uUnc"] - cr["u"]) * um_cr
+    crown_out = dict(x=cr["x"], u=cr["u"], lam=lam_cr * nrxm_cr,
+                     mu_x=mu_x_cr, mu_u=mu_u_cr)
+    chain_out = dict(x=ch["x"], u=ch["u"], lam=lam_ch,
+                     mu_x=ms.Qd * (ch["xUnc"] - ch["x"]),
+                     mu_u=ms.Rd * (ch["uUnc"] - ch["u"]))
+    info = dict(iter=it, status=status, error=err, ls_iter=ls_it)
+    return crown_out, chain_out, info
+
+
+def merge_output(ms: MultistageQP, crown_out, chain_out, info) -> TreeQPOut:
+    """Assemble a full-tree TreeQPOut in the original node numbering."""
+    meta = ms.meta
+    topo = meta.full_topo
+    dt = ms.q.dtype
+    ss = topo.stage_start
+    L = meta.L
+    ids = np.stack([np.arange(ss[meta.Nr + 1 + j], ss[meta.Nr + 2 + j])
+                    for j in range(L)], axis=1)
+
+    def assemble(crown_v, chain_v, width):
+        out = jnp.zeros((topo.Nn, width), dt)
+        out = out.at[: meta.crown_topo.Nn].set(crown_v)
+        return out.at[ids].set(chain_v)
+
+    xm = jnp.asarray(topo.x_mask, dt)
+    um = jnp.asarray(topo.u_mask, dt)
+    x = assemble(crown_out["x"], chain_out["x"], topo.nxm) * xm
+    u = assemble(crown_out["u"], chain_out["u"], topo.num) * um
+    lam = assemble(crown_out["lam"], chain_out["lam"], topo.nxm) * xm
+    mu_x = assemble(crown_out["mu_x"], chain_out["mu_x"], topo.nxm) * xm
+    mu_u = assemble(crown_out["mu_u"], chain_out["mu_u"], topo.num) * um
+    return TreeQPOut(x=x, u=u, lam=lam, mu_x=mu_x, mu_u=mu_u,
+                     mu_d=jnp.zeros((topo.Nn, topo.ncm), dt), info=info)

@@ -306,5 +306,59 @@ class TreeStructure:
                     real[c] = real[p] if p > 0 else 0
         return real
 
+    # --------------------------------------------------- multistage structure
+
+    @cached_property
+    def multistage_params(self):
+        """Detect (md, Nr, Nh) if this is a multistage scenario tree
+        (crown branching md for Nr stages, then chains to Nh); else None.
+
+        The scenario-sharded solver requires this shape: S = md**Nr chains of
+        length Nh - Nr >= 1 hanging off the stage-Nr crown nodes.
+        """
+        if self.Nn <= 1:
+            return None
+        nk = self.nkids
+        st = self.stage
+        Nh = self.Nh
+        md = int(nk[0])
+        if md < 1:
+            return None
+        # Nr = last stage whose nodes all branch md ways
+        Nr = 0
+        for s in range(Nh):
+            nodes = np.nonzero(st == s)[0]
+            if np.all(nk[nodes] == md) and md > 1:
+                Nr = s + 1
+            else:
+                break
+        if Nr == 0 and md == 1:
+            Nr = 0  # pure chain
+        # remaining stages must be chains (nkids == 1, then 0 at Nh)
+        for s in range(Nr, Nh):
+            nodes = np.nonzero(st == s)[0]
+            if not np.all(nk[nodes] == 1):
+                return None
+        if not np.all(nk[np.nonzero(st == Nh)[0]] == 0):
+            return None
+        if Nh <= Nr:  # need chains of length >= 1
+            return None
+        # uniform dims along chains required for the [S, L] layout
+        chain_nodes = np.nonzero(st > Nr)[0]
+        if len(set(self.nx[i] for i in chain_nodes)) > 1:
+            return None
+        return md, Nr, Nh
+
+    @cached_property
+    def stage_start(self) -> np.ndarray:
+        """First node id of each stage (nodes are stage-contiguous for
+        from_nkids/multistage construction)."""
+        st = self.stage
+        starts = np.zeros(self.Nh + 2, dtype=np.int32)
+        for s in range(1, self.Nh + 1):
+            starts[s] = int(np.searchsorted(st, s))
+        starts[self.Nh + 1] = self.Nn
+        return starts
+
     def __hash__(self):
         return hash((self.parent, self.nx, self.nu, self.nc))
