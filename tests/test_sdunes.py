@@ -1,0 +1,80 @@
+"""sdunes (scenario decomposition) tests.
+
+The Newton direction is validated against a dense assembly of M = J P J'
+during development; here we test end-to-end behavior: exact convergence on
+quadratic duals (no active inequality kinks -> 1-2 Newton steps), agreement
+with tdunes, and the dual dimension formula of the reference
+(treeqp_sdunes_calculate_dual_dimension, dual_Newton_scenarios.c:99-108).
+
+Note the method's known cold-start weakness on strongly active-set-changing
+instances (singular piecewise dual Hessians); the reference ships dual warm
+starts for its spring_mass example for the same reason (spring_mass.c:76-83).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from treeqp_tpu import max_kkt_residual
+from treeqp_tpu.solvers.sdunes import (
+    SdunesOpts, sdunes_solve, scenario_data, scenario_output)
+from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
+from benchmarks.models import spring_mass_chain
+
+TD = TdunesOpts(stage_solver="clipping", tol=1e-10, max_iter=100)
+
+
+def _loose_bounds(qp, keep_x0=True):
+    xmin = np.full_like(np.asarray(qp.xmin), -1e12)
+    xmax = -xmin.copy()
+    if keep_x0:
+        xmin[0] = np.asarray(qp.xmin)[0]
+        xmax[0] = np.asarray(qp.xmax)[0]
+    return qp.replace(xmin=jnp.asarray(xmin), xmax=jnp.asarray(xmax),
+                      umin=jnp.full_like(qp.umin, -1e12),
+                      umax=jnp.full_like(qp.umax, 1e12))
+
+
+def test_quadratic_dual_converges_in_two_iters():
+    qp, _ = spring_mass_chain(nm=2, md=2, Nr=2, Nh=6)
+    qp = _loose_bounds(qp)
+    sqp = scenario_data(qp)
+    sol, lam, mu, info = sdunes_solve(sqp, None, None, SdunesOpts(tol=1e-9, max_iter=30))
+    assert int(info["status"]) == 0
+    assert int(info["iter"]) <= 2
+    out = scenario_output(sqp, sol, lam, mu, info)
+    assert float(max_kkt_residual(qp, out)) < 1e-12
+    ref = tdunes_solve(qp, None, TD)
+    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 1e-10
+    assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-10
+
+
+def test_constrained_chain_agrees_with_tdunes():
+    qp, _ = spring_mass_chain(nm=2, md=2, Nr=3, Nh=8)
+    sqp = scenario_data(qp)
+    sol, lam, mu, info = sdunes_solve(sqp, None, None,
+                                      SdunesOpts(tol=1e-6, max_iter=250))
+    out = scenario_output(sqp, sol, lam, mu, info)
+    assert float(info["error"]) < 1e-6
+    ref = tdunes_solve(qp, None, TD)
+    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 1e-5
+    assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-5
+
+
+def test_warm_start_resumes():
+    qp, _ = spring_mass_chain(nm=2, md=2, Nr=2, Nh=6)
+    qp = _loose_bounds(qp)
+    sqp = scenario_data(qp)
+    opts = SdunesOpts(tol=1e-9, max_iter=30)
+    sol, lam, mu, info = sdunes_solve(sqp, None, None, opts)
+    _, _, _, info2 = sdunes_solve(sqp, lam, mu, opts)
+    assert int(info2["iter"]) <= 1
+
+
+def test_dual_dimension_formula():
+    """Sum of pairwise common-node couplings equals the reference's closed
+    form (Nr*Ns - (Ns-1)/(md-1))*nu."""
+    for md, Nr in [(2, 2), (3, 2), (2, 3)]:
+        qp, _ = spring_mass_chain(nm=1, md=md, Nr=Nr, Nh=Nr + 2)
+        sqp = scenario_data(qp)
+        Ns = md**Nr
+        assert sum(sqp.meta.common) == Nr * Ns - (Ns - 1) // (md - 1)

@@ -1,0 +1,545 @@
+"""sdunes — dual Newton on scenario decomposition.
+
+TPU-native re-design of ``treeqp/src/dual_Newton_scenarios.{h,c}``. The
+multistage tree is decomposed into ``Ns = md**Nr`` full-horizon scenarios;
+per-node costs are split across the scenarios traversing the node
+(un-scaling at dual_Newton_scenarios.c:1884-1898); dynamics inside each
+scenario are dualized with mu[s,k]; non-anticipativity of controls at shared
+nodes is enforced pairwise between adjacent scenarios with multipliers
+lambda[s,k] (u[s,k] == u[s+1,k] for k up to the common-prefix stage,
+cf. ``treeqp_sdunes_calculate_dual_dimension`` :99-108 and the common-node
+counts :262-292).
+
+Same restrictions as the reference (guards at spring_mass.c:55-60): uniform
+nx/nu, diagonal weights, bounds only, x0 fixed by equality bounds (or
+root-eliminated) so scenario copies of x0 agree.
+
+Architectural translation:
+
+* per-scenario stage solves / residuals / banded factorizations are one
+  batched op or one lax.scan over the horizon, vmapped over scenarios —
+  replacing the ``omp parallel for`` over scenarios (:332-345, :610-613);
+* the dual Hessian is eliminated in the same order as the reference
+  (mu first — banded block-bidiagonal Cholesky per scenario — then the
+  Schur complement "Jay" on lambda), but Jay's block-tridiagonal structure
+  over adjacent scenario pairs is factorized with a scan, replacing the
+  "NOTE: Cannot be parallelized" sequential loop (:815-817); a cyclic-
+  reduction variant can drop in for very large Ns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut
+from treeqp_tpu.utils.tree import TreeStructure
+from treeqp_tpu.solvers.tdunes import (
+    TdunesOpts, TDUNES_OPTIMAL, TDUNES_MAX_ITER, TDUNES_NOT_DESCENT,
+    _reg_cholesky)
+
+__all__ = ["SdunesOpts", "sdunes_solve", "scenario_data"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SdunesOpts:
+    """Options (treeqp_sdunes_opts_t, dual_Newton_scenarios.h:49-66)."""
+
+    max_iter: int = 100
+    termination: str = "infnorm"
+    tol: float = 1e-8
+    ls_max_iter: int = 50
+    ls_gamma: float = 0.1
+    ls_beta: float = 0.6
+    reg_type: str = "on_the_fly"
+    reg_tol: float = 1e-6
+    reg_value: float = 1e-6
+
+    def _as_tdunes(self) -> TdunesOpts:
+        return TdunesOpts(reg_type=self.reg_type, reg_tol=self.reg_tol,
+                          reg_value=self.reg_value)
+
+
+@dataclasses.dataclass(frozen=True)
+class _ScenMeta:
+    Ns: int
+    Nh: int
+    Nr: int
+    nx: int
+    nu: int
+    topo: TreeStructure
+    path_ids: tuple  # flattened [Ns, Nh+1] node ids
+    common: tuple  # common[s] = # stages where scenarios s, s+1 share nodes
+
+    def __hash__(self):
+        return hash((self.Ns, self.Nh, self.Nr, self.topo))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScenarioQP:
+    """Scenario-decomposed QP data, all arrays stacked [Ns, Nh(+1), ...]."""
+
+    Qd: object  # [Ns, Nh+1, nx] probability-split diagonal weights
+    Rd: object  # [Ns, Nh+1, nu] (stage Nh row is identity padding)
+    q: object
+    r: object
+    xmin: object
+    xmax: object
+    umin: object
+    umax: object
+    A: object  # [Ns, Nh, nx, nx] dynamics of edge into stage k+1
+    B: object  # [Ns, Nh, nx, nu]
+    b: object  # [Ns, Nh, nx]
+    meta: object = dataclasses.field(metadata=dict(static=True))
+
+
+def scenario_data(qp: TreeQPIn) -> ScenarioQP:
+    """Decompose a multistage tree QP into scenarios.
+
+    Mirrors the reference's extraction of per-scenario data with
+    probability un-scaling: each node's (diagonal) weights are divided by
+    the number of scenarios traversing it (dual_Newton_scenarios.c:1884-98).
+    """
+    topo = qp.topo
+    params = topo.multistage_params
+    assert params is not None, "sdunes requires a multistage scenario tree"
+    md, Nr, Nh = params
+    Ns = md**Nr
+    nxm, num = topo.nxm, topo.num
+
+    # leaves in node order = scenarios; path = leaf-to-root chain
+    leaves = np.nonzero(topo.nkids == 0)[0]
+    assert len(leaves) == Ns
+    paths = np.zeros((Ns, Nh + 1), dtype=np.int32)
+    for s, leaf in enumerate(leaves):
+        n = leaf
+        for k in range(Nh, -1, -1):
+            paths[s, k] = n
+            n = topo.parent[n]
+    common = tuple(
+        int(np.sum(paths[s, : Nr] == paths[s + 1, : Nr])) for s in range(Ns - 1))
+
+    share = np.ones((Ns, Nh + 1))
+    for k in range(Nh + 1):
+        _, inv, counts = np.unique(paths[:, k], return_inverse=True,
+                                   return_counts=True)
+        share[:, k] = counts[inv]
+    share = jnp.asarray(share)
+
+    ids = paths
+    xm = jnp.asarray(topo.x_mask, qp.dtype)[ids]
+    um = jnp.asarray(topo.u_mask, qp.dtype)[ids]
+    Qd = jnp.diagonal(qp.Q, axis1=1, axis2=2)[ids] / share[..., None] * xm + (1 - xm)
+    Rd = jnp.diagonal(qp.R, axis1=1, axis2=2)[ids] / share[..., None] * um + (1 - um)
+    meta = _ScenMeta(Ns=Ns, Nh=Nh, Nr=Nr, nx=topo.nx[leaves[0]],
+                     nu=topo.nu[0], topo=topo,
+                     path_ids=tuple(map(tuple, paths.tolist())),
+                     common=common)
+    eids = paths[:, 1:]  # edge data indexed by child node
+    return ScenarioQP(
+        Qd=Qd, Rd=Rd,
+        q=qp.q[ids] / share[..., None] * xm,
+        r=qp.r[ids] / share[..., None] * um,
+        xmin=qp.xmin[ids], xmax=qp.xmax[ids],
+        umin=qp.umin[ids], umax=qp.umax[ids],
+        A=qp.A[eids], B=qp.B[eids], b=qp.b[eids],
+        meta=meta)
+
+
+def _coupling_masks(meta: _ScenMeta, dt):
+    """cmask [Ns-1, Nr]: 1 where lambda[s,k] exists (k < common prefix)."""
+    cm = np.zeros((max(meta.Ns - 1, 1), meta.Nr), dtype=np.float64)
+    for s in range(meta.Ns - 1):
+        cm[s, : meta.common[s]] = 1.0
+    return jnp.asarray(cm, dt)
+
+
+def _stage_solve(sqp: ScenarioQP, mu, lam, cmask):
+    """Batched clipping stage solves for all [Ns, Nh+1] scenario stages.
+
+    hmod_x[s,k] = -q + mu[s,k] - A[s,k]'mu[s,k+1]        (mu[s,0] := 0)
+    hmod_u[s,k] = -r - B[s,k]'mu[s,k+1] - lam[s,k] + lam[s-1,k]
+    (dual_Newton_scenarios.c:311-486 with our sign conventions)
+    """
+    Ns, Nr = sqp.meta.Ns, sqp.meta.Nr
+    num = sqp.r.shape[-1]
+    Atmu = jnp.einsum("skji,skj->ski", sqp.A, mu)  # A_k' mu_{k+1} at stage k
+    Btmu = jnp.einsum("skji,skj->ski", sqp.B, mu)
+    qmod = -sqp.q
+    qmod = qmod.at[:, 1:].add(mu)
+    qmod = qmod.at[:, :-1].add(-Atmu)
+    rmod = -sqp.r
+    rmod = rmod.at[:, :-1].add(-Btmu)
+    if Ns > 1:
+        lm = lam * cmask[..., None]  # [Ns-1, Nr, nu]
+        rmod = rmod.at[:-1, :Nr].add(-lm)
+        rmod = rmod.at[1:, :Nr].add(lm)
+    Qinv, Rinv = 1.0 / sqp.Qd, 1.0 / sqp.Rd
+    xUnc, uUnc = Qinv * qmod, Rinv * rmod
+    x = jnp.clip(xUnc, sqp.xmin, sqp.xmax)
+    u = jnp.clip(uUnc, sqp.umin, sqp.umax)
+    qt = jnp.where((xUnc > sqp.xmax) | (xUnc < sqp.xmin), 0.0, Qinv)
+    rt = jnp.where((uUnc > sqp.umax) | (uUnc < sqp.umin), 0.0, Rinv)
+    return dict(qmod=qmod, rmod=rmod, x=x, u=u, xUnc=xUnc, uUnc=uUnc, qt=qt, rt=rt)
+
+
+def _residuals(sqp: ScenarioQP, sol, cmask):
+    """r_mu[s,k] = A x_k + B u_k + b - x_{k+1};  r_lam = u_s - u_{s+1}."""
+    x, u = sol["x"], sol["u"]
+    r_mu = (jnp.einsum("skij,skj->ski", sqp.A, x[:, :-1])
+            + jnp.einsum("skij,skj->ski", sqp.B, u[:, :-1]) + sqp.b - x[:, 1:])
+    Nr = sqp.meta.Nr
+    if sqp.meta.Ns > 1:
+        r_lam = (u[:-1, :Nr] - u[1:, :Nr]) * cmask[..., None]
+    else:
+        r_lam = jnp.zeros((1, Nr, u.shape[-1]), u.dtype)
+    return r_mu, r_lam
+
+
+def _dual_value(sqp: ScenarioQP, sol, mu, lam, cmask):
+    """f = -g: sum over scenario stages of -1/2 z'Hz + hmod'z, minus
+    sum b'mu (the coupling constraints have zero constant term)."""
+    x, u = sol["x"], sol["u"]
+    quad = jnp.sum(x * sqp.Qd * x) + jnp.sum(u * sqp.Rd * u)
+    lin = jnp.sum(sol["qmod"] * x) + jnp.sum(sol["rmod"] * u)
+    return -0.5 * quad + lin - jnp.sum(sqp.b * mu)
+
+
+def _banded_blocks(sqp: ScenarioQP, sol):
+    """mu-mu dual Hessian blocks per scenario (banded):
+    D[s,k] = A_k qt_k A_k' + B_k rt_k B_k' + qt_{k+1}   (k = 0..Nh-1)
+    Ssub[s,k] = M[mu_{k+2}, mu_{k+1}] = -A_{k+1} qt_{k+1}  (k = 0..Nh-2)
+    """
+    qt, rt = sol["qt"], sol["rt"]
+    D = (jnp.einsum("skin,skn,skjn->skij", sqp.A, qt[:, :-1], sqp.A)
+         + jnp.einsum("skin,skn,skjn->skij", sqp.B, rt[:, :-1], sqp.B))
+    nx = D.shape[-1]
+    D = D + jnp.eye(nx, dtype=D.dtype) * qt[:, 1:, None, :]
+    Ssub = -(sqp.A[:, 1:] * qt[:, 1:-1, None, :])  # [Ns, Nh-1, nx, nx]
+    return D, Ssub
+
+
+def _banded_cholesky(D, Ssub, opts: TdunesOpts):
+    """Forward block-bidiagonal Cholesky per scenario (scan over k):
+    L_0 = chol(D_0); C_k = S_k L_{k-1}^-T; L_k = chol(D_k - C_k C_k').
+    The batched translation of the per-scenario factorization at
+    dual_Newton_scenarios.c:590-689."""
+    Ns, Nh, nx, _ = D.shape
+    dt = D.dtype
+
+    def step(carry, inp):
+        prevL, first = carry
+        Dk, Sk = inp
+        Ck = jax.lax.linalg.triangular_solve(
+            prevL, Sk, left_side=False, lower=True, transpose_a=True)
+        Ck = jnp.where(first, jnp.zeros_like(Ck), Ck)
+        Lk = _reg_cholesky(Dk - Ck @ Ck.swapaxes(1, 2), opts)
+        return (Lk, jnp.zeros((), bool)), (Lk, Ck)
+
+    S_ext = jnp.concatenate([jnp.zeros((Ns, 1, nx, nx), dt), Ssub], axis=1)
+    init = (jnp.broadcast_to(jnp.eye(nx, dtype=dt), (Ns, nx, nx)),
+            jnp.ones((), bool))
+    _, (L, C) = jax.lax.scan(step, init,
+                             (D.swapaxes(0, 1), S_ext.swapaxes(0, 1)))
+    return L.swapaxes(0, 1), C.swapaxes(0, 1)  # [Ns, Nh, nx, nx]
+
+
+def _banded_forward(L, C, rhs):
+    """y_k = L_k^-1 (rhs_k - C_k y_{k-1}), scan over k. rhs [Ns, Nh, X...]."""
+    def step(yprev, inp):
+        Lk, Ck, rk = inp
+        y = jax.lax.linalg.triangular_solve(
+            Lk, rk - Ck @ yprev, left_side=True, lower=True)
+        return y, y
+
+    init = jnp.zeros_like(rhs[:, 0])
+    _, ys = jax.lax.scan(step, init, (L.swapaxes(0, 1), C.swapaxes(0, 1),
+                                      rhs.swapaxes(0, 1)))
+    return ys.swapaxes(0, 1)
+
+
+def _banded_backward(L, C, y):
+    """z_k = L_k^-T (y_k - C_{k+1}' z_{k+1}), scan k = Nh-1..0."""
+    Nh = y.shape[1]
+
+    def step(znext, inp):
+        Lk, Cnext, yk = inp
+        z = jax.lax.linalg.triangular_solve(
+            Lk, yk - Cnext.swapaxes(1, 2) @ znext,
+            left_side=True, lower=True, transpose_a=True)
+        return z, z
+
+    C_ext = jnp.concatenate([C[:, 1:], jnp.zeros_like(C[:, :1])], axis=1)
+    init = jnp.zeros_like(y[:, 0])
+    _, zs = jax.lax.scan(
+        step, init,
+        (jnp.flip(L, 1).swapaxes(0, 1), jnp.flip(C_ext, 1).swapaxes(0, 1),
+         jnp.flip(y, 1).swapaxes(0, 1)))
+    return jnp.flip(zs.swapaxes(0, 1), 1)
+
+
+def _coupling_columns(sqp: ScenarioQP, sol, cmask):
+    """U[t] = M[mu(t,:), lambda-columns touching scenario t], for the Schur
+    complement onto lambda. lambda(s,k) touches u[s,k] (+I) and u[s+1,k]
+    (-I); mu(t,k+1) sees u[t,k] through B_k: column block = +-B_k rt[t,k].
+
+    Returns Uown [Ns, Nh, nx, Nr*nu] (columns of lambda(t,:), sign +) —
+    the contribution for lambda(t-1,:) is -Uown of scenario t reindexed.
+    """
+    Ns, Nh, Nr = sqp.meta.Ns, sqp.meta.Nh, sqp.meta.Nr
+    nu = sqp.r.shape[-1]
+    nx = sqp.b.shape[-1]
+    dt = sqp.b.dtype
+    # block at (mu stage k+1, lambda stage k) = B_k * rt_k  -> [Ns,Nr,nx,nu]
+    Brt = sqp.B[:, :Nr] * sol["rt"][:, :Nr, None, :]
+    U = jnp.zeros((Ns, Nh, Nr, nx, nu), dt)
+    for k in range(Nr):  # mu stage k+1 is row k of [Nh]
+        U = U.at[:, k, k].set(Brt[:, k])
+    return U.swapaxes(2, 3).reshape(Ns, Nh, nx, Nr * nu)
+
+
+def _assemble_jay(sqp, sol, L, C, Uown, cmask, opts: TdunesOpts):
+    """Jay = Mll - Mlm Mmm^-1 Mml, block-tridiagonal over scenario pairs.
+
+    Mll: diag(s) = rt[s] + rt[s+1] on matching (k,k) nu-blocks;
+         off(s,s+1) = -rt[s+1].
+    Mlm Mmm^-1 Mml: scenario t contributes Y_t'Y_t with Y_t = L_t^-1 U_t to
+    the pairs touching t (t-1 and t), with signs (+ for own pair t, - for
+    pair t-1). (form_K / form_and_factorize_Jay,
+    dual_Newton_scenarios.c:692-868, parallelized-by-construction here.)
+    """
+    Ns, Nr = sqp.meta.Ns, sqp.meta.Nr
+    nu = sqp.r.shape[-1]
+    nl = Nr * nu
+    dt = Uown.dtype
+    Y = _banded_forward(L, C, Uown)  # [Ns, Nh, nx, nl]
+    Gram = jnp.einsum("skxi,skxj->sij", Y, Y)  # [Ns, nl, nl] = Y_t'Y_t
+
+    rt_l = sol["rt"][:, :Nr].reshape(Ns, nl)  # diag of rt at coupling stages
+    dmask = cmask[..., None].repeat(nu, axis=-1).reshape(Ns - 1, nl) if Ns > 1 \
+        else jnp.zeros((1, nl), dt)
+
+    # Jay = Mll - Schur. Diagonal block of pair s:
+    #   diag(rt_s + rt_{s+1}) - (Gram_s + Gram_{s+1})
+    diag = (jnp.eye(nl, dtype=dt) * (rt_l[:-1] + rt_l[1:])[:, None, :]
+            - Gram[:-1] - Gram[1:])
+    # off-diagonal (pair s+1, pair s): both touch scenario s+1 with opposite
+    # signs: Mll off = -diag(rt_{s+1}); Schur off = -Gram_{s+1}
+    off = -(jnp.eye(nl, dtype=dt) * rt_l[1:-1, None, :]) + Gram[1:-1] \
+        if Ns > 2 else jnp.zeros((max(Ns - 2, 0), nl, nl), dt)
+    # mask invalid lambda rows/cols to identity (no coupling there)
+    dm = dmask
+    diag = diag * dm[:, :, None] * dm[:, None, :] + \
+        jnp.eye(nl, dtype=dt) * (1.0 - dm)[:, None, :]
+    if Ns > 2:
+        off = off * dm[1:, :, None] * dm[:-1, None, :]
+    return diag, off, Y
+
+
+def _tridiag_solve(diag, off, rhs, opts: TdunesOpts):
+    """Block-tridiagonal Cholesky solve over scenario pairs (scan).
+
+    diag [P, nl, nl], off [P-1, nl, nl] (block (s+1, s)), rhs [P, nl].
+    """
+    P, nl, _ = diag.shape
+    dt = diag.dtype
+
+    def fstep(carry, inp):
+        prevL, first = carry
+        Dk, Ok, rk = inp
+        Ck = jax.lax.linalg.triangular_solve(
+            prevL, Ok, left_side=False, lower=True, transpose_a=True)
+        Ck = jnp.where(first, jnp.zeros_like(Ck), Ck)
+        Lk = _reg_cholesky(Dk - Ck @ Ck.T, opts)
+        return (Lk, jnp.zeros((), bool)), (Lk, Ck)
+
+    O_ext = jnp.concatenate([jnp.zeros((1, nl, nl), dt), off], axis=0)
+    (_, _), (L, C) = jax.lax.scan(
+        fstep, (jnp.eye(nl, dtype=dt), jnp.ones((), bool)), (diag, O_ext, rhs))
+
+    def ystep(yprev, inp):
+        Lk, Ck, rk = inp
+        y = jax.lax.linalg.triangular_solve(
+            Lk, (rk - Ck @ yprev)[:, None], left_side=True, lower=True)[:, 0]
+        return y, y
+
+    _, ys = jax.lax.scan(ystep, jnp.zeros((nl,), dt), (L, C, rhs))
+
+    def zstep(znext, inp):
+        Lk, Cnext, yk = inp
+        z = jax.lax.linalg.triangular_solve(
+            Lk, (yk - Cnext.T @ znext)[:, None], left_side=True, lower=True,
+            transpose_a=True)[:, 0]
+        return z, z
+
+    C_ext = jnp.concatenate([C[1:], jnp.zeros((1, nl, nl), dt)], axis=0)
+    _, zs = jax.lax.scan(zstep, jnp.zeros((nl,), dt),
+                         (jnp.flip(L, 0), jnp.flip(C_ext, 0), jnp.flip(ys, 0)))
+    return jnp.flip(zs, 0)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
+                 opts: SdunesOpts = SdunesOpts()):
+    """Dual Newton on the scenario decomposition
+    (treeqp_sdunes_solve, dual_Newton_scenarios.c:1850-2091).
+
+    Returns (sol dict with [Ns, Nh+1] trajectories, lam, mu, info).
+    """
+    meta = sqp.meta
+    Ns, Nh, Nr = meta.Ns, meta.Nh, meta.Nr
+    nx = sqp.b.shape[-1]
+    nu = sqp.r.shape[-1]
+    nl = Nr * nu
+    dt = sqp.b.dtype
+    topts = opts._as_tdunes()
+    cmask = _coupling_masks(meta, dt)
+
+    if mu0 is None:
+        mu0 = jnp.zeros((Ns, Nh, nx), dt)
+    if lam0 is None:
+        lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), dt)
+
+    def error_of(r_mu, r_lam):
+        if opts.termination == "infnorm":
+            return jnp.maximum(jnp.max(jnp.abs(r_mu)), jnp.max(jnp.abs(r_lam)))
+        sq = jnp.sum(r_mu**2) + jnp.sum(r_lam**2)
+        return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
+
+    def newton_step(carry):
+        lam, mu, it, err, status, ls_it = carry
+        sol = _stage_solve(sqp, mu, lam, cmask)
+        r_mu, r_lam = _residuals(sqp, sol, cmask)
+
+        D, Ssub = _banded_blocks(sqp, sol)
+        L, C = _banded_cholesky(D, Ssub, topts)
+        Uown = _coupling_columns(sqp, sol, cmask)
+        diag, off, Y = _assemble_jay(sqp, sol, L, C, Uown, cmask, topts)
+
+        # rhs for lambda: r_lam - Mlm Mmm^-1 r_mu = r_lam - [Y'y]-combination
+        y_mu = _banded_forward(L, C, r_mu[..., None])  # [Ns, Nh, nx, 1]
+        Kv = jnp.einsum("skxl,skx->sl", Y, y_mu[..., 0])  # [Ns, nl] = Y_t' y_t
+        if Ns > 1:
+            dm = cmask[..., None].repeat(nu, axis=-1).reshape(Ns - 1, nl)
+            rl = (r_lam.reshape(Ns - 1, nl) - (Kv[:-1] - Kv[1:])) * dm
+            dlam_flat = _tridiag_solve(diag, off, rl, topts)
+            dlam = (dlam_flat.reshape(Ns - 1, Nr, nu)) * cmask[..., None]
+        else:
+            dlam = jnp.zeros_like(lam)
+
+        # back-substitute mu: Mmm dmu = r_mu - Mml dlam
+        if Ns > 1:
+            dl_flat = dlam.reshape(Ns - 1, nl)
+            # columns: own pair (+), previous pair (-)
+            coef = jnp.zeros((Ns, nl), dt)
+            coef = coef.at[:-1].add(dl_flat)
+            coef = coef.at[1:].add(-dl_flat)
+        else:
+            coef = jnp.zeros((Ns, nl), dt)
+        rhs_mu = r_mu - jnp.einsum("skxl,sl->skx", Uown, coef)
+        ymu2 = _banded_forward(L, C, rhs_mu[..., None])
+        dmu = _banded_backward(L, C, ymu2)[..., 0]
+
+        # Armijo line search on f = -g over (lambda, mu) jointly
+        dot = -(jnp.sum(r_mu * dmu) + jnp.sum(r_lam * dlam))
+        descent_ok = dot < 1e-10
+        f0 = _dual_value(sqp, sol, mu, lam, cmask)
+
+        def f_at(tau):
+            mu_t = mu + tau * dmu
+            lam_t = lam + tau * dlam
+            sol_t = _stage_solve(sqp, mu_t, lam_t, cmask)
+            return _dual_value(sqp, sol_t, mu_t, lam_t, cmask)
+
+        one = jnp.ones((), dt)
+        f1 = f_at(one)
+        acc0 = f1 <= f0 + opts.ls_gamma * one * dot
+
+        def cond_ls(c):
+            tau, f, i, acc = c
+            return (~acc) & (i < opts.ls_max_iter)
+
+        def body_ls(c):
+            tau, f, i, acc = c
+            tau2 = opts.ls_beta * tau
+            f2 = f_at(tau2)
+            return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot)
+
+        tau, _, ls_it, _ = jax.lax.while_loop(
+            cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc0))
+
+        lam2 = jnp.where(descent_ok, lam + tau * dlam, lam)
+        mu2 = jnp.where(descent_ok, mu + tau * dmu, mu)
+        status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
+        return lam2, mu2, it + 1, err, status, ls_it
+
+    def cond(carry):
+        _, _, it, err, status, _ = carry
+        return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+
+    def body(carry):
+        lam, mu, it, err, status, ls_it = carry
+        sol = _stage_solve(sqp, mu, lam, cmask)
+        r_mu, r_lam = _residuals(sqp, sol, cmask)
+        err = error_of(r_mu, r_lam)
+        return jax.lax.cond(
+            err < opts.tol,
+            lambda c: (c[0], c[1], c[2], err, c[4], c[5]),
+            lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5])),
+            carry)
+
+    init = (lam0, mu0, jnp.zeros((), jnp.int32), jnp.full((), jnp.inf, dt),
+            jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32))
+    lam, mu, it, err, status, ls_it = jax.lax.while_loop(cond, body, init)
+
+    sol = _stage_solve(sqp, mu, lam, cmask)
+    r_mu, r_lam = _residuals(sqp, sol, cmask)
+    err = error_of(r_mu, r_lam)
+    status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
+                       TDUNES_MAX_ITER, status)
+    info = dict(iter=it, status=status, error=err, ls_iter=ls_it)
+    return sol, lam, mu, info
+
+
+def scenario_output(sqp: ScenarioQP, sol, lam, mu, info) -> TreeQPOut:
+    """Average scenario copies back onto the tree and recover multipliers
+    (export at dual_Newton_scenarios.c:2028-2075): tree-edge lam = sum of
+    the mu of scenarios traversing the edge; bound multipliers from
+    mu = Q (xUnc - x) summed over copies."""
+    meta = sqp.meta
+    topo = meta.topo
+    dt = sqp.b.dtype
+    Nn, nxm, num = topo.Nn, topo.nxm, topo.num
+    paths = np.asarray(meta.path_ids, dtype=np.int32)  # [Ns, Nh+1]
+    Ns, Nh1 = paths.shape
+    flat = paths.reshape(-1)
+    share = np.zeros(Nn)
+    np.add.at(share, flat, 1.0)
+    share_j = jnp.asarray(share, dt)
+
+    def avg(v):  # [Ns, Nh+1, w] -> [Nn, w]
+        acc = jax.ops.segment_sum(v.reshape(Ns * Nh1, -1), flat, num_segments=Nn)
+        return acc / share_j[:, None]
+
+    def tot(v):
+        return jax.ops.segment_sum(v.reshape(Ns * Nh1, -1), flat, num_segments=Nn)
+
+    x = avg(sol["x"])
+    u = avg(sol["u"])
+    mu_x = tot(sqp.Qd * (sol["xUnc"] - sol["x"]))
+    mu_u = tot(sqp.Rd * (sol["uUnc"] - sol["u"]))
+    # tree lam per edge into node: sum over scenarios traversing the edge
+    eflat = paths[:, 1:].reshape(-1)
+    lam_tree = jax.ops.segment_sum(mu.reshape(Ns * (Nh1 - 1), -1), eflat,
+                                   num_segments=Nn)
+    xmask = jnp.asarray(topo.x_mask, dt)
+    umask = jnp.asarray(topo.u_mask, dt)
+    return TreeQPOut(
+        x=x * xmask, u=u * umask, lam=lam_tree * jnp.asarray(topo.nonroot_x_mask, dt),
+        mu_x=mu_x * xmask, mu_u=mu_u * umask,
+        mu_d=jnp.zeros((Nn, topo.ncm), dt), info=info)

@@ -296,17 +296,28 @@ def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep):
 
 def _reg_cholesky(W, opts: TdunesOpts):
     """Regularized Cholesky (treeqp_dpotrf_l_with_reg_opts,
-    dual_Newton_common.c:35-123): NO / ALWAYS-LM / ON-THE-FLY-LM."""
+    dual_Newton_common.c:35-123): NO / ALWAYS-LM / ON-THE-FLY-LM.
+
+    The on-the-fly path escalates the Levenberg-Marquardt shift (x1, x1e3,
+    x1e6) until the factorization succeeds — degenerate active sets can push
+    Schur complements below -reg_value, which the reference's single retry
+    would turn into NaNs that poison the whole Newton direction."""
     if opts.reg_type == "none":
         return jnp.linalg.cholesky(W)
     eye = jnp.eye(W.shape[-1], dtype=W.dtype)
     if opts.reg_type == "always":
         return jnp.linalg.cholesky(W + opts.reg_value * eye)
-    L1 = jnp.linalg.cholesky(W)
-    diag = jnp.diagonal(L1, axis1=-2, axis2=-1)
-    bad = jnp.any(~jnp.isfinite(L1), axis=(-2, -1)) | jnp.any(diag <= opts.reg_tol, axis=-1)
-    L2 = jnp.linalg.cholesky(W + opts.reg_value * eye)
-    return jnp.where(bad[..., None, None], L2, L1)
+
+    def is_bad(L):
+        diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+        return jnp.any(~jnp.isfinite(L), axis=(-2, -1)) | \
+            jnp.any(diag <= opts.reg_tol, axis=-1)
+
+    L = jnp.linalg.cholesky(W)
+    for scale in (1.0, 1e3, 1e6):
+        Lr = jnp.linalg.cholesky(W + scale * opts.reg_value * eye)
+        L = jnp.where(is_bad(L)[..., None, None], Lr, L)
+    return L
 
 
 def _tri_solve(L, b, trans=False):
