@@ -53,7 +53,13 @@ def main():
     dev = jax.devices()[0]
     ms = jax.device_put(ms, dev)
 
-    opts = TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=120)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    opts = TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=120,
+                      # TPU speed path: f32 factorization + pallas chain
+                      # kernels + 1 safeguarded refinement -> f64 accuracy
+                      factor_dtype="float32" if on_tpu else "same",
+                      refine_steps=1 if on_tpu else 0,
+                      chain_backend="pallas" if on_tpu else "xla")
 
     def run():
         cro, cho, info = tdunes_ms_solve(ms, None, None, opts)

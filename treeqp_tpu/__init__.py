@@ -14,6 +14,9 @@ speed path.
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# On TPU, f32 matmuls default to bf16 inputs — catastrophic for factorization
+# accuracy. A QP solver must use true f32/f64 matmul precision everywhere.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from treeqp_tpu.utils.tree import TreeStructure, number_of_nodes_multistage  # noqa: E402
 from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut, TREEQP_INF  # noqa: E402

@@ -1,0 +1,237 @@
+"""Pallas TPU kernels for the banded chain sweeps of the multistage solver.
+
+The reference's hot loop is BLASFEO's per-node panel-major Cholesky/trsm
+(dual_Newton_tree.c:668-735, dual_Newton_scenarios.c:590-689). On TPU the
+same work is thousands of tiny (nx x nx, nx <= 16) factorizations — far too
+small for the MXU, and XLA executes each scan step as separate kernels with
+~0.5-1 ms overhead. These kernels restore speed-of-light by:
+
+* laying scenarios out on the 128-wide lane dimension ([L, nx, nx, S] after
+  a cheap transpose), so every scalar of the factorization becomes one VPU
+  op processing 128+ chains at once;
+* fusing the entire length-L backward/forward sweep into a single kernel
+  (one launch instead of ~3L), with the per-step 8x8 Cholesky / triangular
+  solves fully unrolled as masked vector arithmetic;
+* pivot clamping (diag >= pivot_floor) as the in-kernel equivalent of the
+  Levenberg-Marquardt regularization — valid because the blocks are Jacobi-
+  equilibrated (unit diagonal) before factorization.
+
+All kernels are f32 (TPU Pallas has no f64); the solver wraps them in the
+mixed-precision iterative-refinement scheme, so end-to-end accuracy is f64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["chain_factor", "chain_solve_bwd", "chain_forward"]
+
+_TS = 128  # lane tile: scenarios per grid step
+_PIVOT_FLOOR = 1e-8
+
+
+# NOTE: all intermediates are kept >= 2D ([1, T] for "scalars") — Mosaic
+# cannot legalize 1-D vector values.
+
+
+def _chol(W, n):
+    """Batched lower Cholesky of [n, n, T] with clamped pivots."""
+    cols = []
+    for k in range(n):
+        a = W[:, k]  # [n, T]
+        for m in range(k):
+            a = a - cols[m] * cols[m][k:k + 1]
+        d = jnp.maximum(a[k:k + 1], _PIVOT_FLOOR)  # [1, T]
+        dinv = jax.lax.rsqrt(d)
+        # rows above the diagonal are structurally zero
+        col = jnp.concatenate(
+            [a[i:i + 1] * dinv if i >= k else jnp.zeros_like(d)
+             for i in range(n)], axis=0)
+        cols.append(col)
+    return jnp.stack(cols, axis=1)  # [n(row), n(col), T]
+
+
+def _rtrsm_t(L, B, n):
+    """Solve X L' = B for X, L lower [n,n,T], B [n,n,T] (trsm_rltn):
+    X[:,j] = (B[:,j] - sum_{c<j} X[:,c] L[j,c]) / L[j,j]."""
+    cols = []
+    for j in range(n):
+        acc = B[:, j]
+        for c in range(j):
+            acc = acc - cols[c] * L[j:j + 1, c]
+        cols.append(acc / L[j:j + 1, j])
+    return jnp.stack(cols, axis=1)
+
+
+def _ltrsv(L, r, n):
+    """Solve L y = r, r [n, T]."""
+    ys = []
+    for i in range(n):
+        acc = r[i:i + 1]
+        for m in range(i):
+            acc = acc - L[i:i + 1, m] * ys[m]
+        ys.append(acc / L[i:i + 1, i])
+    return jnp.concatenate(ys, axis=0)
+
+
+def _uttrsv(L, d, n):
+    """Solve L' z = d, d [n, T]."""
+    zs = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = d[i:i + 1]
+        for m in range(i + 1, n):
+            acc = acc - L[m:m + 1, i] * zs[m]
+        zs[i] = acc / L[i:i + 1, i]
+    return jnp.concatenate(zs, axis=0)
+
+
+def _spec4(Lh, n):
+    return pl.BlockSpec((Lh, n, n, _TS), lambda i: (0, 0, 0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _spec3(Lh, n):
+    return pl.BlockSpec((Lh, n, _TS), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _spec_s(n):
+    return pl.BlockSpec((n, n, _TS), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+
+def _spec_v(n):
+    return pl.BlockSpec((n, _TS), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _pad_s(x, S_pad, axis=-1, fill=0.0):
+    pad = S_pad - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+def _interpret():
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=())
+def chain_factor(Wc, Utc):
+    """Fused banded backward factorization.
+
+    Wc, Utc: [S, L, n, n] f32 (equilibrated). Returns (Ls, CUs, schur0) with
+    the same layout as the XLA path: Ls/CUs [S, L, n, n], schur0 [S, n, n].
+    """
+    S, L, n, _ = Wc.shape
+    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
+    # [L, n, n, S]
+    Wt = _pad_s(jnp.transpose(Wc, (1, 2, 3, 0)), S_pad)
+    # identity on padded lanes so the factorization stays finite
+    eye = jnp.eye(n, dtype=Wc.dtype)[:, :, None]
+    lane_pad = (jnp.arange(S_pad) >= S)[None, None, :]
+    Wt = Wt + jnp.where(lane_pad, eye, 0.0)[None]
+    Ut_t = _pad_s(jnp.transpose(Utc, (1, 2, 3, 0)), S_pad)
+
+    def kernel(W_ref, Ut_ref, L_ref, CU_ref, schur_ref):
+        schur = jnp.zeros((n, n, _TS), W_ref.dtype)
+        for j in range(L - 1, -1, -1):
+            Lf = _chol(W_ref[j] - schur, n)
+            CU = _rtrsm_t(Lf, Ut_ref[j], n)
+            L_ref[j] = Lf
+            CU_ref[j] = CU
+            # schur[i,j] = sum_k CU[i,k] CU[j,k], unrolled (Mosaic has no
+            # batch-last dot)
+            schur = sum(CU[:, k][:, None, :] * CU[:, k][None, :, :]
+                        for k in range(n))  # outer products, 3D broadcasts
+        schur_ref[...] = schur
+
+    with jax.enable_x64(False):  # Mosaic needs i32 index maps
+        Ls, CUs, schur0 = pl.pallas_call(
+            kernel,
+            grid=(S_pad // _TS,),
+            in_specs=[_spec4(L, n), _spec4(L, n)],
+            out_specs=(_spec4(L, n), _spec4(L, n), _spec_s(n)),
+            out_shape=(jax.ShapeDtypeStruct((L, n, n, S_pad), Wc.dtype),
+                       jax.ShapeDtypeStruct((L, n, n, S_pad), Wc.dtype),
+                       jax.ShapeDtypeStruct((n, n, S_pad), Wc.dtype)),
+            interpret=_interpret(),
+        )(Wt, Ut_t)
+    Ls = jnp.transpose(Ls[..., :S], (3, 0, 1, 2))
+    CUs = jnp.transpose(CUs[..., :S], (3, 0, 1, 2))
+    schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
+    return Ls, CUs, schur0
+
+
+def chain_solve_bwd(Ls, CUs, res):
+    """Fused RHS backward sweep: y_j = L_j^-1 (r_j - CU_{j+1} y_{j+1});
+    returns (ys [S, L, n], radd0 [S, n])."""
+    S, L, n, _ = Ls.shape
+    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
+    Lt = _pad_s(jnp.transpose(Ls, (1, 2, 3, 0)), S_pad)
+    eye = jnp.eye(n, dtype=Ls.dtype)[:, :, None]
+    lane_pad = (jnp.arange(S_pad) >= S)[None, None, :]
+    Lt = Lt + jnp.where(lane_pad, eye, 0.0)[None]
+    CUt = _pad_s(jnp.transpose(CUs, (1, 2, 3, 0)), S_pad)
+    rt = _pad_s(jnp.transpose(res, (1, 2, 0)), S_pad)
+
+    def kernel(L_ref, CU_ref, r_ref, y_ref, radd_ref):
+        radd = jnp.zeros((n, _TS), L_ref.dtype)
+        for j in range(L - 1, -1, -1):
+            y = _ltrsv(L_ref[j], r_ref[j] - radd, n)
+            y_ref[j] = y
+            CU = CU_ref[j]
+            radd = sum(CU[:, k] * y[k:k + 1] for k in range(n))
+        radd_ref[...] = radd
+
+    with jax.enable_x64(False):
+        ys, radd0 = pl.pallas_call(
+            kernel,
+            grid=(S_pad // _TS,),
+            in_specs=[_spec4(L, n), _spec4(L, n), _spec3(L, n)],
+            out_specs=(_spec3(L, n), _spec_v(n)),
+            out_shape=(jax.ShapeDtypeStruct((L, n, S_pad), Ls.dtype),
+                       jax.ShapeDtypeStruct((n, S_pad), Ls.dtype)),
+            interpret=_interpret(),
+        )(Lt, CUt, rt)
+    return (jnp.transpose(ys[..., :S], (2, 0, 1)),
+            jnp.transpose(radd0[..., :S], (1, 0)))
+
+
+def chain_forward(Ls, CUs, ys, droot):
+    """Fused forward substitution: dl_j = L_j^-T (y_j - CU_j' dl_{j-1})."""
+    S, L, n, _ = Ls.shape
+    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
+    Lt = _pad_s(jnp.transpose(Ls, (1, 2, 3, 0)), S_pad)
+    eye = jnp.eye(n, dtype=Ls.dtype)[:, :, None]
+    lane_pad = (jnp.arange(S_pad) >= S)[None, None, :]
+    Lt = Lt + jnp.where(lane_pad, eye, 0.0)[None]
+    CUt = _pad_s(jnp.transpose(CUs, (1, 2, 3, 0)), S_pad)
+    yt = _pad_s(jnp.transpose(ys, (1, 2, 0)), S_pad)
+    dr = _pad_s(jnp.transpose(droot, (1, 0)), S_pad)
+
+    def kernel(L_ref, CU_ref, y_ref, dr_ref, dl_ref):
+        dp = dr_ref[...]
+        for j in range(L):
+            CU = CU_ref[j]
+            d = y_ref[j] - sum(CU[k] * dp[k:k + 1] for k in range(n))
+            dl = _uttrsv(L_ref[j], d, n)
+            dl_ref[j] = dl
+            dp = dl
+
+    with jax.enable_x64(False):
+        dls = pl.pallas_call(
+            kernel,
+            grid=(S_pad // _TS,),
+            in_specs=[_spec4(L, n), _spec4(L, n), _spec3(L, n), _spec_v(n)],
+            out_specs=_spec3(L, n),
+            out_shape=jax.ShapeDtypeStruct((L, n, S_pad), Ls.dtype),
+            interpret=_interpret(),
+        )(Lt, CUt, yt, dr)
+    return jnp.transpose(dls[..., :S], (2, 0, 1))

@@ -66,6 +66,21 @@ class TdunesOpts:
     reg_tol: float = 1e-6
     reg_value: float = 1e-6
     stage_solver: str = "clipping"  # clipping | dense
+    # Mixed-precision path for TPU: gradients / residuals / line search stay
+    # in the data dtype (f64 for 1e-8+ KKT targets), while the dual-Hessian
+    # factorization + triangular solves run in this dtype. "same" disables.
+    # An inexact-Newton scheme: the direction is f32-accurate but the
+    # descent check and Armijo acceptance use exact f64 dual values.
+    factor_dtype: str = "same"  # same | float32
+    # Iterative refinement of the Newton direction: re-solve the f32-factored
+    # system against the f64 Newton-system residual (M applied via the
+    # J P J' structure) this many extra times. 1-2 restores f64-quality
+    # directions at f32 factorization cost.
+    refine_steps: int = 0
+    # Banded-chain sweep backend for the multistage solver: "pallas" fuses
+    # each whole sweep into one lane-batched TPU kernel (requires
+    # factor_dtype=float32); "xla" is the portable scan path.
+    chain_backend: str = "xla"  # xla | pallas
 
 
 # ---------------------------------------------------------------------------
@@ -327,15 +342,15 @@ def _tri_solve(L, b, trans=False):
     return y[..., 0]
 
 
-def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
-    """Tree-structured block Cholesky solve M dlam = res, level-synchronous
-    over depths (calculate_delta_lambda, dual_Newton_tree.c:641-805).
-
-    Backward: for parent stages Nh-1..1, batched over that depth's groups:
-    factor W, trsm the parent coupling, syrk-update the parent diagonal
-    block and gemv-update the parent RHS. Then root factor + forward
-    substitution stages 1..Nh-1.
+def _tree_chol_factor(W, Ut, opts: TdunesOpts, prep: _Prep):
+    """Tree-structured block Cholesky factorization, level-synchronous over
+    depths (backward half of calculate_delta_lambda,
+    dual_Newton_tree.c:668-735): for parent stages Nh-1..1, batched over the
+    depth's groups: factor W, trsm the parent coupling, syrk-update the
+    parent diagonal block. Returns stored factors for repeated solves.
     """
+    if opts.factor_dtype == "float32":
+        W, Ut = W.astype(jnp.float32), Ut.astype(jnp.float32)
     dt = W.dtype
     nxm, G, NpG = prep.nxm, prep.G, prep.NpG
     ar = jnp.arange(nxm)
@@ -345,9 +360,46 @@ def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
     # leaks into real blocks.
     Wx = jnp.concatenate([W, jnp.eye(G, dtype=dt)[None]], axis=0)
     Utx = jnp.concatenate([Ut, jnp.zeros((1, nxm, G), dt)], axis=0)
-    rx = jnp.concatenate([rg, jnp.zeros((1, G), dt)], axis=0)
     CholW = jnp.zeros((NpG + 1, G, G), dt)
     CholUt = jnp.zeros((NpG + 1, nxm, G), dt)
+
+    if prep.n_sweep > 0:
+        bwd_xs = (jnp.asarray(prep.bwd_idx), jnp.asarray(prep.bwd_dad),
+                  jnp.asarray(prep.bwd_slot), jnp.asarray(prep.bwd_valid))
+
+        def bwd(carry, xs):
+            Wx, CholW, CholUt = carry
+            idx, dad, slot, valid = xs
+            Lb = _reg_cholesky(Wx[idx], opts)
+            # CholUt solves X L' = Ut  (trsm_rltn)
+            CUb = jax.lax.linalg.triangular_solve(
+                Lb, Utx[idx], left_side=False, lower=True, transpose_a=True)
+            Sb = CUb @ CUb.swapaxes(1, 2)  # [b, nxm, nxm]
+            tgt = jnp.where(valid, dad, NpG)
+            rows = slot[:, None] * nxm + ar[None, :]  # [b, nxm]
+            Wx = Wx.at[tgt[:, None, None], rows[:, :, None], rows[:, None, :]].add(-Sb)
+            st = jnp.where(valid, idx, NpG)
+            CholW = CholW.at[st].set(Lb)
+            CholUt = CholUt.at[st].set(CUb)
+            return (Wx, CholW, CholUt), None
+
+        (Wx, CholW, CholUt), _ = jax.lax.scan(bwd, (Wx, CholW, CholUt), bwd_xs)
+
+    L0 = _reg_cholesky(Wx[0], opts)
+    CholW = CholW.at[0].set(L0)
+    return dict(CholW=CholW, CholUt=CholUt)
+
+
+def _tree_chol_solve(fact, rg, opts: TdunesOpts, prep: _Prep):
+    """Solve M dlam = rg with stored tree Cholesky factors: backward RHS
+    sweep, root solve, forward substitution (dual_Newton_tree.c:745-775)."""
+    out_dt = rg.dtype
+    CholW, CholUt = fact["CholW"], fact["CholUt"]
+    rg = rg.astype(CholW.dtype)
+    nxm, NpG, G = prep.nxm, prep.NpG, prep.G
+    ar = jnp.arange(nxm)
+    dt = rg.dtype
+    rx = jnp.concatenate([rg, jnp.zeros((1, G), dt)], axis=0)
     ybar = jnp.zeros((NpG + 1, G), dt)
 
     if prep.n_sweep > 0:
@@ -355,32 +407,20 @@ def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
                   jnp.asarray(prep.bwd_slot), jnp.asarray(prep.bwd_valid))
 
         def bwd(carry, xs):
-            Wx, rx, CholW, CholUt, ybar = carry
+            rx, ybar = carry
             idx, dad, slot, valid = xs
-            Lb = _reg_cholesky(Wx[idx], opts)
-            yb = _tri_solve(Lb, rx[idx])
-            # CholUt solves X L' = Ut  (trsm_rltn)
-            CUb = jax.lax.linalg.triangular_solve(
-                Lb, Utx[idx], left_side=False, lower=True, transpose_a=True)
-            Sb = CUb @ CUb.swapaxes(1, 2)  # [b, nxm, nxm]
-            rv = jnp.einsum("big,bg->bi", CUb, yb)
+            yb = _tri_solve(CholW[idx], rx[idx])
+            rv = jnp.einsum("big,bg->bi", CholUt[idx], yb)
             tgt = jnp.where(valid, dad, NpG)
-            rows = slot[:, None] * nxm + ar[None, :]  # [b, nxm]
-            Wx = Wx.at[tgt[:, None, None], rows[:, :, None], rows[:, None, :]].add(-Sb)
+            rows = slot[:, None] * nxm + ar[None, :]
             rx = rx.at[tgt[:, None], rows].add(-rv)
-            st = jnp.where(valid, idx, NpG)
-            CholW = CholW.at[st].set(Lb)
-            CholUt = CholUt.at[st].set(CUb)
-            ybar = ybar.at[st].set(yb)
-            return (Wx, rx, CholW, CholUt, ybar), None
+            ybar = ybar.at[jnp.where(valid, idx, NpG)].set(yb)
+            return (rx, ybar), None
 
-        (Wx, rx, CholW, CholUt, ybar), _ = jax.lax.scan(
-            bwd, (Wx, rx, CholW, CholUt, ybar), bwd_xs)
+        (rx, ybar), _ = jax.lax.scan(bwd, (rx, ybar), bwd_xs)
 
-    # root group (always group 0, stage 0)
-    L0 = _reg_cholesky(Wx[0], opts)
-    y0 = _tri_solve(L0, rx[0])
-    dl0 = _tri_solve(L0, y0, trans=True)
+    y0 = _tri_solve(CholW[0], rx[0])
+    dl0 = _tri_solve(CholW[0], y0, trans=True)
     dlam_x = jnp.zeros((NpG + 1, G), dt).at[0].set(dl0)
 
     if prep.n_sweep > 0:
@@ -393,11 +433,23 @@ def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
             dp = dlam_x[dad[:, None], rows]  # parent's dlam slice [b, nxm]
             d = ybar[idx] - jnp.einsum("big,bi->bg", CholUt[idx], dp)
             dl = _tri_solve(CholW[idx], d, trans=True)
-            st = jnp.where(valid, idx, NpG)
-            return dlam_x.at[st].set(dl), None
+            return dlam_x.at[jnp.where(valid, idx, NpG)].set(dl), None
 
         dlam_x, _ = jax.lax.scan(fwd, dlam_x, fwd_xs)
-    return dlam_x[:NpG]
+    return dlam_x[:NpG].astype(out_dt)
+
+
+def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
+    """Factor + solve in one call (calculate_delta_lambda equivalent), with
+    Jacobi equilibration M~ = S M S (see tdunes_multistage for rationale)."""
+    sW = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(W, axis1=1, axis2=2), 1e-12))
+    nxm = prep.nxm
+    rows_all = prep.gslot[:, None] * nxm + np.arange(nxm)[None, :]
+    sUt_rows = sW[np.maximum(prep.gdad, 0)[:, None], rows_all]
+    Ws = W * sW[:, :, None] * sW[:, None, :]
+    Uts = Ut * sUt_rows[:, :, None] * sW[:, None, :]
+    fact = _tree_chol_factor(Ws, Uts, opts, prep)
+    return _tree_chol_solve(fact, rg * sW, opts, prep) * sW
 
 
 def _group_to_nodes(v_g, prep: _Prep, dt):

@@ -183,63 +183,99 @@ def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown):
             + jnp.einsum("sljn,sln->slj", ms.B, up) + ms.b - ch["x"])
 
 
-def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown):
+def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown, dtype=None):
     """Dual-Hessian chain blocks Wc [S,L,nx,nx] / Utc [S,L,nx,nx].
 
     Wc[s,j]  = A_j qt_p A_j' + B_j rt_p B_j' + qt_j   (p = parent of node j)
     Utc[s,j] = -qt_p * A_j'   (coupling of lam[s,j] to the parent's lambda)
+
+    With ``dtype=float32`` the blocks are built directly in f32 — they feed
+    only the (f32) factorization; the exact Hessian action for refinement is
+    applied separately in f64 (_ms_apply_M).
     """
     rid = np.asarray(ms.meta.root_ids)
+    A, B = ms.A, ms.B
     qt_p = jnp.concatenate([qt_crown[rid][:, None], ch["qt"][:, :-1]], axis=1)
     rt_p = jnp.concatenate([rt_crown[rid][:, None], ch["rt"][:, :-1]], axis=1)
-    Wc = (jnp.einsum("slin,sln,sljn->slij", ms.A, qt_p, ms.A)
-          + jnp.einsum("slin,sln,sljn->slij", ms.B, rt_p, ms.B))
+    qt_c = ch["qt"]
+    if dtype is not None:
+        A, B = A.astype(dtype), B.astype(dtype)
+        qt_p, rt_p, qt_c = (v.astype(dtype) for v in (qt_p, rt_p, qt_c))
+    Wc = (jnp.einsum("slin,sln,sljn->slij", A, qt_p, A)
+          + jnp.einsum("slin,sln,sljn->slij", B, rt_p, B))
     nxm = Wc.shape[-1]
-    Wc = Wc + jnp.eye(nxm, dtype=Wc.dtype) * ch["qt"][:, :, None, :] * \
-        jnp.eye(nxm, dtype=Wc.dtype)
-    Utc = -(qt_p[:, :, :, None] * ms.A.swapaxes(2, 3))  # [S,L,nx(parent),nx(child)]
+    Wc = Wc + jnp.eye(nxm, dtype=Wc.dtype) * qt_c[:, :, None, :]
+    Utc = -(qt_p[:, :, :, None] * A.swapaxes(2, 3))  # [S,L,nx(parent),nx(child)]
     return Wc, Utc
 
 
-def _chain_backward(Wc, Utc, res_ch, opts: TdunesOpts):
-    """Banded backward sweep per chain, scan j = L-1 .. 0.
+def _chain_factor(Wc, Utc, opts: TdunesOpts):
+    """Banded backward factorization per chain, scan j = L-1 .. 0.
 
-    Returns per-step factors (Lc, CU, y) and the Schur complement + RHS
-    update flowing into the crown (for j=0 the parent lambda lives in the
-    crown). Mirrors the reference per-scenario reverse Cholesky
+    Returns per-step factors (Lc, CU) and the Schur complement flowing into
+    the crown. Mirrors the reference per-scenario reverse Cholesky
     (dual_Newton_scenarios.c:590-689) on the tree-formulation blocks.
     """
+    out_dt = Wc.dtype
+    if opts.factor_dtype == "float32":
+        Wc, Utc = Wc.astype(jnp.float32), Utc.astype(jnp.float32)
+    if opts.chain_backend == "pallas":
+        from treeqp_tpu.ops import chain_kernels as ck
+        Ls, CUs, schur0 = ck.chain_factor(Wc, Utc)
+        return Ls, CUs, schur0.astype(out_dt)
     S, L, nx, _ = Wc.shape
     dt = Wc.dtype
 
-    def step(carry, inp):
-        schur, radd = carry  # [S,nx,nx], [S,nx] flowing into this node
-        Wj, Utj, rj = inp
-        Weff = Wj - schur
-        Lb = td._reg_cholesky(Weff, opts)
-        y = jax.lax.linalg.triangular_solve(
-            Lb, (rj - radd)[..., None], left_side=True, lower=True)[..., 0]
+    def step(schur, inp):
+        Wj, Utj = inp
+        Lb = td._reg_cholesky(Wj - schur, opts)
         CU = jax.lax.linalg.triangular_solve(
             Lb, Utj, left_side=False, lower=True, transpose_a=True)
-        return (CU @ CU.swapaxes(1, 2), jnp.einsum("sij,sj->si", CU, y)), (Lb, CU, y)
+        return CU @ CU.swapaxes(1, 2), (Lb, CU)
 
-    inps = (jnp.flip(Wc, 1).swapaxes(0, 1), jnp.flip(Utc, 1).swapaxes(0, 1),
-            jnp.flip(res_ch, 1).swapaxes(0, 1))
-    init = (jnp.zeros((S, nx, nx), dt), jnp.zeros((S, nx), dt))
-    (schur0, radd0), (Ls, CUs, ys) = jax.lax.scan(step, init, inps)
-    # un-flip back to j ascending: scan produced j = L-1..0
+    inps = (jnp.flip(Wc, 1).swapaxes(0, 1), jnp.flip(Utc, 1).swapaxes(0, 1))
+    schur0, (Ls, CUs) = jax.lax.scan(step, jnp.zeros((S, nx, nx), dt), inps)
     Ls = jnp.flip(Ls, 0).swapaxes(0, 1)   # [S, L, nx, nx]
     CUs = jnp.flip(CUs, 0).swapaxes(0, 1)
+    return Ls, CUs, schur0.astype(out_dt)
+
+
+def _chain_solve_bwd(Ls, CUs, res_ch, opts: TdunesOpts = TdunesOpts()):
+    """RHS backward sweep with stored factors: y_j = L^-1(r_j - CU y_{j+1}-
+    style accumulation); returns y and the RHS update into the crown."""
+    out_dt = res_ch.dtype
+    res_ch = res_ch.astype(Ls.dtype)
+    if opts.chain_backend == "pallas":
+        from treeqp_tpu.ops import chain_kernels as ck
+        ys, radd0 = ck.chain_solve_bwd(Ls, CUs, res_ch)
+        return ys, radd0.astype(out_dt)
+    S, L, nx, _ = Ls.shape
+
+    def step(radd, inp):
+        Lb, CU, rj = inp
+        y = jax.lax.linalg.triangular_solve(
+            Lb, (rj - radd)[..., None], left_side=True, lower=True)[..., 0]
+        return jnp.einsum("sij,sj->si", CU, y), y
+
+    inps = (jnp.flip(Ls, 1).swapaxes(0, 1), jnp.flip(CUs, 1).swapaxes(0, 1),
+            jnp.flip(res_ch, 1).swapaxes(0, 1))
+    radd0, ys = jax.lax.scan(step, jnp.zeros((S, nx), Ls.dtype), inps)
     ys = jnp.flip(ys, 0).swapaxes(0, 1)
-    return Ls, CUs, ys, schur0, radd0
+    return ys, radd0.astype(out_dt)
 
 
-def _chain_forward(Ls, CUs, ys, dlam_root):
+def _chain_forward(Ls, CUs, ys, dlam_root, opts: TdunesOpts = TdunesOpts()):
     """Forward substitution down each chain, scan j = 0 .. L-1.
 
     dlam[s,j] = L^-T (y[s,j] - CU[s,j]' dlam_parent).
     ``dlam_root`` [S, nx] is the crown's dlam at the edge into each chain root.
     """
+    out_dt = dlam_root.dtype
+    if opts.chain_backend == "pallas":
+        from treeqp_tpu.ops import chain_kernels as ck
+        dls = ck.chain_forward(Ls, CUs, ys, dlam_root.astype(Ls.dtype))
+        return dls.astype(out_dt)
+
     def step(dp, inp):
         Lb, CU, y = inp
         d = y - jnp.einsum("sij,si->sj", CU, dp)
@@ -247,9 +283,9 @@ def _chain_forward(Ls, CUs, ys, dlam_root):
             Lb, d[..., None], left_side=True, lower=True, transpose_a=True)[..., 0]
         return dl, dl
 
-    _, dls = jax.lax.scan(step, dlam_root,
+    _, dls = jax.lax.scan(step, dlam_root.astype(Ls.dtype),
                           (Ls.swapaxes(0, 1), CUs.swapaxes(0, 1), ys.swapaxes(0, 1)))
-    return dls.swapaxes(0, 1)  # [S, L, nx]
+    return dls.swapaxes(0, 1).astype(out_dt)  # [S, L, nx]
 
 
 def _chain_dual_terms(ms: MultistageQP, ch, lam_ch):
@@ -272,6 +308,38 @@ def _ms_stage_solve(ms: MultistageQP, crown_data, lam_cr, lam_ch, opts, prep_cr)
     cr = td._stage_solve(ms.crown, lam_cr, crown_data, opts, prep_cr,
                          extra_q, extra_r)
     return cr, ch
+
+
+def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr):
+    """Apply the exact dual Hessian M = J P J' to a direction, in the data
+    dtype. Used for iterative refinement of f32-factored Newton solves:
+    M d = -(linearized dynamics residual of the linear stage response)."""
+    qp = ms.crown
+    xm, um, nrxm = td._masks(qp)
+    # crown linear stage response
+    AtL = jnp.einsum("nji,nj->ni", qp.A, dlam_cr)
+    BtL = jnp.einsum("nji,nj->ni", qp.B, dlam_cr)
+    sum_A = jax.ops.segment_sum(AtL[1:], prep_cr.par[1:], num_segments=prep_cr.Nn)
+    sum_B = jax.ops.segment_sum(BtL[1:], prep_cr.par[1:], num_segments=prep_cr.Nn)
+    eq, er = _chain_root_contrib(ms, dlam_ch)
+    xl = cr["qtilde"] * (dlam_cr - sum_A - eq) * xm
+    ul = cr["rtilde"] * (-sum_B - er) * um
+    # chain linear stage response
+    Aup = jnp.einsum("sljn,slj->sln", ms.A[:, 1:], dlam_ch[:, 1:])
+    Bup = jnp.einsum("sljn,slj->sln", ms.B[:, 1:], dlam_ch[:, 1:])
+    qml = dlam_ch.at[:, :-1].add(-Aup)
+    rml = jnp.zeros_like(ch["rmod"]).at[:, :-1].add(-Bup)
+    xlc = ch["qt"] * qml
+    ulc = ch["rt"] * rml
+    # linearized residuals
+    res_cr = (jnp.einsum("nij,nj->ni", qp.A, xl[prep_cr.par])
+              + jnp.einsum("nij,nj->ni", qp.B, ul[prep_cr.par]) - xl) * nrxm
+    rid = np.asarray(ms.meta.root_ids)
+    xp = jnp.concatenate([xl[rid][:, None], xlc[:, :-1]], axis=1)
+    up = jnp.concatenate([ul[rid][:, None], ulc[:, :-1]], axis=1)
+    res_ch = (jnp.einsum("sljn,sln->slj", ms.A, xp)
+              + jnp.einsum("sljn,sln->slj", ms.B, up) - xlc)
+    return -res_cr, -res_ch
 
 
 def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts):
@@ -326,23 +394,68 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         lam_cr, lam_ch, it, err, status, restart, ls_it = carry
         cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
 
-        # --- dual Hessian
+        # --- dual Hessian (chain blocks straight in f32 on the mixed path)
+        fdt = jnp.float32 if opts.factor_dtype == "float32" else None
         W, Ut = td._build_dual_hessian(ms.crown, cr, crown_data, opts, prep_cr)
-        Wc, Utc = _chain_blocks(ms, ch, cr["qtilde"], cr["rtilde"])
+        Wc, Utc = _chain_blocks(ms, ch, cr["qtilde"], cr["rtilde"], dtype=fdt)
 
-        # --- backward: chains first, Schur into the crown
-        Ls, CUs, ys, schur0, radd0 = _chain_backward(Wc, Utc, res_ch, opts)
+        # --- Jacobi equilibration of the full lambda system: M~ = S M S with
+        # S = 1/sqrt(diag M). Essential for the f32 factorization path (node
+        # weights span orders of magnitude from probability scaling) and
+        # harmless in f64.
+        sW = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.diagonal(W, axis1=1, axis2=2), 1e-12))       # [NpG, G]
+        sc = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.diagonal(Wc, axis1=2, axis2=3), 1e-12))      # [S, L, nx]
+        nxm_cr = meta.crown_topo.nxm
+        ar = np.arange(nxm_cr)
+        rows_all = prep_cr.gslot[:, None] * nxm_cr + ar[None, :]  # [NpG, nxm]
+        dad_safe = np.maximum(prep_cr.gdad, 0)
+        sUt_rows = sW[dad_safe[:, None], rows_all]            # [NpG, nxm]
+        W = W * sW[:, :, None] * sW[:, None, :]
+        Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
+        s_root = sW[g_of[:, None], rows].astype(sc.dtype)     # [S, nxm]
+        scp = jnp.concatenate([s_root[:, None], sc[:, :-1]], axis=1)
+        Wc = Wc * sc[..., :, None] * sc[..., None, :]
+        Utc = Utc * scp[..., :, None] * sc[..., None, :]
+        s_node = td._group_to_nodes(sW, prep_cr, dt) * nrxm_cr  # crown scale, node layout
+
+        # --- factorize (scaled): chains first, Schur into the crown
+        Ls, CUs, schur0 = _chain_factor(Wc, Utc, opts)
         W = W.at[g_of[:, None, None], rows[:, :, None], rows[:, None, :]].add(-schur0)
-        rg = td._nodes_to_group(res_cr, prep_cr)
-        rg = rg.at[g_of[:, None], rows].add(-radd0)
+        crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
 
-        # --- crown Newton direction (replicated, small)
-        dlam_g = td._newton_direction(W, Ut, rg, opts, prep_cr)
-        dlam_cr = td._group_to_nodes(dlam_g, prep_cr, dt) * nrxm_cr
+        def solve(rcr, rch):
+            rcr_s, rch_s = rcr * s_node, rch * sc
+            ys, radd0 = _chain_solve_bwd(Ls, CUs, rch_s, opts)
+            rg = td._nodes_to_group(rcr_s, prep_cr)
+            rg = rg.at[g_of[:, None], rows].add(-radd0)
+            dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
+            dcr_s = td._group_to_nodes(dg, prep_cr, dt) * nrxm_cr
+            dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid], opts)
+            return dcr_s * s_node, dch_s * sc
 
-        # --- forward down the chains
-        dlam_root = dlam_cr[rid]  # [S, nxm]
-        dlam_ch = _chain_forward(Ls, CUs, ys, dlam_root)
+        def newton_resnorm(dcr, dch):
+            mcr, mch = _ms_apply_M(ms, cr, ch, dcr, dch, prep_cr)
+            return (jnp.sum((res_cr - mcr) ** 2) + jnp.sum((res_ch - mch) ** 2),
+                    mcr, mch)
+
+        dlam_cr, dlam_ch = solve(res_cr, res_ch)
+        if opts.refine_steps > 0:
+            # safeguarded iterative refinement: keep the direction with the
+            # smallest Newton-system residual (f32 solves of ill-conditioned
+            # systems can make a refinement step diverge)
+            n_best, mcr, mch = newton_resnorm(dlam_cr, dlam_ch)
+            for _ in range(opts.refine_steps):
+                ccr, cch = solve(res_cr - mcr, res_ch - mch)
+                cand_cr, cand_ch = dlam_cr + ccr, dlam_ch + cch
+                n_new, mcr2, mch2 = newton_resnorm(cand_cr, cand_ch)
+                better = n_new < n_best
+                dlam_cr = jnp.where(better, cand_cr, dlam_cr)
+                dlam_ch = jnp.where(better, cand_ch, dlam_ch)
+                mcr = jnp.where(better, mcr2, mcr)
+                mch = jnp.where(better, mch2, mch)
+                n_best = jnp.where(better, n_new, n_best)
 
         # --- Armijo line search on f = -g over (crown, chain) jointly
         dot = -(jnp.sum(res_cr * dlam_cr) + jnp.sum(res_ch * dlam_ch))
