@@ -1,0 +1,121 @@
+"""Closed-loop robust-MPC benchmark harness.
+
+Python re-design of the reference MATLAB driver (benchmark/treeqp_main.m):
+per MPC step embed the measured state as equality bounds on the root
+(treeqp_main.m:266-268), solve the tree QP warm-started with the previous
+multipliers (utils/treeqp_solve.m:6-17), apply the first control to the
+nonlinear plant (RK4, :249-262), and log cpu time / iterations / status /
+KKT residual per step (:130-141), pausing-equivalent on KKT violations
+(:171-177 -> here recorded as failures).
+
+Includes the Dolan-More performance-profile utility (benchmark/utils/perf.m)
+for comparing solvers across an experiment grid
+(treeqp_performance_plot.m:24-42).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from treeqp_tpu.core.kkt import max_kkt_residual
+from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
+from treeqp_tpu.solvers.ipm import IpmOpts, ipm_solve
+
+
+@dataclasses.dataclass
+class ClosedLoopLog:
+    """Per-step logs (treeqp_main.m:130-141)."""
+
+    cpu_time: np.ndarray
+    iters: np.ndarray
+    status: np.ndarray
+    kkt: np.ndarray
+    x: np.ndarray  # [nsim+1, nx] closed-loop state trajectory
+    u: np.ndarray  # [nsim, nu] applied controls
+
+    @property
+    def kkt_violations(self):
+        return int(np.sum(self.kkt > 1e-6))
+
+
+def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
+                    opts=None, warm_start: bool = True,
+                    kkt_tol: float = 1e-6,
+                    ipm_bootstrap: bool = True) -> ClosedLoopLog:
+    """Run ``nsim`` MPC steps of the given benchmark model.
+
+    ``ipm_bootstrap``: when tdunes has no dual warm start yet (first MPC
+    step), obtain one from a single IPM solve — dual Newton's global phase
+    is weak on cold starts with strongly anisotropic weights (quadcopter),
+    while warm-started it converges in O(1) iterations. This mirrors the
+    reference's reliance on warm starts (treeqp_solve.m:6-17,
+    spring_mass.c:69-83) with a self-contained initializer.
+    """
+    qp = model.qp
+    topo = qp.topo
+    nx, nu = topo.nx[0], topo.nu[0]
+    x = np.asarray(model.x0, dtype=np.float64)
+
+    if solver == "tdunes":
+        opts = opts or TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=100)
+    elif solver == "ipm":
+        opts = opts or IpmOpts(tol=1e-8, max_iter=30)
+    else:
+        raise ValueError(solver)
+
+    lam = None
+    logs = dict(cpu_time=[], iters=[], status=[], kkt=[])
+    xs, us = [x.copy()], []
+
+    for k in range(nsim):
+        qp = qp.set_x0(x)
+        t0 = time.perf_counter()
+        if solver == "tdunes":
+            if lam is None and ipm_bootstrap:
+                lam = ipm_solve(qp, IpmOpts(tol=1e-8, max_iter=30)).lam
+            out = jax.block_until_ready(tdunes_solve(qp, lam, opts))
+        else:
+            out = jax.block_until_ready(ipm_solve(qp, opts))
+        dt_solve = time.perf_counter() - t0
+        kkt = float(max_kkt_residual(qp, out))
+
+        u0 = np.asarray(out.u[0, :nu])
+        x = np.asarray(model.simulate(x, u0), dtype=np.float64)[:nx]
+
+        if warm_start and solver == "tdunes":
+            lam = out.lam  # multiplier persistence across steps (treeqp_solve.m:6-8)
+
+        logs["cpu_time"].append(dt_solve)
+        logs["iters"].append(int(out.info["iter"]))
+        logs["status"].append(int(out.info["status"]))
+        logs["kkt"].append(kkt)
+        xs.append(x.copy())
+        us.append(u0)
+
+    return ClosedLoopLog(
+        cpu_time=np.asarray(logs["cpu_time"]), iters=np.asarray(logs["iters"]),
+        status=np.asarray(logs["status"]), kkt=np.asarray(logs["kkt"]),
+        x=np.stack(xs), u=np.stack(us))
+
+
+def performance_profile(times: np.ndarray, taus: Optional[np.ndarray] = None):
+    """Dolan-More performance profiles (benchmark/utils/perf.m:1-16).
+
+    ``times`` [n_problems, n_solvers] (np.inf for failures). Returns
+    (taus, rho [n_taus, n_solvers]) where rho_s(tau) = fraction of problems
+    solver s solved within tau x the best time.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    best = np.min(times, axis=1, keepdims=True)
+    ratios = times / best
+    if taus is None:
+        finite = ratios[np.isfinite(ratios)]
+        rmax = float(finite.max()) if finite.size else 2.0
+        taus = np.linspace(1.0, max(rmax, 1.0 + 1e-9), 64)
+    rho = np.stack([np.mean(ratios <= t, axis=0) for t in taus])
+    return taus, rho

@@ -1,0 +1,87 @@
+"""Closed-loop harness, benchmark models, fault tolerance, CLI, utils."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from benchmarks.models import quadcopter, crane, linear_chain
+from benchmarks.closed_loop import closed_loop_mpc, performance_profile
+from benchmarks.fault_tolerance import run_fault_tolerant_mpc
+
+
+def test_crane_closed_loop_tracks_reference():
+    """Crane drives the load toward xref=0.2 with KKT <= 1e-6 per step
+    (the reference closed-loop accuracy bar, treeqp_main.m:28)."""
+    m = crane(md=2, Nr=2, Nh=8)
+    log = closed_loop_mpc(m, "tdunes", nsim=10)
+    assert log.kkt_violations == 0
+    assert abs(log.x[-1][0] - 0.2) < 0.05
+    assert np.all(np.abs(log.u) <= 0.5 + 1e-9)
+
+
+def test_quadcopter_closed_loop_stabilizes():
+    m = quadcopter(md=2, Nr=2, Nh=8, seed=3)
+    log = closed_loop_mpc(m, "tdunes", nsim=10)
+    assert log.kkt_violations == 0
+    # attitude error decreases
+    assert np.linalg.norm(log.x[-1][:3]) < np.linalg.norm(log.x[0][:3])
+
+
+def test_linear_chain_closed_loop_with_ipm():
+    m = linear_chain(nm=2, nu_count=1, md=2, Nr=1, Nh=6)
+    log = closed_loop_mpc(m, "ipm", nsim=6)
+    assert log.kkt_violations == 0
+    # velocities damped
+    assert np.linalg.norm(log.x[-1][2:]) < np.linalg.norm(log.x[0][2:])
+
+
+def test_performance_profile():
+    t = np.array([[1.0, 2.0], [3.0, 1.5], [2.0, np.inf]])
+    taus, rho = performance_profile(t)
+    assert rho[-1][0] == 1.0  # solver 0 solves everything eventually
+    assert rho[-1][1] < 1.0  # solver 1 has a failure
+    assert np.all(np.diff(rho, axis=0) >= 0)
+
+
+def test_fault_tolerance_markov_switching():
+    log = run_fault_tolerant_mpc(nsim=12, seed=1)
+    assert log.kkt.max() < 1e-6
+    assert len(set(log.configs.tolist())) >= 2  # chain actually switched
+    assert np.isfinite(log.x).all()
+
+
+def test_cli_roundtrip(tmp_path):
+    from treeqp_tpu.interfaces.cli import run
+
+    out = tmp_path / "qp_out.json"
+    rc = run(["/root/reference/examples/random_qp_utils/data01.json",
+              "-o", str(out)])
+    assert rc == 0 or rc is None
+    j = json.loads(out.read_text())
+    assert j["info"]["kkt_tol"] < 1e-12
+    assert j["info"]["num_iter"] <= 1
+    assert len(j["nodes"]) == 6
+
+
+def test_timing_and_printing(tmp_path, capsys):
+    from treeqp_tpu.utils.timing import min_time_over
+    from treeqp_tpu.utils.printing import (
+        tree_qp_in_print, tree_qp_out_print, tree_qp_out_write_txt,
+        read_vector_txt)
+    from treeqp_tpu import load_tree_qp_file
+    from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
+
+    qp, _ = load_tree_qp_file("/root/reference/examples/random_qp_utils/data00.json")
+    opts = TdunesOpts(stage_solver="dense", reg_type="none", max_iter=5)
+    t, out = min_time_over(lambda: tdunes_solve(qp, None, opts), nrep=3,
+                           check_deterministic=lambda o: int(o.info["iter"]))
+    assert t > 0
+    tree_qp_in_print(qp, nodes=[0, 1])
+    tree_qp_out_print(qp.topo, out, nodes=[0])
+    assert "node 0" in capsys.readouterr().out
+    tree_qp_out_write_txt(qp.topo, out, str(tmp_path / "sol"))
+    x = read_vector_txt(str(tmp_path / "sol_x.txt"))
+    assert len(x) == sum(qp.topo.nx)

@@ -1,0 +1,160 @@
+"""JSON batch front-end — the ``solve_qp_json.out`` equivalent
+(examples/solve_qp_json.cpp:206-615).
+
+Usage::
+
+    python -m treeqp_tpu.interfaces.cli qp_in.json [init.json] [-o qp_out.json]
+
+Reads a reference-format QP (nodes/edges/options), optionally overwrites x0
+and the dual initialization from ``init.json`` (keys x0, lam0_tree,
+lam0_scen, mu0_scen — solve_qp_json.cpp:210-213), dispatches on
+``options.solver`` in {tdunes, sdunes, hpmpc, hpipm} (the latter two map to
+the built-in tree IPM), repeats the solve NREP times keeping the minimum
+time and asserting identical iteration counts, and writes the solution JSON
+with multipliers, KKT residual, timing and the updated warm start.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import numpy as np
+
+from treeqp_tpu.core.json_io import load_tree_qp_file, solution_to_json
+from treeqp_tpu.core.kkt import max_kkt_residual
+from treeqp_tpu.utils.timing import min_time_over
+
+_REG_MAP = {
+    "TREEQP_NO_REGULARIZATION": "none",
+    "TREEQP_ALWAYS_LEVENBERG_MARQUARDT": "always",
+    "TREEQP_ON_THE_FLY_LEVENBERG_MARQUARDT": "on_the_fly",
+}
+
+
+def _lam_tree_to_nodes(vec, topo):
+    """Flat reference lambda layout (stacked per non-root node, node order)
+    -> [Nn, nxm] padded rows."""
+    lam = np.zeros((topo.Nn, topo.nxm))
+    i = 0
+    for c in range(1, topo.Nn):
+        lam[c, : topo.nx[c]] = vec[i: i + topo.nx[c]]
+        i += topo.nx[c]
+    return lam
+
+
+def _lam_nodes_to_tree(lam, topo):
+    out = []
+    for c in range(1, topo.Nn):
+        out.extend(np.asarray(lam[c, : topo.nx[c]]).tolist())
+    return out
+
+
+def run(argv=None):
+    ap = argparse.ArgumentParser(prog="treeqp-solve")
+    ap.add_argument("qp_in")
+    ap.add_argument("init", nargs="?", default=None)
+    ap.add_argument("-o", "--output", default="qp_out.json")
+    ap.add_argument("--nrep", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    qp, extras = load_tree_qp_file(args.qp_in)
+    topo = qp.topo
+    options = extras.get("options", {})
+    solver = options.get("solver", "tdunes")
+    nrep = args.nrep or int(options.get("NREP", 1))
+
+    init = {}
+    if args.init:
+        with open(args.init) as f:
+            init = json.load(f)
+        if "x0" in init and topo.nx[0] > 0:
+            qp = qp.set_x0(np.asarray(init["x0"], dtype=np.float64).reshape(-1))
+
+    j_out = {"init": {}}
+
+    if solver == "tdunes":
+        from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
+
+        opts = TdunesOpts(
+            max_iter=int(options.get("maxit", 100)),
+            tol=float(options.get("stationarityTolerance", 1e-8)),
+            ls_max_iter=int(options.get("lineSearchMaxIter", 50)),
+            ls_beta=float(options.get("lineSearchBeta", 0.6)),
+            ls_gamma=float(options.get("lineSearchGamma", 0.1)),
+            reg_type=_REG_MAP.get(options.get("regType", ""), "on_the_fly"),
+            reg_tol=float(options.get("regTol", 1e-6)),
+            reg_value=float(options.get("regValue", 1e-6)),
+            stage_solver="clipping" if options.get("clipping", False) else "dense",
+        )
+        lam0 = None
+        if "lam0_tree" in init:
+            lam0 = jax.numpy.asarray(_lam_tree_to_nodes(
+                np.asarray(init["lam0_tree"], dtype=np.float64), topo))
+        t, out = min_time_over(lambda: tdunes_solve(qp, lam0, opts), nrep,
+                               check_deterministic=lambda o: int(o.info["iter"]))
+        j_out["init"]["lam0_tree"] = _lam_nodes_to_tree(out.lam, topo)
+
+    elif solver == "sdunes":
+        from treeqp_tpu.solvers.sdunes import (
+            SdunesOpts, sdunes_solve, scenario_data, scenario_output)
+
+        sqp = scenario_data(qp)
+        meta = sqp.meta
+        opts = SdunesOpts(
+            max_iter=int(options.get("maxit", 100)),
+            tol=float(options.get("stationarityTolerance", 1e-8)),
+            ls_max_iter=int(options.get("lineSearchMaxIter", 50)),
+            ls_beta=float(options.get("lineSearchBeta", 0.6)),
+            ls_gamma=float(options.get("lineSearchGamma", 0.1)),
+            reg_type=_REG_MAP.get(options.get("regType", ""), "on_the_fly"),
+        )
+        lam0 = mu0 = None
+        if "mu0_scen" in init:
+            mu0 = jax.numpy.asarray(np.asarray(init["mu0_scen"], np.float64)
+                                    .reshape(meta.Ns, meta.Nh, -1))
+        if "lam0_scen" in init:
+            flat = np.asarray(init["lam0_scen"], np.float64)
+            nu = sqp.r.shape[-1]
+            lam = np.zeros((meta.Ns - 1, meta.Nr, nu))
+            i = 0
+            for s in range(meta.Ns - 1):
+                c = meta.common[s]
+                lam[s, :c] = flat[i: i + c * nu].reshape(c, nu)
+                i += c * nu
+            lam0 = jax.numpy.asarray(lam)
+
+        def do():
+            sol, lam, mu, info = sdunes_solve(sqp, lam0, mu0, opts)
+            return scenario_output(sqp, sol, lam, mu, info)
+
+        t, out = min_time_over(do, nrep,
+                               check_deterministic=lambda o: int(o.info["iter"]))
+
+    elif solver in ("hpmpc", "hpipm", "ipm"):
+        from treeqp_tpu.solvers.ipm import IpmOpts, ipm_solve
+
+        opts = IpmOpts(
+            max_iter=int(options.get("maxit", options.get("maxIter", 30))),
+            tol=float(options.get("tol", options.get("mu_tol", 1e-10))),
+        )
+        t, out = min_time_over(lambda: ipm_solve(qp, opts), nrep,
+                               check_deterministic=lambda o: int(o.info["iter"]))
+    else:
+        raise SystemExit(f"unknown solver '{solver}'")
+
+    kkt = float(max_kkt_residual(qp, out))
+    j = solution_to_json(qp, out, kkt=kkt, num_iter=int(out.info["iter"]),
+                         cpu_time=t, status=int(out.info["status"]))
+    j["init"] = j_out["init"]
+    with open(args.output, "w") as f:
+        json.dump(j, f, indent=1)
+    print(f"solver={solver} iter={int(out.info['iter'])} "
+          f"status={int(out.info['status'])} kkt={kkt:.2e} time={t*1e3:.2f}ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -340,14 +340,16 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts()) -> TreeQPOut:
                           jnp.inf)
         return jnp.minimum(1.0, frac * jnp.min(ratio))
 
-    # --- initialization
+    # --- initialization: slacks at least the distance to the bound at z=0
+    # (wide but finite bounds then start near-inactive instead of blowing up
+    # the complementarity residual), duals mu0/s
     z0 = jnp.zeros((Nn, nz), dt)
     lam0 = jnp.zeros((Nn, nxm), dt)
     s_init = jnp.sqrt(opts.mu0)
-    s_lo0 = jnp.where(m_lo > 0, s_init, 1.0)
-    s_hi0 = jnp.where(m_hi > 0, s_init, 1.0)
-    l_lo0 = jnp.where(m_lo > 0, s_init, 0.0)
-    l_hi0 = jnp.where(m_hi > 0, s_init, 0.0)
+    s_lo0 = jnp.where(m_lo > 0, jnp.maximum(s_init, -lo), 1.0)
+    s_hi0 = jnp.where(m_hi > 0, jnp.maximum(s_init, hi), 1.0)
+    l_lo0 = jnp.where(m_lo > 0, opts.mu0 / s_lo0, 0.0)
+    l_hi0 = jnp.where(m_hi > 0, opts.mu0 / s_hi0, 0.0)
 
     def iteration(carry):
         z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4 = carry
