@@ -258,9 +258,17 @@ class TreeStructure:
         """Build from children counts, mirroring ``tree_create`` (tree.c:171-243).
 
         Children of node i are the next unassigned nodes, giving the same
-        BFS / stage-contiguous numbering as the reference.
+        BFS / stage-contiguous numbering as the reference. Uses the native
+        graph-builder (libtreeqp_host) when available.
         """
         Nn = len(nk)
+        from treeqp_tpu.utils import native
+
+        nat = native.build_topology(nk) if Nn > 1 else None
+        if nat is not None:
+            parent = nat[0].tolist()
+            parent[0] = -1
+            return cls.from_parent(parent, nx, nu, nc)
         parent = [-1] * Nn
         next_free = 1
         for i in range(Nn):
