@@ -65,7 +65,9 @@ class TdunesOpts:
     reg_type: str = "on_the_fly"  # none | always | on_the_fly
     reg_tol: float = 1e-6
     reg_value: float = 1e-6
-    stage_solver: str = "clipping"  # clipping | dense
+    stage_solver: str = "clipping"  # clipping | dense | boxqp
+    # inner projected-Newton iterations for the boxqp stage solver
+    boxqp_iters: int = 8
     # Mixed-precision path for TPU: gradients / residuals / line search stay
     # in the data dtype (f64 for 1e-8+ KKT targets), while the dual-Hessian
     # factorization + triangular solves run in this dtype. "same" disables.
@@ -165,6 +167,20 @@ def _stage_data(qp: TreeQPIn, opts: TdunesOpts):
         Rd = jnp.diagonal(qp.R, axis1=1, axis2=2) * um + (1.0 - um)
         data["Qd"], data["Rd"] = Qd, Rd
         data["Qinv"], data["Rinv"] = 1.0 / Qd, 1.0 / Rd
+    elif opts.stage_solver == "boxqp":
+        nxm, num = qp.topo.nxm, qp.topo.num
+        H = jnp.zeros((qp.topo.Nn, nxm + num, nxm + num), qp.dtype)
+        H = H.at[:, :nxm, :nxm].set(qp.Q * xm[:, :, None] * xm[:, None, :])
+        H = H.at[:, nxm:, nxm:].set(qp.R * um[:, :, None] * um[:, None, :])
+        Sm = qp.S * um[:, :, None] * xm[:, None, :]
+        H = H.at[:, nxm:, :nxm].set(Sm)
+        H = H.at[:, :nxm, nxm:].set(Sm.swapaxes(1, 2))
+        zmask = jnp.concatenate([xm, um], axis=1)
+        H = H + jnp.eye(nxm + num, dtype=qp.dtype)[None] * (1.0 - zmask)[:, :, None]
+        data["H"] = H
+        data["Hd"] = jnp.diagonal(H, axis1=1, axis2=2)
+        data["lo"] = jnp.concatenate([qp.xmin, qp.umin], axis=1)
+        data["hi"] = jnp.concatenate([qp.xmax, qp.umax], axis=1)
     else:
         nxm, num = qp.topo.nxm, qp.topo.num
         H = jnp.zeros((qp.topo.Nn, nxm + num, nxm + num), qp.dtype)
@@ -228,6 +244,51 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
             qtilde=jnp.where(x_active, 0.0, data["Qinv"]),
             rtilde=jnp.where(u_active, 0.0, data["Rinv"]),
         )
+    elif opts.stage_solver == "boxqp":
+        # general dense stage QPs with bounds (the qpOASES capability class,
+        # dual_Newton_tree_qpoases.c) as batched projected Newton: iterate
+        # free-set Newton solves with clipping; finitely convergent for
+        # strictly convex box QPs. Returns the null-space elimination matrix
+        # P = Z (Z'HZ)^-1 Z' (zero rows/cols on the active set), matching
+        # QProblem_build_elimination_matrix (:153-214) semantics.
+        nxm = prep.nxm
+        H, lo, hi = data["H"], data["lo"], data["hi"]
+        hmod = jnp.concatenate([qmod, rmod], axis=1)  # minus sign built in
+        nz = hmod.shape[1]
+        eyez = jnp.eye(nz, dtype=hmod.dtype)
+        z = jnp.clip(hmod / data["Hd"], lo, hi)
+
+        def pn_step(_, z):
+            g = jnp.einsum("nij,nj->ni", H, z) - hmod
+            at_lo = (z <= lo + 1e-12) & (g > 0)
+            at_hi = (z >= hi - 1e-12) & (g < 0)
+            free = ~(at_lo | at_hi)
+            fm = free.astype(hmod.dtype)
+            M = H * fm[:, :, None] * fm[:, None, :] + \
+                eyez[None] * (1.0 - fm)[:, :, None]
+            L = jnp.linalg.cholesky(M)
+            d = jax.lax.linalg.triangular_solve(
+                L, (-g * fm)[..., None], left_side=True, lower=True)
+            d = jax.lax.linalg.triangular_solve(
+                L, d, left_side=True, lower=True, transpose_a=True)[..., 0]
+            return jnp.clip(z + d, lo, hi)
+
+        z = jax.lax.fori_loop(0, opts.boxqp_iters, pn_step, z)
+        # final active set, multipliers, elimination matrix
+        g = jnp.einsum("nij,nj->ni", H, z) - hmod
+        at_lo = (z <= lo + 1e-12) & (g > 0)
+        at_hi = (z >= hi - 1e-12) & (g < 0)
+        free = ~(at_lo | at_hi)
+        fm = free.astype(hmod.dtype)
+        mu = -g * (1.0 - fm)  # hmod - Hz on the active set, signed
+        M = H * fm[:, :, None] * fm[:, None, :] + \
+            eyez[None] * (1.0 - fm)[:, :, None]
+        L = jnp.linalg.cholesky(M)
+        eyeb = jnp.broadcast_to(eyez, M.shape)
+        Linv = jax.lax.linalg.triangular_solve(L, eyeb, left_side=True, lower=True)
+        P = (Linv.swapaxes(1, 2) @ Linv) * fm[:, :, None] * fm[:, None, :]
+        sol.update(x=z[:, :nxm] * xm, u=z[:, nxm:] * um, P=P,
+                   mu=mu, free=fm)
     else:
         nxm = prep.nxm
         hmod = jnp.concatenate([qmod, rmod], axis=1)
@@ -297,10 +358,11 @@ def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep):
         Ut = -(qtp[:, :, None]) * Ak.transpose(0, 3, 1, 2).reshape(NpG, nxm, G)
     else:
         nzm = nxm + prep.num
-        Pp = data["P"][prep.gnodes]  # [NpG, nzm, nzm]
+        Pmat = sol["P"] if "P" in sol else data["P"]
+        Pp = Pmat[prep.gnodes]  # [NpG, nzm, nzm]
         Cf = jnp.concatenate([Ak, Bk], axis=-1).reshape(NpG, G, nzm)
         W = Cf @ Pp @ Cf.swapaxes(1, 2)
-        Px = data["P"][:, :nxm, :nxm]  # E P E' per node
+        Px = Pmat[:, :nxm, :nxm]  # E P E' per node
         eye = jnp.eye(nxm, dtype=dt)
         for k in range(K):
             blk = jnp.where(kv[:, k, None, None] > 0, Px[kidsP[:, k]], eye[None])
@@ -576,6 +638,9 @@ def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> Tr
         # mu = Q .* (xUnc - x) (stage_qp_clipping_export_mu)
         mu_x = data["Qd"] * (sol["xUnc"] - sol["x"]) * xm
         mu_u = data["Rd"] * (sol["uUnc"] - sol["u"]) * um
+    elif opts.stage_solver == "boxqp":
+        mu_x = sol["mu"][:, : topo.nxm] * xm
+        mu_u = sol["mu"][:, topo.nxm:] * um
     else:
         mu_x = jnp.zeros_like(sol["x"])
         mu_u = jnp.zeros_like(sol["u"])
