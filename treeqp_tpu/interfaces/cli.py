@@ -58,7 +58,13 @@ def run(argv=None):
     ap.add_argument("init", nargs="?", default=None)
     ap.add_argument("-o", "--output", default="qp_out.json")
     ap.add_argument("--nrep", type=int, default=None)
+    ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
+                    help="cpu (default: predictable for batch solves) or the "
+                         "environment's default accelerator")
     args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     qp, extras = load_tree_qp_file(args.qp_in)
     topo = qp.topo

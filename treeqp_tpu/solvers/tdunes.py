@@ -572,7 +572,19 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
     return lam_new, ls_iter, descent_ok, restart
 
 
-@partial(jax.jit, static_argnames=("opts",))
+def clipping_applicable(qp: TreeQPIn, atol: float = 0.0) -> bool:
+    """Clipping requires diagonal Q/R, zero S, no general constraints
+    (stage_qp_clipping_is_applicable, dual_Newton_tree_clipping.c:45-77).
+    Host-side check on concrete data."""
+    Q = np.asarray(qp.Q)
+    R = np.asarray(qp.R)
+    S = np.asarray(qp.S)
+    offq = Q - np.einsum("nii->ni", Q)[:, :, None] * np.eye(Q.shape[-1])
+    offr = R - np.einsum("nii->ni", R)[:, :, None] * np.eye(R.shape[-1])
+    return (np.max(np.abs(offq)) <= atol and np.max(np.abs(offr)) <= atol
+            and np.max(np.abs(S)) <= atol and max(qp.topo.nc) == 0)
+
+
 def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
     """Solve a tree QP with dual Newton on the tree formulation.
 
@@ -580,6 +592,18 @@ def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> Tr
     ``lam0`` is the dual warm start [Nn, nxm] per non-root node (the
     checkpoint/resume analog, cf. treeqp_tdunes_set_dual_initialization).
     """
+    if (opts.stage_solver == "clipping"
+            and not isinstance(qp.Q, jax.core.Tracer)
+            and not clipping_applicable(qp)):
+        raise ValueError(
+            "clipping stage solver not applicable (needs diagonal Q/R, zero "
+            "S, nc=0) — use stage_solver='boxqp' or the IPM "
+            "(cf. stage_qp_clipping_is_applicable)")
+    return _tdunes_solve_jit(qp, lam0, opts)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
     topo = qp.topo
     prep = _get_prep(topo)
     dt = qp.dtype

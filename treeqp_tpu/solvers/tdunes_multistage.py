@@ -87,6 +87,9 @@ class _MsMeta:
 def split_multistage(qp: TreeQPIn) -> MultistageQP:
     """Split a multistage TreeQPIn into crown + stacked chains."""
     topo = qp.topo
+    if not isinstance(qp.Q, jax.core.Tracer) and not td.clipping_applicable(qp):
+        raise ValueError("multistage solver requires clipping-applicable data "
+                         "(diagonal Q/R, zero S, nc=0)")
     params = topo.multistage_params
     assert params is not None, "not a multistage scenario tree"
     md, Nr, Nh = params
