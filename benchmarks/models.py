@@ -154,26 +154,30 @@ def spring_mass_chain(nm: int = 2, md: int = 3, Nr: int = 2, Nh: int = 10,
 
 def linearize(rhs, xlin, ulin):
     """Jacobians of a continuous-time rhs at a point
-    (common/linearize_model.m, with jax.jacobian instead of CasADi)."""
+    (common/linearize_model.m, with jax.jacobian instead of CasADi).
+    Runs on CPU: model construction is host-side work."""
     import jax
 
-    xlin = jnp_arr(xlin)
-    ulin = jnp_arr(ulin)
-    A = jax.jacobian(lambda x: rhs(x, ulin))(xlin)
-    B = jax.jacobian(lambda u: rhs(xlin, u))(ulin)
-    return np.asarray(A), np.asarray(B)
+    with jax.default_device(jax.devices("cpu")[0]):
+        xlin = jnp_arr(xlin)
+        ulin = jnp_arr(ulin)
+        A = jax.jacobian(lambda x: rhs(x, ulin))(xlin)
+        B = jax.jacobian(lambda u: rhs(xlin, u))(ulin)
+        return np.asarray(A), np.asarray(B)
 
 
 def discretize(A, B, Ts):
     """Exact ZOH discretization via the augmented matrix exponential
     (common/discretize_model.m)."""
+    import jax
     import jax.scipy.linalg as jsl
 
     nx, nu = B.shape
     M = np.zeros((nx + nu, nx + nu))
     M[:nx, :nx] = Ts * A
     M[:nx, nx:] = Ts * B
-    E = np.asarray(jsl.expm(jnp_arr(M)))
+    with jax.default_device(jax.devices("cpu")[0]):  # f64 LU: CPU only
+        E = np.asarray(jsl.expm(jnp_arr(M)))
     return E[:nx, :nx], E[:nx, nx:]
 
 

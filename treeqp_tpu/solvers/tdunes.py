@@ -83,6 +83,10 @@ class TdunesOpts:
     # each whole sweep into one lane-batched TPU kernel (requires
     # factor_dtype=float32); "xla" is the portable scan path.
     chain_backend: str = "xla"  # xla | pallas
+    # PROFILE>=2 analog (reference profiling.h:38-68): record per-iteration
+    # residual error and line-search iteration counts into
+    # info["err_hist"] / info["ls_hist"] (length max_iter, NaN/-1 padded).
+    record_history: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -630,26 +634,31 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         return lam_new, it + 1, err, status, restart, ls_it
 
     def cond(carry):
-        lam, it, err, status, restart, ls_it = carry
+        lam, it, err, status, restart, ls_it, hist = carry
         return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
 
     def body(carry):
-        lam, it, err, status, restart, ls_it = carry
+        lam, it, err, status, restart, ls_it, hist = carry
         # residual/termination first (build_dual_problem:519-546), then Newton
         sol = _stage_solve(qp, lam, data, opts, prep)
         res = _dual_residual(qp, sol, prep)
         err = _residual_error(res, opts)
         converged = err < opts.tol
-        return jax.lax.cond(
+        lam, it2, err, status, restart, ls_it = jax.lax.cond(
             converged,
             lambda c: (c[0], c[1], err, c[3], c[4], c[5]),
             lambda c: newton_step((c[0], c[1], err, c[3], c[4], c[5])),
-            carry)
+            (lam, it, err, status, restart, ls_it))
+        if opts.record_history:
+            hist = (hist[0].at[it].set(err), hist[1].at[it].set(ls_it))
+        return lam, it2, err, status, restart, ls_it, hist
 
+    hist0 = (jnp.full((opts.max_iter,), jnp.nan, dt),
+             jnp.full((opts.max_iter,), -1, jnp.int32))
     init = (lam0, jnp.zeros((), jnp.int32), jnp.full((), jnp.inf, dt),
             jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int32))
-    lam, it, err, status, _, ls_it = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((), jnp.int32), hist0)
+    lam, it, err, status, _, ls_it, hist = jax.lax.while_loop(cond, body, init)
 
     # final stage solve + multiplier recovery (export, dual_Newton_tree.c:1235-1247)
     sol = _stage_solve(qp, lam, data, opts, prep)
@@ -669,9 +678,12 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         mu_x = jnp.zeros_like(sol["x"])
         mu_u = jnp.zeros_like(sol["u"])
 
+    info = dict(iter=it, status=status, error=err, ls_iter=ls_it)
+    if opts.record_history:
+        info["err_hist"], info["ls_hist"] = hist
     return TreeQPOut(
         x=sol["x"], u=sol["u"], lam=lam * nrxm,
         mu_x=mu_x, mu_u=mu_u,
         mu_d=jnp.zeros((topo.Nn, topo.ncm), dt),
-        info=dict(iter=it, status=status, error=err, ls_iter=ls_it),
+        info=info,
     )
