@@ -22,6 +22,8 @@ from treeqp_tpu.utils.tree import TreeStructure, number_of_nodes_multistage  # n
 from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut, TREEQP_INF  # noqa: E402
 from treeqp_tpu.core.kkt import kkt_residuals, max_kkt_residual  # noqa: E402
 from treeqp_tpu.core.json_io import load_tree_qp_file, load_tree_qp_json  # noqa: E402
+from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve  # noqa: E402
+from treeqp_tpu.solvers.ipm import IpmOpts, ipm_solve  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -35,4 +37,8 @@ __all__ = [
     "max_kkt_residual",
     "load_tree_qp_file",
     "load_tree_qp_json",
+    "TdunesOpts",
+    "tdunes_solve",
+    "IpmOpts",
+    "ipm_solve",
 ]

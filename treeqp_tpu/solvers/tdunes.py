@@ -79,6 +79,11 @@ class TdunesOpts:
     # J P J' structure) this many extra times. 1-2 restores f64-quality
     # directions at f32 factorization cost.
     refine_steps: int = 0
+    # Safeguarded refinement compares Newton-system residual norms and keeps
+    # the better direction (2 extra Hessian applies); unsafeguarded applies
+    # the correction unconditionally (1 apply) — fine for well-equilibrated
+    # problems, the safeguard matters near-degenerate active sets.
+    refine_safeguard: bool = True
     # Banded-chain sweep backend for the multistage solver: "pallas" fuses
     # each whole sweep into one lane-batched TPU kernel (requires
     # factor_dtype=float32); "xla" is the portable scan path.

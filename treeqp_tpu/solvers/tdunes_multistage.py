@@ -444,7 +444,13 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
                     mcr, mch)
 
         dlam_cr, dlam_ch = solve(res_cr, res_ch)
-        if opts.refine_steps > 0:
+        if opts.refine_steps > 0 and not opts.refine_safeguard:
+            for _ in range(opts.refine_steps):
+                mcr, mch = _ms_apply_M(ms, cr, ch, dlam_cr, dlam_ch, prep_cr)
+                ccr, cch = solve(res_cr - mcr, res_ch - mch)
+                dlam_cr = dlam_cr + ccr
+                dlam_ch = dlam_ch + cch
+        elif opts.refine_steps > 0:
             # safeguarded iterative refinement: keep the direction with the
             # smallest Newton-system residual (f32 solves of ill-conditioned
             # systems can make a refinement step diverge)
