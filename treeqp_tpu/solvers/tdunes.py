@@ -624,10 +624,8 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
 
     data = _stage_data(qp, opts)
 
-    def newton_step(carry):
+    def newton_step(carry, sol, res):
         lam, it, err, status, restart, ls_it = carry
-        sol = _stage_solve(qp, lam, data, opts, prep)
-        res = _dual_residual(qp, sol, prep)
         W, Ut = _build_dual_hessian(qp, sol, data, opts, prep)
         rg = _nodes_to_group(res, prep)
         dlam_g = _newton_direction(W, Ut, rg, opts, prep)
@@ -644,7 +642,8 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
 
     def body(carry):
         lam, it, err, status, restart, ls_it, hist = carry
-        # residual/termination first (build_dual_problem:519-546), then Newton
+        # residual/termination first (build_dual_problem:519-546), then
+        # Newton — one stage solve per iteration, shared via closure
         sol = _stage_solve(qp, lam, data, opts, prep)
         res = _dual_residual(qp, sol, prep)
         err = _residual_error(res, opts)
@@ -652,7 +651,7 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         lam, it2, err, status, restart, ls_it = jax.lax.cond(
             converged,
             lambda c: (c[0], c[1], err, c[3], c[4], c[5]),
-            lambda c: newton_step((c[0], c[1], err, c[3], c[4], c[5])),
+            lambda c: newton_step((c[0], c[1], err, c[3], c[4], c[5]), sol, res),
             (lam, it, err, status, restart, ls_it))
         if opts.record_history:
             hist = (hist[0].at[it].set(err), hist[1].at[it].set(ls_it))

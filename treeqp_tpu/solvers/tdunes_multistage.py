@@ -393,9 +393,8 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         sq = jnp.sum(res_cr**2) + jnp.sum(res_ch**2)
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
-    def newton_step(carry):
+    def newton_step(carry, cr, ch, res_cr, res_ch):
         lam_cr, lam_ch, it, err, status, restart, ls_it = carry
-        cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
 
         # --- dual Hessian (chain blocks straight in f32 on the mixed path)
         fdt = jnp.float32 if opts.factor_dtype == "float32" else None
@@ -510,12 +509,15 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
 
     def body(carry):
         lam_cr, lam_ch, it, err, status, restart, ls_it = carry
-        _, _, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
+        # one stage solve per iteration, shared between the termination
+        # check and the Newton step (the branches capture it via closure)
+        cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
         err = error_of(res_cr, res_ch)
         return jax.lax.cond(
             err < opts.tol,
             lambda c: (c[0], c[1], c[2], err, c[4], c[5], c[6]),
-            lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5], c[6])),
+            lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5], c[6]),
+                                  cr, ch, res_cr, res_ch),
             carry)
 
     init = (lam0_crown, lam0_chain, jnp.zeros((), jnp.int32),
