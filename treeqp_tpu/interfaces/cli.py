@@ -61,6 +61,10 @@ def run(argv=None):
     ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
                     help="cpu (default: predictable for batch solves) or the "
                          "environment's default accelerator")
+    ap.add_argument("--eliminate-x0", action="store_true",
+                    help="fold a pinned root state into the data before "
+                         "solving (the reference front-end always does this, "
+                         "solve_qp_json.cpp:350-353)")
     args = ap.parse_args(argv)
 
     if args.device == "cpu":
@@ -78,6 +82,13 @@ def run(argv=None):
             init = json.load(f)
         if "x0" in init and topo.nx[0] > 0:
             qp = qp.set_x0(np.asarray(init["x0"], dtype=np.float64).reshape(-1))
+
+    if args.eliminate_x0:
+        xmin0 = np.asarray(qp.xmin[0])[: topo.nx[0]]
+        xmax0 = np.asarray(qp.xmax[0])[: topo.nx[0]]
+        assert np.allclose(xmin0, xmax0), "--eliminate-x0 needs a pinned root state"
+        qp = qp.eliminate_x0()
+        topo = qp.topo
 
     j_out = {"init": {}}
 
