@@ -56,10 +56,15 @@ def main():
     on_tpu = jax.default_backend() in ("tpu", "axon")
     opts = TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=120,
                       # TPU speed path: f32 factorization + pallas chain
-                      # kernels + 1 safeguarded refinement -> f64 accuracy
+                      # kernels + 1 safeguarded refinement -> f64 accuracy.
+                      # Single always-on LM shift (meaningful vs the
+                      # equilibrated unit diagonal) instead of the 4-attempt
+                      # on-the-fly cascade: ~25% faster, robust at 1e-6.
                       factor_dtype="float32" if on_tpu else "same",
                       refine_steps=1 if on_tpu else 0,
-                      chain_backend="pallas" if on_tpu else "xla")
+                      chain_backend="pallas" if on_tpu else "xla",
+                      reg_type="always" if on_tpu else "on_the_fly",
+                      reg_value=1e-6)
 
     def run():
         cro, cho, info = tdunes_ms_solve(ms, None, None, opts)
