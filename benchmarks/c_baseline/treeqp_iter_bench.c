@@ -1,0 +1,582 @@
+/* Single-core C micro-benchmark of the reference treeQP dual-Newton
+ * per-iteration kernel sequence (dkouzoup/treeQP), used to MEASURE the
+ * BASELINE_ITERS_PER_SEC denominator in ../../bench.py instead of the
+ * round-1 flop-count estimate (the reference's BLASFEO/HPMPC submodules
+ * are not vendored in this snapshot, so the real treeQP cannot be built).
+ *
+ * It reproduces, op for op, one dual-Newton iteration of
+ * treeqp_tdunes_solve with clipping stage QPs on the 256-scenario
+ * quadcopter-class tree (md=4, Nr=4, Nh=20, nx=8, nu=1 -> 4437 nodes):
+ *
+ *   1. solve_stage_problems        (dual_Newton_tree.c:218-330)
+ *      qmod = -q + lam - A' lam_kid ; x = clip(Qinv qmod) ; QinvCal masks
+ *      (clipping kernels: dual_Newton_tree_clipping.c:188-227)
+ *   2. build_dual_problem          (dual_Newton_tree.c:446-637)
+ *      residual per edge (daxpy + 2 gemv), W diag blocks
+ *      (set_CmPnCmT/add_EPmE, dual_Newton_tree_clipping.c:264-314),
+ *      Ut parent blocks, sibling cross blocks (add_CmPnCkT, :318-355)
+ *   3. calculate_delta_lambda      (dual_Newton_tree.c:641-775)
+ *      level-synchronous backward: potrf_l + trsm_rltn + syrk_ln + gemv_n
+ *      per parent block; root factor; forward substitution (gemv_t+trsv)
+ *   4. line_search                 (dual_Newton_tree.c:922-1019)
+ *      LS_EVALS dual-function evaluations, each re-solving all stage QPs
+ *      (evaluate_dual_function, :823-918) + lambda updates
+ *
+ * Kernels are plain C with compile-time-fixed small dims (NX=8, NU=1),
+ * compiled -O3 -march=native: for 8x8 doubles this is within ~2x of
+ * panel-major BLASFEO (the regime is overhead/bandwidth dominated, not
+ * FLOP dominated).  bench.py applies a documented BLASFEO-headroom
+ * factor on top of the number printed here; see BENCH_NOTES.md.
+ *
+ * Output: one JSON line {"iters_per_sec": ..., "ms_per_iter": ...}.
+ */
+
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+#include <time.h>
+
+#define MD 4
+#define NR 4
+#define NH 20
+#define NX 8
+#define NU 1
+#define NEWTON_ITERS 10
+#define LS_EVALS 2   /* avg Armijo evals per Newton iter (VERDICT/BENCH_NOTES) */
+#define NREP 5
+#define WMAX (MD * NX)  /* largest W block: crown parent with MD kids */
+
+/* ---------------- tree topology (setup_multistage_tree semantics) ------ */
+
+static int Nn, Np;                 /* total nodes, parent nodes            */
+static int *dad, *stage, *nkids, *kid0;   /* kid0 = index of first kid     */
+static int *idxpos;                /* offset of node's lambda inside dad's W */
+static int *wdim;                  /* W block dim per parent = sum kid nx  */
+static int *npar;                  /* parents per stage                    */
+
+static void build_tree(void)
+{
+    /* stage widths: md^k for k<=Nr, md^Nr after */
+    int widths[NH + 1];
+    Nn = 0;
+    for (int k = 0; k <= NH; k++) {
+        int w = 1;
+        for (int j = 0; j < (k < NR ? k : NR); j++) w *= MD;
+        widths[k] = w;
+        Nn += w;
+    }
+    dad = malloc(Nn * sizeof(int));
+    stage = malloc(Nn * sizeof(int));
+    nkids = malloc(Nn * sizeof(int));
+    kid0 = malloc(Nn * sizeof(int));
+    idxpos = malloc(Nn * sizeof(int));
+
+    int start[NH + 2];
+    start[0] = 0;
+    for (int k = 0; k <= NH; k++) start[k + 1] = start[k] + widths[k];
+
+    for (int k = 0; k <= NH; k++) {
+        for (int i = 0; i < widths[k]; i++) {
+            int n = start[k] + i;
+            stage[n] = k;
+            if (k == NH) { nkids[n] = 0; kid0[n] = -1; }
+            else if (k < NR) { nkids[n] = MD; kid0[n] = start[k + 1] + i * MD; }
+            else { nkids[n] = 1; kid0[n] = start[k + 1] + i; }
+            if (k == 0) dad[n] = -1;
+            else if (k <= NR) dad[n] = start[k - 1] + i / MD;
+            else dad[n] = start[k - 1] + i;
+        }
+    }
+    Np = 0;
+    for (int n = 0; n < Nn; n++) if (nkids[n] > 0) Np++;
+    wdim = malloc(Np * sizeof(int));
+    npar = calloc(NH + 1, sizeof(int));
+    for (int n = 0; n < Np; n++) {           /* parents are nodes 0..Np-1 */
+        wdim[n] = nkids[n] * NX;
+        npar[stage[n]]++;
+    }
+    for (int n = 0; n < Nn; n++) {
+        if (n == 0) { idxpos[n] = 0; continue; }
+        int d = dad[n];
+        idxpos[n] = (n - kid0[d]) * NX;
+    }
+}
+
+/* ---------------- data ------------------------------------------------- */
+
+/* per edge (into node n>0): A[nx][nx] col-major, B[nx][nu], b[nx] */
+static double *A, *B, *b;
+/* per node: Qinv, Rinv (diag), q, r, bounds */
+static double *Qinv, *Rinv, *q, *r, *xmin, *xmax, *umin, *umax;
+/* workspace */
+static double *x, *u, *xas, *uas, *QinvCal, *RinvCal, *qmod, *rmod;
+static double *lambda, *dlambda, *res, *resmod;   /* per parent block, wdim */
+static double *W, *CholW;      /* per parent, wdim x wdim */
+static double *Dinv;           /* per parent, 1/diag of CholW (len wdim) */
+static double *Ut, *CholUt;    /* per parent (except root), nxdad x wdim */
+static double *M;              /* scratch per node */
+static int *woff, *uoff, *voff;  /* offsets into W / Ut / vector arrays */
+
+static double frand(unsigned *s)
+{
+    *s = *s * 1664525u + 1013904223u;
+    return ((double)(*s >> 8) / (double)(1 << 24)) - 0.5;
+}
+
+static void alloc_data(void)
+{
+    unsigned seed = 42;
+    A = malloc((size_t)Nn * NX * NX * sizeof(double));
+    B = malloc((size_t)Nn * NX * NU * sizeof(double));
+    b = malloc((size_t)Nn * NX * sizeof(double));
+    Qinv = malloc((size_t)Nn * NX * sizeof(double));
+    Rinv = malloc((size_t)Nn * NU * sizeof(double));
+    q = malloc((size_t)Nn * NX * sizeof(double));
+    r = malloc((size_t)Nn * NU * sizeof(double));
+    xmin = malloc((size_t)Nn * NX * sizeof(double));
+    xmax = malloc((size_t)Nn * NX * sizeof(double));
+    umin = malloc((size_t)Nn * NU * sizeof(double));
+    umax = malloc((size_t)Nn * NU * sizeof(double));
+    x = malloc((size_t)Nn * NX * sizeof(double));
+    u = malloc((size_t)Nn * NU * sizeof(double));
+    xas = malloc((size_t)Nn * NX * sizeof(double));
+    uas = malloc((size_t)Nn * NU * sizeof(double));
+    QinvCal = malloc((size_t)Nn * NX * sizeof(double));
+    RinvCal = malloc((size_t)Nn * NU * sizeof(double));
+    qmod = malloc((size_t)Nn * NX * sizeof(double));
+    rmod = malloc((size_t)Nn * NU * sizeof(double));
+    M = malloc((size_t)Nn * NX * (NX + NU) * sizeof(double));
+
+    woff = malloc((Np + 1) * sizeof(int));
+    uoff = malloc((Np + 1) * sizeof(int));
+    voff = malloc((Np + 1) * sizeof(int));
+    woff[0] = uoff[0] = voff[0] = 0;
+    for (int n = 0; n < Np; n++) {
+        woff[n + 1] = woff[n] + wdim[n] * wdim[n];
+        uoff[n + 1] = uoff[n] + (n == 0 ? 0 : NX * wdim[n]);
+        voff[n + 1] = voff[n] + wdim[n];
+    }
+    W = malloc((size_t)woff[Np] * sizeof(double));
+    CholW = malloc((size_t)woff[Np] * sizeof(double));
+    Ut = malloc((size_t)uoff[Np] * sizeof(double));
+    CholUt = malloc((size_t)uoff[Np] * sizeof(double));
+    lambda = malloc((size_t)voff[Np] * sizeof(double));
+    dlambda = malloc((size_t)voff[Np] * sizeof(double));
+    res = malloc((size_t)voff[Np] * sizeof(double));
+    resmod = malloc((size_t)voff[Np] * sizeof(double));
+    Dinv = malloc((size_t)voff[Np] * sizeof(double));
+
+    for (size_t i = 0; i < (size_t)Nn * NX * NX; i++) A[i] = 0.3 * frand(&seed);
+    for (int n = 0; n < Nn; n++)        /* near-identity dynamics */
+        for (int i = 0; i < NX; i++) A[(size_t)n * NX * NX + i * NX + i] += 1.0;
+    for (size_t i = 0; i < (size_t)Nn * NX * NU; i++) B[i] = 0.5 * frand(&seed);
+    for (size_t i = 0; i < (size_t)Nn * NX; i++) b[i] = 0.1 * frand(&seed);
+    for (size_t i = 0; i < (size_t)Nn * NX; i++) Qinv[i] = 1.0 / (0.6 + frand(&seed));
+    for (size_t i = 0; i < (size_t)Nn * NU; i++) Rinv[i] = 1.0 / (0.6 + frand(&seed));
+    for (size_t i = 0; i < (size_t)Nn * NX; i++) q[i] = frand(&seed);
+    for (size_t i = 0; i < (size_t)Nn * NU; i++) r[i] = frand(&seed);
+    for (size_t i = 0; i < (size_t)Nn * NX; i++) { xmin[i] = -2.0; xmax[i] = 2.0; }
+    for (size_t i = 0; i < (size_t)Nn * NU; i++) { umin[i] = -1.0; umax[i] = 1.0; }
+    for (int i = 0; i < voff[Np]; i++) lambda[i] = 0.01 * frand(&seed);
+}
+
+/* ---------------- small kernels (BLASFEO call equivalents) ------------- */
+
+/* y += alpha * Aop(m,n) * x ; A col-major lda=m */
+static inline void gemv_n(int m, int n, double alpha, const double *Am,
+                          const double *xv, double *y)
+{
+    for (int j = 0; j < n; j++) {
+        double xj = alpha * xv[j];
+        const double *col = Am + (size_t)j * m;
+        for (int i = 0; i < m; i++) y[i] += col[i] * xj;
+    }
+}
+
+/* y += alpha * A' * x  (A is m x n, result length n) */
+static inline void gemv_t(int m, int n, double alpha, const double *Am,
+                          const double *xv, double *y)
+{
+    for (int j = 0; j < n; j++) {
+        const double *col = Am + (size_t)j * m;
+        double acc = 0.0;
+        for (int i = 0; i < m; i++) acc += col[i] * xv[i];
+        y[j] += alpha * acc;
+    }
+}
+
+/* M(m,n) = Amat(m,n) * diag(d)   (blasfeo_dgemm_nd) */
+static inline void gemm_nd(int m, int n, const double *Amat, const double *d,
+                           double *Mout)
+{
+    for (int j = 0; j < n; j++) {
+        const double dj = d[j];
+        const double *col = Amat + (size_t)j * m;
+        double *mc = Mout + (size_t)j * m;
+        for (int i = 0; i < m; i++) mc[i] = col[i] * dj;
+    }
+}
+
+/* C(ld=ldc) block += alpha * A(m,k) * Bm(n,k)' ; full block (dsyrk/dgemm_nt) */
+static inline void gemm_nt(int m, int n, int k, double alpha, const double *Am,
+                           const double *Bm, double beta, double *C, int ldc)
+{
+    for (int j = 0; j < n; j++) {
+        for (int i = 0; i < m; i++) {
+            double acc = 0.0;
+            for (int p = 0; p < k; p++)
+                acc += Am[(size_t)p * m + i] * Bm[(size_t)p * n + j];
+            double *c = &C[(size_t)j * ldc + i];
+            *c = beta * (*c) + alpha * acc;
+        }
+    }
+}
+
+/* lower Cholesky in place, n<=WMAX (blasfeo_dpotrf_l); dinv[] gets 1/diag
+ * (BLASFEO also caches inverse diagonals in its panel format) */
+static inline int potrf_l(int n, double *Lm, int ld, double *dinvs)
+{
+    for (int j = 0; j < n; j++) {
+        double d = Lm[(size_t)j * ld + j];
+        for (int p = 0; p < j; p++) {
+            double v = Lm[(size_t)p * ld + j];
+            d -= v * v;
+        }
+        if (d <= 0.0) d = 1e-8;
+        d = sqrt(d);
+        Lm[(size_t)j * ld + j] = d;
+        double dinv = 1.0 / d;
+        dinvs[j] = dinv;
+        for (int i = j + 1; i < n; i++) {
+            double acc = Lm[(size_t)j * ld + i];
+            for (int p = 0; p < j; p++)
+                acc -= Lm[(size_t)p * ld + i] * Lm[(size_t)p * ld + j];
+            Lm[(size_t)j * ld + i] = acc * dinv;
+        }
+    }
+    return 0;
+}
+
+/* X(m,n) = Bmat(m,n) * L^-T, L lower n x n (blasfeo_dtrsm_rltn) */
+static inline void trsm_rltn(int m, int n, const double *Bmat, const double *L,
+                             int ldl, const double *dinvs, double *X)
+{
+    for (int j = 0; j < n; j++) {
+        double djinv = dinvs[j];
+        for (int i = 0; i < m; i++) {
+            double acc = Bmat[(size_t)j * m + i];
+            for (int p = 0; p < j; p++)
+                acc -= X[(size_t)p * m + i] * L[(size_t)p * ldl + j];
+            X[(size_t)j * m + i] = acc * djinv;
+        }
+    }
+}
+
+/* x := L^-1 x (dtrsv_lnn) */
+static inline void trsv_lnn(int n, const double *L, int ld, const double *dinvs,
+                            double *xv)
+{
+    for (int i = 0; i < n; i++) {
+        double acc = xv[i];
+        for (int p = 0; p < i; p++) acc -= L[(size_t)p * ld + i] * xv[p];
+        xv[i] = acc * dinvs[i];
+    }
+}
+
+/* x := L^-T x (dtrsv_ltn); note L^T row access */
+static inline void trsv_ltn(int n, const double *L, int ld, const double *dinvs,
+                            double *xv)
+{
+    for (int i = n - 1; i >= 0; i--) {
+        double acc = xv[i];
+        for (int p = i + 1; p < n; p++) acc -= L[(size_t)i * ld + p] * xv[p];
+        xv[i] = acc * dinvs[i];
+    }
+}
+
+/* ---------------- phase 1: stage QP solves ----------------------------- */
+
+static void solve_stage_problems(int extended)
+{
+    for (int k = 0; k < Nn; k++) {
+        double *qm = qmod + (size_t)k * NX;
+        double *rm = rmod + (size_t)k * NU;
+        /* qmod = -q + lam_into_k */
+        if (k == 0) {
+            for (int i = 0; i < NX; i++) qm[i] = -q[(size_t)k * NX + i];
+        } else {
+            const double *lam = lambda + voff[dad[k]] + idxpos[k];
+            for (int i = 0; i < NX; i++) qm[i] = -q[(size_t)k * NX + i] + lam[i];
+        }
+        for (int i = 0; i < NU; i++) rm[i] = -r[(size_t)k * NU + i];
+        /* minus A',B' times kid lambdas */
+        for (int c = 0; c < nkids[k]; c++) {
+            int kid = kid0[k] + c;
+            const double *lam = lambda + voff[k] + idxpos[kid];
+            gemv_t(NX, NX, -1.0, A + (size_t)kid * NX * NX, lam, qm);
+            gemv_t(NX, NU, -1.0, B + (size_t)kid * NX * NU, lam, rm);
+        }
+        /* clip solve (dvecmuldot + dveccl_mask + dvecze) */
+        for (int i = 0; i < NX; i++) {
+            size_t ix = (size_t)k * NX + i;
+            double xu = Qinv[ix] * qm[i];
+            double lo = xmin[ix], hi = xmax[ix];
+            double as = 0.0, xc = xu;
+            if (xu < lo) { xc = lo; as = -1.0; }
+            else if (xu > hi) { xc = hi; as = 1.0; }
+            x[ix] = xc;
+            if (extended) {
+                xas[ix] = as;
+                QinvCal[ix] = (as == 0.0) ? Qinv[ix] : 0.0;
+            }
+        }
+        for (int i = 0; i < NU; i++) {
+            size_t iu = (size_t)k * NU + i;
+            double uu = Rinv[iu] * rm[i];
+            double lo = umin[iu], hi = umax[iu];
+            double as = 0.0, uc = uu;
+            if (uu < lo) { uc = lo; as = -1.0; }
+            else if (uu > hi) { uc = hi; as = 1.0; }
+            u[iu] = uc;
+            if (extended) {
+                uas[iu] = as;
+                RinvCal[iu] = (as == 0.0) ? Rinv[iu] : 0.0;
+            }
+        }
+    }
+}
+
+/* ---------------- phase 2: dual gradient + Hessian --------------------- */
+
+static double build_dual_problem(void)
+{
+    /* gradient: res per edge */
+    double errmax = 0.0;
+    for (int k = 1; k < Nn; k++) {
+        int d = dad[k];
+        double *rs = res + voff[d] + idxpos[k];
+        const double *bk = b + (size_t)k * NX;
+        const double *xk = x + (size_t)k * NX;
+        for (int i = 0; i < NX; i++) rs[i] = bk[i] - xk[i];
+        gemv_n(NX, NX, 1.0, A + (size_t)k * NX * NX, x + (size_t)d * NX, rs);
+        gemv_n(NX, NU, 1.0, B + (size_t)k * NX * NU, u + (size_t)d * NU, rs);
+        for (int i = 0; i < NX; i++) {
+            resmod[voff[d] + idxpos[k] + i] = rs[i];
+            double a = fabs(rs[i]);
+            if (a > errmax) errmax = a;
+        }
+    }
+    /* Hessian: W blocks, Ut blocks, sibling cross terms */
+    for (int k = 1; k < Nn; k++) {
+        int d = dad[k];
+        int wd = wdim[d];
+        double *Wd = W + woff[d];
+        double *Mk = M + (size_t)k * NX * (NX + NU);
+        const double *Ak = A + (size_t)k * NX * NX;
+        const double *Bk = B + (size_t)k * NX * NU;
+        int off = idxpos[k];
+
+        /* set_CmPnCmT: W[d][off,off] = A Qcal_d A' + B Rcal_d B' */
+        gemm_nd(NX, NX, Ak, QinvCal + (size_t)d * NX, Mk);
+        gemm_nt(NX, NX, NX, 1.0, Ak, Mk, 0.0, Wd + (size_t)off * wd + off, wd);
+        gemm_nd(NX, NU, Bk, RinvCal + (size_t)d * NU, Mk + NX * NX);
+        gemm_nt(NX, NX, NU, 1.0, Bk, Mk + NX * NX, 1.0,
+                Wd + (size_t)off * wd + off, wd);
+        /* add_EPmE: += diag(QinvCal_k) */
+        for (int i = 0; i < NX; i++)
+            Wd[(size_t)(off + i) * wd + off + i] += QinvCal[(size_t)k * NX + i];
+        /* Ut block: -M' into Ut[d] at column offset (dgetr + dgesc) */
+        if (dad[d] >= 0) {
+            double *Utd = Ut + uoff[d];          /* NX x wdim[d] col-major */
+            for (int jj = 0; jj < NX; jj++)      /* rows of M -> cols */
+                for (int ii = 0; ii < NX; ii++)
+                    Utd[(size_t)(off + jj) * NX + ii] =
+                        -Mk[(size_t)ii * NX + jj];
+        }
+        /* sibling cross terms: preceding siblings */
+        for (int c = 0; c < nkids[d]; c++) {
+            int sib = kid0[d] + c;
+            if (sib == k) break;
+            const double *Asib = A + (size_t)sib * NX * NX;
+            const double *Bsib = B + (size_t)sib * NX * NU;
+            gemm_nd(NX, NX, Asib, QinvCal + (size_t)d * NX, Mk);
+            gemm_nt(NX, NX, NX, 1.0, Ak, Mk, 0.0,
+                    Wd + (size_t)idxpos[sib] * wd + off, wd);
+            gemm_nd(NX, NU, Bsib, RinvCal + (size_t)d * NU, Mk + NX * NX);
+            gemm_nt(NX, NX, NU, 1.0, Bk, Mk + NX * NX, 1.0,
+                    Wd + (size_t)idxpos[sib] * wd + off, wd);
+        }
+    }
+    return errmax;
+}
+
+/* ---------------- phase 3: Newton direction ---------------------------- */
+
+static void calculate_delta_lambda(void)
+{
+    /* backward, level-synchronous: stages NH-1 .. 1.
+     * wd==NX path (chain parents, 98% of blocks) is called with
+     * compile-time-constant sizes so the compiler fully specializes. */
+    for (int kk = NH - 1; kk >= 1; kk--) {
+        for (int ii = 0; ii < Np; ii++) {
+            if (stage[ii] != kk) continue;
+            int wd = wdim[ii];
+            double *Wi = W + woff[ii];
+            double *Li = CholW + woff[ii];
+            double *dl = dlambda + voff[ii];
+            int d = dad[ii];
+            double *CU = CholUt + uoff[ii];      /* NX x wd */
+            int off = idxpos[ii];
+            int wdd = wdim[d];
+            if (wd == NX) {
+                memcpy(Li, Wi, (size_t)NX * NX * sizeof(double));
+                for (int j = 0; j < NX; j++) Li[(size_t)j * NX + j] += 1e-8;
+                potrf_l(NX, Li, NX, Dinv + voff[ii]);
+                memcpy(dl, resmod + voff[ii], (size_t)NX * sizeof(double));
+                trsv_lnn(NX, Li, NX, Dinv + voff[ii], dl);
+                trsm_rltn(NX, NX, Ut + uoff[ii], Li, NX, Dinv + voff[ii], CU);
+                gemm_nt(NX, NX, NX, -1.0, CU, CU, 1.0,
+                        W + woff[d] + (size_t)off * wdd + off, wdd);
+                gemv_n(NX, NX, -1.0, CU, dl, resmod + voff[d] + off);
+            } else {
+                memcpy(Li, Wi, (size_t)wd * wd * sizeof(double));
+                for (int j = 0; j < wd; j++) Li[(size_t)j * wd + j] += 1e-8;
+                potrf_l(wd, Li, wd, Dinv + voff[ii]);
+                memcpy(dl, resmod + voff[ii], (size_t)wd * sizeof(double));
+                trsv_lnn(wd, Li, wd, Dinv + voff[ii], dl);
+                trsm_rltn(NX, wd, Ut + uoff[ii], Li, wd, Dinv + voff[ii], CU);
+                gemm_nt(NX, NX, wd, -1.0, CU, CU, 1.0,
+                        W + woff[d] + (size_t)off * wdd + off, wdd);
+                gemv_n(NX, wd, -1.0, CU, dl, resmod + voff[d] + off);
+            }
+        }
+    }
+    /* root */
+    {
+        int wd = wdim[0];
+        double *L0 = CholW + woff[0];
+        memcpy(L0, W + woff[0], (size_t)wd * wd * sizeof(double));
+        for (int j = 0; j < wd; j++) L0[(size_t)j * wd + j] += 1e-8;
+        potrf_l(wd, L0, wd, Dinv + voff[0]);
+        double *dl = dlambda + voff[0];
+        memcpy(dl, resmod + voff[0], (size_t)wd * sizeof(double));
+        trsv_lnn(wd, L0, wd, Dinv + voff[0], dl);
+        trsv_ltn(wd, L0, wd, Dinv + voff[0], dl);
+    }
+    /* forward: stages 1 .. NH-1 */
+    for (int kk = 1; kk < NH; kk++) {
+        for (int ii = 0; ii < Np; ii++) {
+            if (stage[ii] != kk) continue;
+            int wd = wdim[ii];
+            int d = dad[ii];
+            double *dl = dlambda + voff[ii];
+            if (wd == NX) {
+                gemv_t(NX, NX, -1.0, CholUt + uoff[ii],
+                       dlambda + voff[d] + idxpos[ii], dl);
+                trsv_ltn(NX, CholW + woff[ii], NX, Dinv + voff[ii], dl);
+            } else {
+                gemv_t(NX, wd, -1.0, CholUt + uoff[ii],
+                       dlambda + voff[d] + idxpos[ii], dl);
+                trsv_ltn(wd, CholW + woff[ii], wd, Dinv + voff[ii], dl);
+            }
+        }
+    }
+}
+
+/* ---------------- phase 4: line search --------------------------------- */
+
+static double evaluate_dual_function(void)
+{
+    /* re-solve all stage QPs at current lambda + sum node dual terms
+     * (dual_Newton_tree.c:823-918 + clipping eval_dual_term) */
+    solve_stage_problems(0);
+    double fval = 0.0;
+    for (int k = 0; k < Nn; k++) {
+        for (int i = 0; i < NX; i++) {
+            size_t ix = (size_t)k * NX + i;
+            double xi = x[ix];
+            fval += -0.5 * xi * xi / Qinv[ix] + qmod[(size_t)k * NX + i] * xi;
+        }
+        for (int i = 0; i < NU; i++) {
+            size_t iu = (size_t)k * NU + i;
+            double ui = u[iu];
+            fval += -0.5 * ui * ui / Rinv[iu] + rmod[(size_t)k * NU + i] * ui;
+        }
+        if (k > 0) {
+            const double *lam = lambda + voff[dad[k]] + idxpos[k];
+            const double *bk = b + (size_t)k * NX;
+            for (int i = 0; i < NX; i++) fval += lam[i] * bk[i];
+        }
+    }
+    return fval;
+}
+
+static void line_search(void)
+{
+    double tau = 1.0, tauprev = 0.0;
+    for (int e = 0; e < LS_EVALS; e++) {
+        double dt = tau - tauprev;
+        for (int i = 0; i < voff[Np]; i++) lambda[i] += dt * dlambda[i];
+        (void)evaluate_dual_function();
+        tauprev = tau;
+        tau *= 0.6;
+    }
+}
+
+/* ---------------- driver ----------------------------------------------- */
+
+static double now_s(void)
+{
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+
+int main(void)
+{
+    build_tree();
+    alloc_data();
+
+    /* warm-up one full iteration */
+    solve_stage_problems(1);
+    build_dual_problem();
+    calculate_delta_lambda();
+    line_search();
+
+    double best = 1e30;
+    volatile double sink = 0.0;
+    double ph[4] = {0, 0, 0, 0};
+    for (int rep = 0; rep < NREP; rep++) {
+        /* perturb lambda so no two reps run identical data */
+        for (int i = 0; i < voff[Np]; i++) lambda[i] += 1e-7 * (i % 7);
+        double t0 = now_s();
+        for (int it = 0; it < NEWTON_ITERS; it++) {
+            double ta = now_s();
+            solve_stage_problems(1);
+            double tb = now_s();
+            sink += build_dual_problem();
+            double tc = now_s();
+            calculate_delta_lambda();
+            double td = now_s();
+            line_search();
+            double te = now_s();
+            if (rep == NREP - 1) {
+                ph[0] += tb - ta; ph[1] += tc - tb;
+                ph[2] += td - tc; ph[3] += te - td;
+            }
+        }
+        double dt = now_s() - t0;
+        if (dt < best) best = dt;
+    }
+    fprintf(stderr, "phase ms/iter: stage=%.3f dual=%.3f chol=%.3f ls=%.3f\n",
+            1e3*ph[0]/NEWTON_ITERS, 1e3*ph[1]/NEWTON_ITERS,
+            1e3*ph[2]/NEWTON_ITERS, 1e3*ph[3]/NEWTON_ITERS);
+    double ms_per_iter = 1e3 * best / NEWTON_ITERS;
+    printf("{\"metric\": \"c_baseline_iters_per_sec\", "
+           "\"iters_per_sec\": %.1f, \"ms_per_iter\": %.4f, "
+           "\"nodes\": %d, \"parents\": %d, \"ls_evals\": %d, "
+           "\"sink\": %.3e}\n",
+           NEWTON_ITERS / best, ms_per_iter, Nn, Np, LS_EVALS, (double)sink);
+    return 0;
+}
