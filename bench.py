@@ -66,6 +66,11 @@ def main():
                       # on-the-fly cascade: ~25% faster, robust at 1e-6.
                       factor_dtype="float32" if on_tpu else "same",
                       refine_steps=1 if on_tpu else 0,
+                      # unsafeguarded refinement: 1 solve + 1 M-apply per
+                      # direction (the safeguard's residual-norm compare
+                      # costs an extra apply; equilibration makes the
+                      # correction reliably contractive — BENCH_NOTES.md)
+                      refine_safeguard=False,
                       chain_backend="pallas" if on_tpu else "xla",
                       reg_type="always" if on_tpu else "on_the_fly",
                       reg_value=1e-6)

@@ -1,0 +1,298 @@
+"""Pallas TPU kernels for the crown (generic-tree) block Cholesky.
+
+The level-synchronous tree Cholesky (reference dual_Newton_tree.c:668-775)
+on the crown of a multistage tree — or any tree with <= 128 λ-groups — is
+a few dozen tiny (G x G, G <= 64) factorizations per level. The XLA path
+(`_tree_chol_factor`) spends ~1 ms/call in op overhead: XLA's cholesky /
+triangular_solve lower to while-loops of [B, G]-shaped steps.
+
+These kernels fuse the ENTIRE factorization (all levels + root) into one
+Pallas launch:
+
+* one λ-group per lane: arrays live as [G, G, 128] with the group index on
+  the 128-wide lane dimension, so each scalar step of the factorization is
+  one VPU op over all groups at once;
+* every level computes on ALL lanes (idle lanes are free) and commits only
+  its own lane range via masks — level count is small (tree depth), so the
+  redundant work is negligible;
+* the child->parent Schur scatter (a cross-lane reduction with slot
+  placement) becomes K small MXU matmuls against static 0/1 permutation
+  matrices P[level, slot][child_lane, parent_lane];
+* pivot clamping (diag >= pivot floor) + a static Levenberg-Marquardt shift
+  replace the reg-Cholesky cascade — valid because the blocks are Jacobi-
+  equilibrated (unit diagonal) before factorization.
+
+Kernels are f32 (TPU Pallas has no f64); the solvers wrap them in the
+mixed-precision iterative-refinement scheme for f64 end-to-end accuracy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["crown_supported", "crown_factor", "crown_solve"]
+
+_NP = 128          # lane width: max λ-groups per tree
+_PIVOT_FLOOR = 1e-8
+
+
+def _interpret():
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# schedule (host-side, static per topology)
+
+
+@dataclasses.dataclass(frozen=True)
+class _CrownSched:
+    n_lev: int            # backward levels (deepest parent stage .. stage 1)
+    K: int
+    G: int
+    nxm: int
+    NpG: int
+    P: np.ndarray         # [n_lev, K, _NP, _NP] f32 child->parent permutations
+    masks: np.ndarray     # [n_lev + 1, 1, _NP] f32 commit masks (last = root)
+
+
+def _get_sched(prep) -> _CrownSched:
+    """Build / fetch the per-topology kernel schedule from a tdunes _Prep."""
+    sched = getattr(prep, "_crown_sched", None)
+    if sched is not None:
+        return sched
+    NpG, K, G, nxm = prep.NpG, prep.K, prep.G, prep.nxm
+    assert NpG <= _NP
+    n_lev = prep.n_sweep
+    P = np.zeros((max(n_lev, 1), K, _NP, _NP), np.float32)
+    masks = np.zeros((n_lev + 1, 1, _NP), np.float32)
+    for r in range(n_lev):
+        idx = prep.bwd_idx[r]
+        dad = prep.bwd_dad[r]
+        slot = prep.bwd_slot[r]
+        valid = prep.bwd_valid[r]
+        for g, d, s, v in zip(idx, dad, slot, valid):
+            if not v:
+                continue
+            P[r, s, g, d] = 1.0
+            masks[r, 0, g] = 1.0
+    masks[n_lev, 0, 0] = 1.0  # root group
+    sched = _CrownSched(n_lev=n_lev, K=K, G=G, nxm=nxm, NpG=NpG,
+                        P=P, masks=masks)
+    prep._crown_sched = sched
+    return sched
+
+
+def crown_supported(prep, opts) -> bool:
+    """Kernel applicability: <=128 groups, moderate block dim, f32 path,
+    static regularization (always/none)."""
+    return (prep.NpG <= _NP and prep.G <= 64
+            and opts.factor_dtype == "float32"
+            and opts.reg_type in ("always", "none"))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel primitives ([rows, T] layout, static masks — no concat chains)
+
+
+def _chol(W, n, reg):
+    """Lower Cholesky of [n, n, T] with static LM shift + clamped pivots."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols = []
+    for k in range(n):
+        a = W[:, k]  # [n, T]
+        if reg:
+            a = a + jnp.where(rowi == k, jnp.asarray(reg, W.dtype), 0.0)
+        for m in range(k):
+            a = a - cols[m] * cols[m][k:k + 1]
+        d = jnp.maximum(a[k:k + 1], _PIVOT_FLOOR)  # [1, T]
+        dinv = jax.lax.rsqrt(d)
+        col = jnp.where(rowi > k, a * dinv, 0.0) + \
+            jnp.where(rowi == k, d * dinv, 0.0)
+        cols.append(col)
+    return jnp.stack(cols, axis=1)  # [n(row), n(col), T]
+
+
+def _rtrsm_t(L, B, n):
+    """X L' = B; L lower [n, n, T], B [m, n, T]."""
+    cols = []
+    for j in range(n):
+        acc = B[:, j]
+        for c in range(j):
+            acc = acc - cols[c] * L[j:j + 1, c]
+        cols.append(acc / L[j:j + 1, j])
+    return jnp.stack(cols, axis=1)
+
+
+def _ltrsv(L, r, n):
+    """L y = r, r [n, T]."""
+    ys = []
+    for i in range(n):
+        acc = r[i:i + 1]
+        for m in range(i):
+            acc = acc - L[i:i + 1, m] * ys[m]
+        ys.append(acc / L[i:i + 1, i])
+    return jnp.concatenate(ys, axis=0)
+
+
+def _uttrsv(L, d, n):
+    """L' z = d, d [n, T]."""
+    zs = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = d[i:i + 1]
+        for m in range(i + 1, n):
+            acc = acc - L[m:m + 1, i] * zs[m]
+        zs[i] = acc / L[i:i + 1, i]
+    return jnp.concatenate(zs, axis=0)
+
+
+def _lane_mm(x, P):
+    """Cross-lane scatter x[..., child] -> out[..., parent] via MXU:
+    out[i, d] = sum_g x[i, g] P[g, d]. x [m, _NP], P [_NP, _NP]."""
+    return jax.lax.dot_general(x, P, (((1,), (0,)), ((), ())),
+                               preferred_element_type=x.dtype)
+
+
+def _lane_mm_t(x, P):
+    """Cross-lane gather x[..., parent] -> out[..., child]:
+    out[i, g] = sum_d x[i, d] P[g, d]."""
+    return jax.lax.dot_general(x, P, (((1,), (1,)), ((), ())),
+                               preferred_element_type=x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# kernels
+
+
+def _pad_lanes(x, fill=0.0):
+    pad = _NP - x.shape[-1]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[-1] = (0, pad)
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+@partial(jax.jit, static_argnames=("prep", "reg"))
+def crown_factor(W, Ut, prep, reg=0.0):
+    """Fused tree block-Cholesky. W [NpG, G, G] f32 (equilibrated), Ut
+    [NpG, nxm, G] f32. Returns lane-layout factors (CholW [G, G, 128],
+    CholUt [nxm, G, 128]) for crown_solve."""
+    sched = _get_sched(prep)
+    G, nxm, n_lev, K = sched.G, sched.nxm, sched.n_lev, sched.K
+    Wt = _pad_lanes(jnp.transpose(W, (1, 2, 0)))       # [G, G, NP]
+    # identity on empty lanes keeps the all-lane factorization finite
+    lane_pad = (jnp.arange(_NP) >= sched.NpG)[None, None, :]
+    eye = jnp.eye(G, dtype=W.dtype)[:, :, None]
+    Wt = Wt + jnp.where(lane_pad, eye, 0.0)
+    Utt = _pad_lanes(jnp.transpose(Ut, (1, 2, 0)))     # [nxm, G, NP]
+    Pm = jnp.asarray(sched.P)                          # [n_lev, K, NP, NP]
+    Mm = jnp.asarray(sched.masks)                      # [n_lev+1, 1, NP]
+
+    def kernel(W_ref, Ut_ref, P_ref, M_ref, CholW_ref, CholUt_ref):
+        Wv = W_ref[...]
+        Utv = Ut_ref[...]
+        # identity init: lanes never committed (padding / leaf-stage slots)
+        # must stay triangular-solvable, or NaNs would propagate through the
+        # cross-lane MXU matmuls in crown_solve (0 * NaN = NaN)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 0)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 1)
+        CholWv = jnp.where(rowi == coli, jnp.ones((), Wv.dtype), 0.0) \
+            * jnp.ones((1, 1, _NP), Wv.dtype)
+        CholUtv = jnp.zeros((nxm, G, _NP), Wv.dtype)
+        for r in range(n_lev):
+            Lf = _chol(Wv, G, reg)
+            CU = _rtrsm_t(Lf, Utv, G)
+            m = M_ref[r]                                 # [1, NP]
+            CholWv = jnp.where(m[None], Lf, CholWv)
+            CholUtv = jnp.where(m[None], CU, CholUtv)
+            # Schur S = CU CU' [nxm, nxm, NP]; only this level's lanes count
+            CUm = CU * m[None]
+            S = sum(CUm[:, k][:, None, :] * CU[:, k][None, :, :]
+                    for k in range(G))
+            S2 = S.reshape(nxm * nxm, _NP)
+            # assemble the K slot updates as one block-diagonal [G, G, NP]
+            # (Mosaic has no value-level dynamic_update_slice)
+            upds = [_lane_mm(S2, P_ref[r, s]).reshape(nxm, nxm, _NP)
+                    for s in range(K)]
+            zero = jnp.zeros((nxm, nxm, _NP), Wv.dtype)
+            rows = [jnp.concatenate([upds[s] if t == s else zero
+                                     for t in range(K)], axis=1)
+                    for s in range(K)]
+            Wv = Wv - jnp.concatenate(rows, axis=0)
+        # root
+        Lf = _chol(Wv, G, reg)
+        CholWv = jnp.where(M_ref[n_lev][None], Lf, CholWv)
+        CholW_ref[...] = CholWv
+        CholUt_ref[...] = CholUtv
+
+    spec = lambda shape: pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):  # Mosaic needs i32 index maps
+        CholW, CholUt = pl.pallas_call(
+            kernel,
+            in_specs=[spec((G, G, _NP)), spec((nxm, G, _NP)),
+                      spec(Pm.shape), spec(Mm.shape)],
+            out_specs=(spec((G, G, _NP)), spec((nxm, G, _NP))),
+            out_shape=(jax.ShapeDtypeStruct((G, G, _NP), W.dtype),
+                       jax.ShapeDtypeStruct((nxm, G, _NP), W.dtype)),
+            interpret=_interpret(),
+        )(Wt, Utt, Pm, Mm)
+    return CholW, CholUt
+
+
+@partial(jax.jit, static_argnames=("prep",))
+def crown_solve(CholW, CholUt, rg, prep):
+    """Solve M dlam = rg with crown_factor's lane-layout factors.
+    rg [NpG, G] f32 -> dlam [NpG, G] f32."""
+    sched = _get_sched(prep)
+    G, nxm, n_lev, K = sched.G, sched.nxm, sched.n_lev, sched.K
+    rt = _pad_lanes(jnp.transpose(rg, (1, 0)))         # [G, NP]
+    Pm = jnp.asarray(sched.P)
+    Mm = jnp.asarray(sched.masks)
+
+    def kernel(L_ref, CU_ref, P_ref, M_ref, r_ref, dl_ref):
+        Lv = L_ref[...]
+        CUv = CU_ref[...]
+        rv = r_ref[...]
+        ysv = jnp.zeros((G, _NP), rv.dtype)
+        # backward RHS sweep
+        for r in range(n_lev):
+            y = _ltrsv(Lv, rv, G)
+            m = M_ref[r]
+            ysv = jnp.where(m, y, ysv)
+            ym = y * m
+            radd = sum(CUv[:, g] * ym[g:g + 1] for g in range(G))  # [nxm, NP]
+            rv = rv - jnp.concatenate(
+                [_lane_mm(radd, P_ref[r, s]) for s in range(K)], axis=0)
+        # root: L y = r, L' dl = y
+        y0 = _ltrsv(Lv, rv, G)
+        ysv = jnp.where(M_ref[n_lev], y0, ysv)
+        dlv = jnp.where(M_ref[n_lev], _uttrsv(Lv, ysv, G), 0.0)
+        # forward substitution, top level (nearest root) first
+        for r in range(n_lev - 1, -1, -1):
+            dp = sum(_lane_mm_t(dlv[s * nxm:(s + 1) * nxm], P_ref[r, s])
+                     for s in range(K))                  # [nxm, NP]
+            d = ysv - sum(CUv[i] * dp[i:i + 1] for i in range(nxm))
+            dl = _uttrsv(Lv, d, G)
+            dlv = jnp.where(M_ref[r], dl, dlv)
+        dl_ref[...] = dlv
+
+    spec = lambda shape: pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        dl = pl.pallas_call(
+            kernel,
+            in_specs=[spec((G, G, _NP)), spec((nxm, G, _NP)),
+                      spec(Pm.shape), spec(Mm.shape), spec((G, _NP))],
+            out_specs=spec((G, _NP)),
+            out_shape=jax.ShapeDtypeStruct((G, _NP), CholW.dtype),
+            interpret=_interpret(),
+        )(CholW, CholUt, Pm, Mm, rt)
+    return jnp.transpose(dl[:, :sched.NpG], (1, 0))

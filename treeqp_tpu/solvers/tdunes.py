@@ -339,27 +339,32 @@ def _dual_value(qp: TreeQPIn, lam, sol, data, opts: TdunesOpts):
     return -0.5 * quad + lin - cmod
 
 
-def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep):
+def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep,
+                        dtype=None):
     """Assemble the lambda-group blocks W [NpG,G,G] and parent couplings
     Ut [NpG,nxm,G] of M = J P J' (build_dual_problem,
-    dual_Newton_tree.c:551-615 + clipping/qpoases vtable contributions)."""
-    dt = qp.dtype
+    dual_Newton_tree.c:551-615 + clipping/qpoases vtable contributions).
+
+    With ``dtype=float32`` the blocks are built directly in f32 — they feed
+    only the (f32) factorization on the mixed-precision path; the exact
+    Hessian action for refinement is applied separately in f64."""
+    dt = dtype if dtype is not None else qp.dtype
     K, G, nxm, NpG = prep.K, prep.G, prep.nxm, prep.NpG
     kidsP, kvalid = prep.kidsP, prep.kvalid
     kv = jnp.asarray(kvalid, dt)
-    Ak = qp.A[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,nxm]
-    Bk = qp.B[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,num]
+    Ak = qp.A.astype(dt)[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,nxm]
+    Bk = qp.B.astype(dt)[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,num]
 
     if opts.stage_solver == "clipping":
-        qtp = sol["qtilde"][prep.gnodes]  # [NpG, nxm] parent's masked inverse
-        rtp = sol["rtilde"][prep.gnodes]
+        qtp = sol["qtilde"].astype(dt)[prep.gnodes]  # [NpG, nxm] parent's masked inverse
+        rtp = sol["rtilde"].astype(dt)[prep.gnodes]
         As = Ak * jnp.sqrt(qtp)[:, None, None, :]
         Bs = Bk * jnp.sqrt(rtp)[:, None, None, :]
         Af = As.reshape(NpG, G, nxm)
         Bf = Bs.reshape(NpG, G, prep.num)
         W = Af @ Af.swapaxes(1, 2) + Bf @ Bf.swapaxes(1, 2)
         # + E P_c E' on the diagonal (add_EPmE): child's own qtilde
-        dvals = jnp.where(kv[:, :, None] > 0, sol["qtilde"][kidsP],
+        dvals = jnp.where(kv[:, :, None] > 0, sol["qtilde"].astype(dt)[kidsP],
                           jnp.ones((), dt)).reshape(NpG, G)
         W = W + jnp.zeros((NpG, G, G), dt).at[
             :, jnp.arange(G), jnp.arange(G)].set(dvals)
@@ -367,7 +372,7 @@ def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep):
         Ut = -(qtp[:, :, None]) * Ak.transpose(0, 3, 1, 2).reshape(NpG, nxm, G)
     else:
         nzm = nxm + prep.num
-        Pmat = sol["P"] if "P" in sol else data["P"]
+        Pmat = (sol["P"] if "P" in sol else data["P"]).astype(dt)
         Pp = Pmat[prep.gnodes]  # [NpG, nzm, nzm]
         Cf = jnp.concatenate([Ak, Bk], axis=-1).reshape(NpG, G, nzm)
         W = Cf @ Pp @ Cf.swapaxes(1, 2)
@@ -422,6 +427,12 @@ def _tree_chol_factor(W, Ut, opts: TdunesOpts, prep: _Prep):
     """
     if opts.factor_dtype == "float32":
         W, Ut = W.astype(jnp.float32), Ut.astype(jnp.float32)
+    if opts.chain_backend == "pallas":
+        from treeqp_tpu.ops import crown_kernels as ckr
+        if ckr.crown_supported(prep, opts):
+            reg = opts.reg_value if opts.reg_type == "always" else 0.0
+            CholW, CholUt = ckr.crown_factor(W, Ut, prep, reg=reg)
+            return dict(kind="pallas", CholW=CholW, CholUt=CholUt)
     dt = W.dtype
     nxm, G, NpG = prep.nxm, prep.G, prep.NpG
     ar = jnp.arange(nxm)
@@ -465,6 +476,11 @@ def _tree_chol_solve(fact, rg, opts: TdunesOpts, prep: _Prep):
     """Solve M dlam = rg with stored tree Cholesky factors: backward RHS
     sweep, root solve, forward substitution (dual_Newton_tree.c:745-775)."""
     out_dt = rg.dtype
+    if fact.get("kind") == "pallas":
+        from treeqp_tpu.ops import crown_kernels as ckr
+        dl = ckr.crown_solve(fact["CholW"], fact["CholUt"],
+                             rg.astype(fact["CholW"].dtype), prep)
+        return dl.astype(out_dt)
     CholW, CholUt = fact["CholW"], fact["CholUt"]
     rg = rg.astype(CholW.dtype)
     nxm, NpG, G = prep.nxm, prep.NpG, prep.G

@@ -396,9 +396,12 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
     def newton_step(carry, cr, ch, res_cr, res_ch):
         lam_cr, lam_ch, it, err, status, restart, ls_it = carry
 
-        # --- dual Hessian (chain blocks straight in f32 on the mixed path)
+        # --- dual Hessian (crown + chain blocks straight in f32 on the
+        # mixed path: they feed only the f32 factorization; the exact f64
+        # Hessian action for refinement goes through _ms_apply_M)
         fdt = jnp.float32 if opts.factor_dtype == "float32" else None
-        W, Ut = td._build_dual_hessian(ms.crown, cr, crown_data, opts, prep_cr)
+        W, Ut = td._build_dual_hessian(ms.crown, cr, crown_data, opts, prep_cr,
+                                       dtype=fdt)
         Wc, Utc = _chain_blocks(ms, ch, cr["qtilde"], cr["rtilde"], dtype=fdt)
 
         # --- Jacobi equilibration of the full lambda system: M~ = S M S with
