@@ -61,6 +61,15 @@ class TdunesOpts:
     ls_max_iter: int = 50
     ls_gamma: float = 0.1
     ls_beta: float = 0.6
+    # Batched Armijo: evaluate the first `ls_batch` candidates tau = beta^k
+    # in ONE batched stage solve (SURVEY 7 hard-part 4 — the reference
+    # re-solves all stage QPs per trial step sequentially,
+    # dual_Newton_tree.c:958-992) and pick the first acceptable, falling
+    # back to sequential backtracking beyond. Identical accept decisions to
+    # the sequential search; 0 disables. On the f64 path batching trades
+    # serialized kernels for proportional flops (emulated f64 is
+    # flop-bound, so it loses); it pays off on f32 stage solves.
+    ls_batch: int = 0
     ls_restart_trigger: int = -1  # consecutive maxed-out line searches -> full step
     reg_type: str = "on_the_fly"  # none | always | on_the_fly
     reg_tol: float = 1e-6
@@ -568,10 +577,6 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
         lt = lam + tau * dlam_nodes
         return _dual_value(qp, lt, _stage_solve(qp, lt, data, opts, prep), data, opts)
 
-    one = jnp.ones((), dt)
-    f1 = f_at(one)
-    acc0 = f1 <= f0 + opts.ls_gamma * one * dot
-
     def cond(c):
         tau, f, it, acc = c
         return (~acc) & (it < opts.ls_max_iter)
@@ -583,7 +588,24 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
         acc2 = f2 <= f0 + opts.ls_gamma * tau2 * dot
         return (tau2, f2, it + 1, acc2)
 
-    tau, f, ls_iter, acc = jax.lax.while_loop(cond, body, (one, f1, jnp.ones((), jnp.int32), acc0))
+    one = jnp.ones((), dt)
+    T = min(opts.ls_batch, opts.ls_max_iter)
+    if T > 0:
+        # batched trial steps: same Armijo decisions, one kernel sequence
+        taus = opts.ls_beta ** jnp.arange(T, dtype=dt)
+        fs = jax.vmap(f_at)(taus)
+        accs = fs <= f0 + opts.ls_gamma * taus * dot
+        any_acc = jnp.any(accs)
+        idx = jnp.argmax(accs)  # first accepted
+        init = (taus[-1], fs[-1], jnp.full((), T, jnp.int32), any_acc)
+        tau_sq, _, it_sq, acc = jax.lax.while_loop(cond, body, init)
+        tau = jnp.where(any_acc, taus[idx], tau_sq)
+        ls_iter = jnp.where(any_acc, (idx + 1).astype(jnp.int32), it_sq)
+    else:
+        f1 = f_at(one)
+        acc0 = f1 <= f0 + opts.ls_gamma * one * dot
+        tau, f, ls_iter, acc = jax.lax.while_loop(
+            cond, body, (one, f1, jnp.ones((), jnp.int32), acc0))
 
     # restart heuristic: after `ls_restart_trigger` consecutive maxed-out
     # line searches, take a full step (dual_Newton_tree.c:973-1000)

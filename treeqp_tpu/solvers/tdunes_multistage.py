@@ -479,10 +479,6 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
             cr2, ch2 = _ms_stage_solve(ms, crown_data, lc, lh, opts, prep_cr)
             return _ms_dual_value(ms, crown_data, lc, lh, cr2, ch2, opts)
 
-        one = jnp.ones((), dt)
-        f1 = f_at(one)
-        acc0 = f1 <= f0 + opts.ls_gamma * one * dot
-
         def cond_ls(c):
             tau, f, i, acc = c
             return (~acc) & (i < opts.ls_max_iter)
@@ -493,8 +489,25 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
             f2 = f_at(tau2)
             return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot)
 
-        tau, _, ls_it, acc = jax.lax.while_loop(
-            cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc0))
+        one = jnp.ones((), dt)
+        T = min(opts.ls_batch, opts.ls_max_iter)
+        if T > 0:
+            # batched trial steps (SURVEY 7 hard-part 4): all tau = beta^k
+            # candidates in one batched stage solve, sequential fallback
+            taus = opts.ls_beta ** jnp.arange(T, dtype=dt)
+            fs = jax.vmap(f_at)(taus)
+            accs = fs <= f0 + opts.ls_gamma * taus * dot
+            any_acc = jnp.any(accs)
+            idx = jnp.argmax(accs)
+            init = (taus[-1], fs[-1], jnp.full((), T, jnp.int32), any_acc)
+            tau_sq, _, it_sq, acc = jax.lax.while_loop(cond_ls, body_ls, init)
+            tau = jnp.where(any_acc, taus[idx], tau_sq)
+            ls_it = jnp.where(any_acc, (idx + 1).astype(jnp.int32), it_sq)
+        else:
+            f1 = f_at(one)
+            acc0 = f1 <= f0 + opts.ls_gamma * one * dot
+            tau, _, ls_it, acc = jax.lax.while_loop(
+                cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc0))
         maxed = ~acc
         restart = jnp.where(maxed, restart + 1, 0)
         full_step = (opts.ls_restart_trigger > 0) & (restart >= opts.ls_restart_trigger)
