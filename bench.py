@@ -74,7 +74,11 @@ def main():
                       refine_safeguard=False,
                       chain_backend="pallas" if on_tpu else "xla",
                       reg_type="always" if on_tpu else "on_the_fly",
-                      reg_value=1e-6)
+                      reg_value=1e-6,
+                      # two-phase precision: coarse f32 iterations to 1e-4,
+                      # then f64 + refinement to 1e-8 (emulated f64 is the
+                      # dominant per-op cost; the f64 phase needs ~2 iters)
+                      f32_phase_tol=1e-4 if on_tpu else 0.0)
 
     def run():
         cro, cho, info = tdunes_ms_solve(ms, None, None, opts)

@@ -93,6 +93,13 @@ class TdunesOpts:
     # the correction unconditionally (1 apply) — fine for well-equilibrated
     # problems, the safeguard matters near-degenerate active sets.
     refine_safeguard: bool = True
+    # Two-phase precision (multistage solver): > 0 runs a coarse phase with
+    # EVERYTHING in f32 (stage solves, residuals, dual values — emulated
+    # f64 is ~16x slower per op on TPU) down to this stationarity error (or
+    # stall), then switches to the f64 phase with refinement for the final
+    # tolerance. Same Newton iterations, same final accuracy. Requires f64
+    # data + factor_dtype=float32; 0 disables.
+    f32_phase_tol: float = 0.0
     # Banded-chain sweep backend for the multistage solver: "pallas" fuses
     # each whole sweep into one lane-batched TPU kernel (requires
     # factor_dtype=float32); "xla" is the portable scan path.

@@ -350,27 +350,21 @@ def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts):
     return f_cr + _chain_dual_terms(ms, ch, lam_ch)
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
-                    opts: TdunesOpts = TdunesOpts()):
-    """Dual Newton solve in crown+chains layout.
+def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
+                    opts: TdunesOpts, it0, patience: int = 0):
+    """The dual-Newton while-loop on one precision level.
 
-    Returns (out_crown: TreeQPOut on the crown topology minus chain parts,
-    chain solution dict, info). Use ``merge_output`` for a full-tree
-    TreeQPOut. Shard chain arrays over a mesh axis to scale scenarios.
+    Runs in the dtype of ``ms``'s data. ``patience > 0`` adds a stall exit:
+    stop when the residual error has not improved by >=10% for `patience`
+    consecutive iterations — used by the coarse f32 phase, whose Armijo
+    decisions become noise-limited near the f32 residual floor.
+    Returns (lam_cr, lam_ch, it, status, ls_it).
     """
-    assert opts.stage_solver == "clipping", "multistage solver: clipping only"
     meta = ms.meta
     prep_cr = td._get_prep(meta.crown_topo)
     dt = ms.q.dtype
     crown_data = td._stage_data(ms.crown, opts)
     xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
-
-    if lam0_crown is None:
-        lam0_crown = jnp.zeros((meta.crown_topo.Nn, meta.crown_topo.nxm), dt)
-    if lam0_chain is None:
-        lam0_chain = jnp.zeros_like(ms.q)
-    lam0_crown = lam0_crown * nrxm_cr
 
     rid = np.asarray(meta.root_ids)
     # crown-group position of each chain root's lambda-edge: the Schur
@@ -520,26 +514,105 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         return lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it
 
     def cond(carry):
-        _, _, it, err, status, _, _ = carry
-        return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+        (_, _, it, err, status, _, _), (best, noimp) = carry
+        ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+        if patience > 0:
+            ok = ok & (noimp < patience)
+        return ok
 
     def body(carry):
-        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
+        (lam_cr, lam_ch, it, err, status, restart, ls_it), (best, noimp) = carry
         # one stage solve per iteration, shared between the termination
         # check and the Newton step (the branches capture it via closure)
         cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
         err = error_of(res_cr, res_ch)
-        return jax.lax.cond(
+        improved = err < 0.9 * best
+        best = jnp.minimum(best, err)
+        noimp = jnp.where(improved, 0, noimp + 1)
+        inner = jax.lax.cond(
             err < opts.tol,
             lambda c: (c[0], c[1], c[2], err, c[4], c[5], c[6]),
             lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5], c[6]),
                                   cr, ch, res_cr, res_ch),
-            carry)
+            (lam_cr, lam_ch, it, err, status, restart, ls_it))
+        return inner, (best, noimp)
 
-    init = (lam0_crown, lam0_chain, jnp.zeros((), jnp.int32),
-            jnp.full((), jnp.inf, dt), jnp.full((), TDUNES_OPTIMAL, jnp.int32),
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    lam_cr, lam_ch, it, err, status, _, ls_it = jax.lax.while_loop(cond, body, init)
+    init = ((lam0_crown, lam0_chain, jnp.asarray(it0, jnp.int32),
+             jnp.full((), jnp.inf, dt), jnp.full((), TDUNES_OPTIMAL, jnp.int32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            (jnp.full((), jnp.inf, dt), jnp.zeros((), jnp.int32)))
+    (lam_cr, lam_ch, it, err, status, _, ls_it), _ = \
+        jax.lax.while_loop(cond, body, init)
+    return lam_cr, lam_ch, it, status, ls_it
+
+
+def _cast_ms(ms: MultistageQP, dtype):
+    """Cast all float leaves of a MultistageQP (incl. the crown TreeQPIn)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        ms)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
+                    opts: TdunesOpts = TdunesOpts()):
+    """Dual Newton solve in crown+chains layout.
+
+    Returns (out_crown: TreeQPOut on the crown topology minus chain parts,
+    chain solution dict, info). Use ``merge_output`` for a full-tree
+    TreeQPOut. Shard chain arrays over a mesh axis to scale scenarios.
+
+    With ``opts.f32_phase_tol > 0`` (and f64 data + factor_dtype=float32)
+    the solve runs TWO phases: a coarse phase with everything — stage
+    solves, residuals, dual values — in f32 (emulated f64 is ~16x slower
+    per op on TPU) down to f32_phase_tol or stall, then the f64 phase with
+    iterative refinement to the final tolerance. Same Newton method, same
+    final accuracy; the f64 phase typically needs only 1-3 iterations.
+    """
+    assert opts.stage_solver == "clipping", "multistage solver: clipping only"
+    meta = ms.meta
+    prep_cr = td._get_prep(meta.crown_topo)
+    dt = ms.q.dtype
+    crown_data = td._stage_data(ms.crown, opts)
+    xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
+
+    if lam0_crown is None:
+        lam0_crown = jnp.zeros((meta.crown_topo.Nn, meta.crown_topo.nxm), dt)
+    if lam0_chain is None:
+        lam0_chain = jnp.zeros_like(ms.q)
+    lam0_crown = lam0_crown * nrxm_cr
+
+    it0 = jnp.zeros((), jnp.int32)
+    use_coarse = (opts.f32_phase_tol > 0 and dt == jnp.float64
+                  and opts.factor_dtype == "float32")
+    if use_coarse:
+        ms32 = _cast_ms(ms, jnp.float32)
+        optsA = dataclasses.replace(
+            opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol),
+            ls_batch=opts.ls_batch if opts.ls_batch > 0 else 4)
+        lamA_cr, lamA_ch, it0, _, _ = _ms_newton_loop(
+            ms32, lam0_crown.astype(jnp.float32),
+            lam0_chain.astype(jnp.float32), optsA, it0, patience=3)
+        # f32-phase status is discarded: a not-descent there is expected
+        # noise near the f32 residual floor, not a failure
+        lam0_crown = lamA_cr.astype(dt)
+        lam0_chain = lamA_ch.astype(dt)
+
+    lam_cr, lam_ch, it, status, ls_it = _ms_newton_loop(
+        ms, lam0_crown, lam0_chain, opts, it0)
+
+    def compute_residuals(lam_cr, lam_ch):
+        cr, ch = _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
+        res_cr = td._dual_residual(ms.crown, cr, prep_cr)
+        res_ch = _chain_residual(ms, ch, cr["x"], cr["u"])
+        return cr, ch, res_cr, res_ch
+
+    def error_of(res_cr, res_ch):
+        if opts.termination == "infnorm":
+            return jnp.maximum(jnp.max(jnp.abs(res_cr)), jnp.max(jnp.abs(res_ch)))
+        sq = jnp.sum(res_cr**2) + jnp.sum(res_ch**2)
+        return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
     cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
     err = error_of(res_cr, res_ch)
