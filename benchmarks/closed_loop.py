@@ -37,10 +37,11 @@ class ClosedLoopLog:
     kkt: np.ndarray
     x: np.ndarray  # [nsim+1, nx] closed-loop state trajectory
     u: np.ndarray  # [nsim, nu] applied controls
+    kkt_tol: float = 1e-6  # accuracy bar used for kkt_violations
 
     @property
     def kkt_violations(self):
-        return int(np.sum(self.kkt > 1e-6))
+        return int(np.sum(self.kkt > self.kkt_tol))
 
 
 def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
@@ -100,7 +101,7 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
     return ClosedLoopLog(
         cpu_time=np.asarray(logs["cpu_time"]), iters=np.asarray(logs["iters"]),
         status=np.asarray(logs["status"]), kkt=np.asarray(logs["kkt"]),
-        x=np.stack(xs), u=np.stack(us))
+        x=np.stack(xs), u=np.stack(us), kkt_tol=kkt_tol)
 
 
 def performance_profile(times: np.ndarray, taus: Optional[np.ndarray] = None):

@@ -406,9 +406,15 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
         lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), dt)
 
     def error_of(r_mu, r_lam):
+        # pure-chain trees (Ns == 1 or Nr == 0) have no non-anticipativity
+        # multipliers: r_lam is a zero-size array and reducing it would
+        # crash ('zero-size array to reduction')
         if opts.termination == "infnorm":
-            return jnp.maximum(jnp.max(jnp.abs(r_mu)), jnp.max(jnp.abs(r_lam)))
-        sq = jnp.sum(r_mu**2) + jnp.sum(r_lam**2)
+            e = jnp.max(jnp.abs(r_mu))
+            if r_lam.size:
+                e = jnp.maximum(e, jnp.max(jnp.abs(r_lam)))
+            return e
+        sq = jnp.sum(r_mu**2) + (jnp.sum(r_lam**2) if r_lam.size else 0.0)
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
     def newton_step(carry):

@@ -322,14 +322,19 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
     return sol
 
 
-def _dual_residual(qp: TreeQPIn, sol, prep: _Prep):
+def _dual_residual(qp: TreeQPIn, sol, prep: _Prep, AT=None, BT=None):
     """Dual gradient res_c = A_c x_p + B_c u_p + b_c - x_c (non-root)
-    (build_dual_problem, dual_Newton_tree.c:519-539)."""
+    (build_dual_problem, dual_Newton_tree.c:519-539).
+
+    ``AT``/``BT`` are pre-transposed A/B (swapaxes(1, 2)): minor-most-dim
+    einsum contractions are pathologically slow in emulated f64 on TPU."""
     _, _, nrxm = _masks(qp)
+    if AT is None:
+        AT, BT = qp.A.swapaxes(1, 2), qp.B.swapaxes(1, 2)
     xp = sol["x"][prep.par]
     up = sol["u"][prep.par]
-    res = (jnp.einsum("nij,nj->ni", qp.A, xp)
-           + jnp.einsum("nij,nj->ni", qp.B, up) + qp.b - sol["x"]) * nrxm
+    res = (jnp.einsum("nji,nj->ni", AT, xp)
+           + jnp.einsum("nji,nj->ni", BT, up) + qp.b - sol["x"]) * nrxm
     return res
 
 
@@ -542,9 +547,9 @@ def _tree_chol_solve(fact, rg, opts: TdunesOpts, prep: _Prep):
     return dlam_x[:NpG].astype(out_dt)
 
 
-def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
-    """Factor + solve in one call (calculate_delta_lambda equivalent), with
-    Jacobi equilibration M~ = S M S (see tdunes_multistage for rationale)."""
+def _newton_factor(W, Ut, opts: TdunesOpts, prep: _Prep):
+    """Equilibrate (M~ = S M S, S = 1/sqrt(diag M)) and factor; returns
+    (scales, factors) for repeated `_newton_solve` calls."""
     sW = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(W, axis1=1, axis2=2), 1e-12))
     nxm = prep.nxm
     rows_all = prep.gslot[:, None] * nxm + np.arange(nxm)[None, :]
@@ -552,7 +557,75 @@ def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep):
     Ws = W * sW[:, :, None] * sW[:, None, :]
     Uts = Ut * sUt_rows[:, :, None] * sW[:, None, :]
     fact = _tree_chol_factor(Ws, Uts, opts, prep)
+    return sW, fact
+
+
+def _newton_solve(sW, fact, rg, opts: TdunesOpts, prep: _Prep):
     return _tree_chol_solve(fact, rg * sW, opts, prep) * sW
+
+
+def _apply_M_nodes(qp: TreeQPIn, sol, data, d_nodes, opts: TdunesOpts,
+                   prep: _Prep, AT=None, BT=None):
+    """Exact dual-Hessian action M d in the data dtype, via the J P J'
+    structure: the linearized stage response to a dual perturbation d,
+    pushed through the linearized dynamics residual. Used for iterative
+    refinement of f32-factored Newton directions (cf. _ms_apply_M)."""
+    xm, um, nrxm = _masks(qp)
+    if AT is None:
+        AT, BT = qp.A.swapaxes(1, 2), qp.B.swapaxes(1, 2)
+    AtL = jnp.einsum("nji,nj->ni", qp.A, d_nodes)
+    BtL = jnp.einsum("nji,nj->ni", qp.B, d_nodes)
+    sum_A = jax.ops.segment_sum(AtL[1:], prep.par[1:], num_segments=prep.Nn)
+    sum_B = jax.ops.segment_sum(BtL[1:], prep.par[1:], num_segments=prep.Nn)
+    ql = (d_nodes - sum_A) * xm
+    rl = (-sum_B) * um
+    if opts.stage_solver == "clipping":
+        xl = sol["qtilde"] * ql
+        ul = sol["rtilde"] * rl
+    else:
+        Pmat = sol["P"] if "P" in sol else data["P"]
+        hl = jnp.concatenate([ql, rl], axis=1)
+        zl = jnp.einsum("nij,nj->ni", Pmat, hl)
+        xl, ul = zl[:, : prep.nxm] * xm, zl[:, prep.nxm:] * um
+    res = (jnp.einsum("nji,nj->ni", AT, xl[prep.par])
+           + jnp.einsum("nji,nj->ni", BT, ul[prep.par]) - xl) * nrxm
+    return -res
+
+
+def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep,
+                      qp=None, sol=None, data=None):
+    """Factor + solve (calculate_delta_lambda equivalent) with Jacobi
+    equilibration. With refine_steps > 0 on the f32-factorization path and
+    (qp, sol, data) provided, applies safeguarded/plain iterative
+    refinement against the exact data-dtype Hessian action."""
+    sW, fact = _newton_factor(W, Ut, opts, prep)
+    dlam_g = _newton_solve(sW, fact, rg, opts, prep)
+    refine = (opts.refine_steps > 0 and opts.factor_dtype == "float32"
+              and qp is not None)
+    if not refine:
+        return dlam_g
+    dt = qp.dtype
+
+    def M_g(dg):
+        d_nodes = _group_to_nodes(dg, prep, dt) * _masks(qp)[2]
+        return _nodes_to_group(_apply_M_nodes(qp, sol, data, d_nodes, opts, prep),
+                               prep)
+
+    if not opts.refine_safeguard:
+        for _ in range(opts.refine_steps):
+            dlam_g = dlam_g + _newton_solve(sW, fact, rg - M_g(dlam_g), opts, prep)
+        return dlam_g
+    resid = rg - M_g(dlam_g)
+    n_best = jnp.sum(resid * resid)
+    for _ in range(opts.refine_steps):
+        cand = dlam_g + _newton_solve(sW, fact, resid, opts, prep)
+        resid2 = rg - M_g(cand)
+        n_new = jnp.sum(resid2 * resid2)
+        better = n_new < n_best
+        dlam_g = jnp.where(better, cand, dlam_g)
+        resid = jnp.where(better, resid2, resid)
+        n_best = jnp.where(better, n_new, n_best)
+    return dlam_g
 
 
 def _group_to_nodes(v_g, prep: _Prep, dt):
@@ -673,7 +746,8 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         lam, it, err, status, restart, ls_it = carry
         W, Ut = _build_dual_hessian(qp, sol, data, opts, prep)
         rg = _nodes_to_group(res, prep)
-        dlam_g = _newton_direction(W, Ut, rg, opts, prep)
+        dlam_g = _newton_direction(W, Ut, rg, opts, prep,
+                                   qp=qp, sol=sol, data=data)
         dlam_nodes = _group_to_nodes(dlam_g, prep, dt) * nrxm
         lam_new, ls_it, descent_ok, restart = _line_search(
             qp, lam, dlam_nodes, sol, dlam_g, rg, data, opts, prep, restart)

@@ -177,13 +177,20 @@ def _chain_root_contrib(ms: MultistageQP, lam_ch):
     return extra_q, extra_r
 
 
-def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown):
-    """res[s,j] = A x_parent + B u_parent + b - x  over all chain edges."""
+def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown, AT=None, BT=None):
+    """res[s,j] = A x_parent + B u_parent + b - x  over all chain edges.
+
+    ``AT``/``BT`` are pre-transposed copies of ms.A/ms.B (swapaxes(2, 3)):
+    einsums contracting over the minor-most dim are pathologically slow in
+    emulated f64 on TPU (layout changes); passing the transpose once per
+    solve keeps the contraction on the fast axis."""
     rid = np.asarray(ms.meta.root_ids)
+    if AT is None:
+        AT, BT = ms.A.swapaxes(2, 3), ms.B.swapaxes(2, 3)
     xp = jnp.concatenate([x_crown[rid][:, None], ch["x"][:, :-1]], axis=1)
     up = jnp.concatenate([u_crown[rid][:, None], ch["u"][:, :-1]], axis=1)
-    return (jnp.einsum("sljn,sln->slj", ms.A, xp)
-            + jnp.einsum("sljn,sln->slj", ms.B, up) + ms.b - ch["x"])
+    return (jnp.einsum("sljn,slj->sln", AT, xp)
+            + jnp.einsum("sljn,slj->sln", BT, up) + ms.b - ch["x"])
 
 
 def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown, dtype=None):
@@ -313,12 +320,19 @@ def _ms_stage_solve(ms: MultistageQP, crown_data, lam_cr, lam_ch, opts, prep_cr)
     return cr, ch
 
 
-def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr):
+def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr,
+                trans=None):
     """Apply the exact dual Hessian M = J P J' to a direction, in the data
     dtype. Used for iterative refinement of f32-factored Newton solves:
-    M d = -(linearized dynamics residual of the linear stage response)."""
+    M d = -(linearized dynamics residual of the linear stage response).
+
+    ``trans`` optionally carries pre-transposed dynamics (ATc/BTc chain,
+    ATr/BTr crown) to keep f64 einsums off the slow minor-dim contraction."""
     qp = ms.crown
     xm, um, nrxm = td._masks(qp)
+    if trans is None:
+        trans = dict(ATc=ms.A.swapaxes(2, 3), BTc=ms.B.swapaxes(2, 3),
+                     ATr=qp.A.swapaxes(1, 2), BTr=qp.B.swapaxes(1, 2))
     # crown linear stage response
     AtL = jnp.einsum("nji,nj->ni", qp.A, dlam_cr)
     BtL = jnp.einsum("nji,nj->ni", qp.B, dlam_cr)
@@ -335,13 +349,14 @@ def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr):
     xlc = ch["qt"] * qml
     ulc = ch["rt"] * rml
     # linearized residuals
-    res_cr = (jnp.einsum("nij,nj->ni", qp.A, xl[prep_cr.par])
-              + jnp.einsum("nij,nj->ni", qp.B, ul[prep_cr.par]) - xl) * nrxm
+    res_cr = (jnp.einsum("nji,nj->ni", trans["ATr"], xl[prep_cr.par])
+              + jnp.einsum("nji,nj->ni", trans["BTr"], ul[prep_cr.par])
+              - xl) * nrxm
     rid = np.asarray(ms.meta.root_ids)
     xp = jnp.concatenate([xl[rid][:, None], xlc[:, :-1]], axis=1)
     up = jnp.concatenate([ul[rid][:, None], ulc[:, :-1]], axis=1)
-    res_ch = (jnp.einsum("sljn,sln->slj", ms.A, xp)
-              + jnp.einsum("sljn,sln->slj", ms.B, up) - xlc)
+    res_ch = (jnp.einsum("sljn,slj->sln", trans["ATc"], xp)
+              + jnp.einsum("sljn,slj->sln", trans["BTc"], up) - xlc)
     return -res_cr, -res_ch
 
 
@@ -365,6 +380,10 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     dt = ms.q.dtype
     crown_data = td._stage_data(ms.crown, opts)
     xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
+    # pre-transposed dynamics: f64 einsums contracting the minor-most dim
+    # are pathologically slow on TPU; computed once, hoisted out of the loop
+    trans = dict(ATc=ms.A.swapaxes(2, 3), BTc=ms.B.swapaxes(2, 3),
+                 ATr=ms.crown.A.swapaxes(1, 2), BTr=ms.crown.B.swapaxes(1, 2))
 
     rid = np.asarray(meta.root_ids)
     # crown-group position of each chain root's lambda-edge: the Schur
@@ -378,7 +397,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     def compute_residuals(lam_cr, lam_ch):
         cr, ch = _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
         res_cr = td._dual_residual(ms.crown, cr, prep_cr)
-        res_ch = _chain_residual(ms, ch, cr["x"], cr["u"])
+        res_ch = _chain_residual(ms, ch, cr["x"], cr["u"],
+                                 AT=trans["ATc"], BT=trans["BTc"])
         return cr, ch, res_cr, res_ch
 
     def error_of(res_cr, res_ch):
@@ -435,14 +455,15 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             return dcr_s * s_node, dch_s * sc
 
         def newton_resnorm(dcr, dch):
-            mcr, mch = _ms_apply_M(ms, cr, ch, dcr, dch, prep_cr)
+            mcr, mch = _ms_apply_M(ms, cr, ch, dcr, dch, prep_cr, trans)
             return (jnp.sum((res_cr - mcr) ** 2) + jnp.sum((res_ch - mch) ** 2),
                     mcr, mch)
 
         dlam_cr, dlam_ch = solve(res_cr, res_ch)
         if opts.refine_steps > 0 and not opts.refine_safeguard:
             for _ in range(opts.refine_steps):
-                mcr, mch = _ms_apply_M(ms, cr, ch, dlam_cr, dlam_ch, prep_cr)
+                mcr, mch = _ms_apply_M(ms, cr, ch, dlam_cr, dlam_ch, prep_cr,
+                                       trans)
                 ccr, cch = solve(res_cr - mcr, res_ch - mch)
                 dlam_cr = dlam_cr + ccr
                 dlam_ch = dlam_ch + cch
@@ -513,37 +534,43 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
         return lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it
 
+    # step-then-evaluate structure: the carry always holds the stage
+    # solution / residuals / error AT the carried lam, so the termination
+    # check is free and the caller gets fresh final solutions without a
+    # re-evaluation (the f64 stage+residual eval is one of the most
+    # expensive single ops on TPU).
     def cond(carry):
-        (_, _, it, err, status, _, _), (best, noimp) = carry
+        (_, _, it, err, status, _, _), _, (best, noimp) = carry
         ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
         if patience > 0:
             ok = ok & (noimp < patience)
         return ok
 
     def body(carry):
-        (lam_cr, lam_ch, it, err, status, restart, ls_it), (best, noimp) = carry
-        # one stage solve per iteration, shared between the termination
-        # check and the Newton step (the branches capture it via closure)
-        cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
-        err = error_of(res_cr, res_ch)
-        improved = err < 0.9 * best
-        best = jnp.minimum(best, err)
+        (lam_cr, lam_ch, it, err, status, restart, ls_it), \
+            (cr, ch, res_cr, res_ch), (best, noimp) = carry
+        stepped = newton_step((lam_cr, lam_ch, it, err, status, restart, ls_it),
+                              cr, ch, res_cr, res_ch)
+        lam_cr2, lam_ch2 = stepped[0], stepped[1]
+        cr2, ch2, rc2, rh2 = compute_residuals(lam_cr2, lam_ch2)
+        err2 = error_of(rc2, rh2)
+        improved = err2 < 0.9 * best
+        best = jnp.minimum(best, err2)
         noimp = jnp.where(improved, 0, noimp + 1)
-        inner = jax.lax.cond(
-            err < opts.tol,
-            lambda c: (c[0], c[1], c[2], err, c[4], c[5], c[6]),
-            lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5], c[6]),
-                                  cr, ch, res_cr, res_ch),
-            (lam_cr, lam_ch, it, err, status, restart, ls_it))
-        return inner, (best, noimp)
+        state = (lam_cr2, lam_ch2, stepped[2], err2, stepped[4], stepped[5],
+                 stepped[6])
+        return state, (cr2, ch2, rc2, rh2), (best, noimp)
 
-    init = ((lam0_crown, lam0_chain, jnp.asarray(it0, jnp.int32),
-             jnp.full((), jnp.inf, dt), jnp.full((), TDUNES_OPTIMAL, jnp.int32),
+    cr0, ch0, rc0, rh0 = compute_residuals(lam0_crown, lam0_chain)
+    err0 = error_of(rc0, rh0)
+    init = ((lam0_crown, lam0_chain, jnp.asarray(it0, jnp.int32), err0,
+             jnp.full((), TDUNES_OPTIMAL, jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-            (jnp.full((), jnp.inf, dt), jnp.zeros((), jnp.int32)))
-    (lam_cr, lam_ch, it, err, status, _, ls_it), _ = \
+            (cr0, ch0, rc0, rh0),
+            (err0, jnp.zeros((), jnp.int32)))
+    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, res_cr, res_ch), _ = \
         jax.lax.while_loop(cond, body, init)
-    return lam_cr, lam_ch, it, status, ls_it
+    return lam_cr, lam_ch, it, status, ls_it, cr, ch, err
 
 
 def _cast_ms(ms: MultistageQP, dtype):
@@ -591,7 +618,7 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         optsA = dataclasses.replace(
             opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol),
             ls_batch=opts.ls_batch if opts.ls_batch > 0 else 4)
-        lamA_cr, lamA_ch, it0, _, _ = _ms_newton_loop(
+        lamA_cr, lamA_ch, it0, _, _, _, _, _ = _ms_newton_loop(
             ms32, lam0_crown.astype(jnp.float32),
             lam0_chain.astype(jnp.float32), optsA, it0, patience=3)
         # f32-phase status is discarded: a not-descent there is expected
@@ -599,23 +626,8 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         lam0_crown = lamA_cr.astype(dt)
         lam0_chain = lamA_ch.astype(dt)
 
-    lam_cr, lam_ch, it, status, ls_it = _ms_newton_loop(
+    lam_cr, lam_ch, it, status, ls_it, cr, ch, err = _ms_newton_loop(
         ms, lam0_crown, lam0_chain, opts, it0)
-
-    def compute_residuals(lam_cr, lam_ch):
-        cr, ch = _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
-        res_cr = td._dual_residual(ms.crown, cr, prep_cr)
-        res_ch = _chain_residual(ms, ch, cr["x"], cr["u"])
-        return cr, ch, res_cr, res_ch
-
-    def error_of(res_cr, res_ch):
-        if opts.termination == "infnorm":
-            return jnp.maximum(jnp.max(jnp.abs(res_cr)), jnp.max(jnp.abs(res_ch)))
-        sq = jnp.sum(res_cr**2) + jnp.sum(res_ch**2)
-        return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
-
-    cr, ch, res_cr, res_ch = compute_residuals(lam_cr, lam_ch)
-    err = error_of(res_cr, res_ch)
     status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
                        TDUNES_MAX_ITER, status)
 

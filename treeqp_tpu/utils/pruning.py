@@ -20,18 +20,21 @@ from treeqp_tpu.utils.tree import TreeStructure
 __all__ = ["prune_scenario_tree"]
 
 
-def _subtree_leaf_counts(topo: TreeStructure, keep_mask_nodes=None):
-    """#leaves under each node (node itself if a leaf), optionally counting
-    only kept nodes."""
-    counts = np.zeros(topo.Nn, dtype=np.int64)
+def _subtree_leaf_probsum(topo: TreeStructure, leaf_w, keep_mask_nodes=None):
+    """Sum of leaf weights under each node (the node itself if a leaf),
+    optionally restricted to kept nodes. With uniform weights this is the
+    leaf count; with probabilities it is p(node)."""
+    sums = np.zeros(topo.Nn, dtype=np.float64)
+    leaves = np.nonzero(topo.nkids == 0)[0]
+    leaf_of = {int(n): i for i, n in enumerate(leaves)}
     for i in range(topo.Nn - 1, -1, -1):
         if keep_mask_nodes is not None and not keep_mask_nodes[i]:
             continue
         if topo.nkids[i] == 0:
-            counts[i] = 1
+            sums[i] = leaf_w[leaf_of[i]]
         if i > 0:
-            counts[topo.parent[i]] += counts[i]
-    return counts
+            sums[topo.parent[i]] += sums[i]
+    return sums
 
 
 def prune_scenario_tree(qp: TreeQPIn, leaf_probs=None, nscenmax=None,
@@ -60,7 +63,8 @@ def prune_scenario_tree(qp: TreeQPIn, leaf_probs=None, nscenmax=None,
             break
         kept_leaf_idx.append(li)
         cum += leaf_probs[li]
-        if pcov is not None and cum >= pcov and nscenmax is None:
+        # either criterion stops accumulation (whichever binds first)
+        if pcov is not None and cum >= pcov:
             break
     kept_leaf_idx = sorted(kept_leaf_idx)
     assert kept_leaf_idx, "pruning removed every scenario"
@@ -82,10 +86,12 @@ def prune_scenario_tree(qp: TreeQPIn, leaf_probs=None, nscenmax=None,
         [topo.nu[n] for n in kept_nodes],
         [topo.nc[n] for n in kept_nodes])
 
-    # objective re-normalization: node weights encode (#scenarios through
-    # node x probability); pruning rescales them by the conditional share
-    orig_under = _subtree_leaf_counts(topo)
-    kept_under = _subtree_leaf_counts(topo, keep)
+    # objective re-normalization: node weights encode p(node); pruning
+    # rescales them by the conditional probability share
+    # p_kept(node) / (p_orig(node) * p_keep_total) — exact conditional
+    # expectation for uniform AND non-uniform leaf probabilities
+    orig_under = _subtree_leaf_probsum(topo, leaf_probs)
+    kept_under = _subtree_leaf_probsum(topo, leaf_probs, keep)
     p_kept = float(np.sum(leaf_probs[kept_leaf_idx]))
     scale = np.ones(topo.Nn)
     nz = orig_under > 0
