@@ -70,6 +70,7 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
         raise ValueError(solver)
 
     lam = None
+    prev_out = None  # IPM warm start (hpmpc_tree.h:56 analog)
     logs = dict(cpu_time=[], iters=[], status=[], kkt=[])
     xs, us = [x.copy()], []
 
@@ -81,7 +82,8 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
                 lam = ipm_solve(qp, IpmOpts(tol=1e-8, max_iter=30)).lam
             out = jax.block_until_ready(tdunes_solve(qp, lam, opts))
         else:
-            out = jax.block_until_ready(ipm_solve(qp, opts))
+            ws = prev_out if warm_start else None
+            out = jax.block_until_ready(ipm_solve(qp, opts, ws=ws))
         dt_solve = time.perf_counter() - t0
         kkt = float(max_kkt_residual(qp, out))
 
@@ -90,6 +92,7 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
 
         if warm_start and solver == "tdunes":
             lam = out.lam  # multiplier persistence across steps (treeqp_solve.m:6-8)
+        prev_out = out
 
         logs["cpu_time"].append(dt_solve)
         logs["iters"].append(int(out.info["iter"]))

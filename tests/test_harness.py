@@ -85,3 +85,46 @@ def test_timing_and_printing(tmp_path, capsys):
     tree_qp_out_write_txt(qp.topo, out, str(tmp_path / "sol"))
     x = read_vector_txt(str(tmp_path / "sol_x.txt"))
     assert len(x) == sum(qp.topo.nx)
+
+
+def test_ltv_batch_setters():
+    """LTV flat-array setters (tree_qp_common.c:1953-2153 equivalents)
+    reproduce from_node_edge_lists exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from treeqp_tpu import TreeQPIn, TreeStructure
+    rng = np.random.default_rng(3)
+    topo = TreeStructure.multistage(md=2, Nr=2, Nh=4, nx=3, nu=2)
+    nodes, edges = [], {}
+    A_fl, B_fl, b_fl, Qd_fl, Rd_fl, q_fl, r_fl = [], [], [], [], [], [], []
+    xm_fl, xM_fl, um_fl, uM_fl = [], [], [], []
+    for i in range(topo.Nn):
+        m, n = topo.nx[i], topo.nu[i]
+        Qd = rng.uniform(1, 2, m); Rd = rng.uniform(1, 2, n)
+        q = rng.standard_normal(m); r = rng.standard_normal(n)
+        xmin = -np.ones(m); xmax = np.ones(m)
+        umin = -2 * np.ones(n); umax = 2 * np.ones(n)
+        nodes.append(dict(Q=np.diag(Qd), R=np.diag(Rd), q=q, r=r,
+                          xmin=xmin, xmax=xmax, umin=umin, umax=umax))
+        Qd_fl += [Qd]; Rd_fl += [Rd]; q_fl += [q]; r_fl += [r]
+        xm_fl += [xmin]; xM_fl += [xmax]; um_fl += [umin]; uM_fl += [umax]
+    for c in range(1, topo.Nn):
+        p = topo.parent[c]
+        A = rng.standard_normal((topo.nx[c], topo.nx[p]))
+        B = rng.standard_normal((topo.nx[c], topo.nu[p]))
+        b = rng.standard_normal(topo.nx[c])
+        edges[c] = dict(A=A, B=B, b=b)
+        A_fl.append(A.T.ravel())  # column-major (reference convention)
+        B_fl.append(B.T.ravel())
+        b_fl.append(b)
+    ref = TreeQPIn.from_node_edge_lists(topo, nodes, edges)
+    got = (TreeQPIn.zeros(topo)
+           .set_ltv_dynamics(np.concatenate(A_fl), np.concatenate(B_fl),
+                             np.concatenate(b_fl))
+           .set_ltv_objective_diag(np.concatenate(Qd_fl), np.concatenate(Rd_fl),
+                                   np.concatenate(q_fl), np.concatenate(r_fl))
+           .set_ltv_bounds(np.concatenate(xm_fl), np.concatenate(xM_fl),
+                           np.concatenate(um_fl), np.concatenate(uM_fl)))
+    for f in ("A", "B", "b", "Q", "R", "q", "r", "xmin", "xmax", "umin", "umax"):
+        assert np.allclose(np.asarray(getattr(ref, f)),
+                           np.asarray(getattr(got, f))), f

@@ -4,6 +4,7 @@
 
 import glob
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -64,3 +65,26 @@ def test_eliminate_x0_matches():
     u_f, u_e = np.asarray(out_full.u), np.asarray(out_e.u)
     assert np.max(np.abs(x_f[1:] - x_e[1:])) < 1e-8
     assert np.max(np.abs(u_f - u_e)) < 1e-8
+
+
+def test_eliminated_x0_reembedding():
+    """set_x0 on an eliminated problem matches eliminating from scratch
+    (reference qp_internal_t pattern, tree_qp_common.c:2154-2237)."""
+    from benchmarks.models import spring_mass_chain
+    qp, _ = spring_mass_chain(nm=2, md=3, Nr=2, Nh=6)
+    opts = TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=100)
+    elim = qp.eliminate_x0(keep_originals=True)
+    rng = np.random.default_rng(0)
+    for step in range(3):
+        x_new = 0.1 * rng.standard_normal(qp.topo.nx[0])
+        # path A: re-embed into the eliminated problem
+        elim = elim.set_x0(x_new)
+        out_a = tdunes_solve(elim.qp, opts=opts)
+        # path B: set x0 on the full problem, eliminate from scratch
+        qp_b = qp.set_x0(x_new).eliminate_x0()
+        out_b = tdunes_solve(qp_b, opts=opts)
+        assert int(out_a.info["status"]) == 0
+        assert float(jnp.max(jnp.abs(out_a.x - out_b.x))) < 1e-9
+        assert float(jnp.max(jnp.abs(out_a.u - out_b.u))) < 1e-9
+        from treeqp_tpu.core.kkt import max_kkt_residual
+        assert float(max_kkt_residual(elim.qp, out_a)) < 1e-8

@@ -37,7 +37,7 @@ from treeqp_tpu.utils.tree import TreeStructure
 # Infinity convention of the reference (utils/types.h:37)
 TREEQP_INF = 1e12
 
-__all__ = ["TreeQPIn", "TreeQPOut", "TREEQP_INF"]
+__all__ = ["TreeQPIn", "TreeQPOut", "EliminatedTreeQP", "TREEQP_INF"]
 
 
 @jax.tree_util.register_dataclass
@@ -187,6 +187,87 @@ class TreeQPIn:
             edges[c] = dict(A=A[re], B=B[re], b=b[re])
         return cls.from_node_edge_lists(topo, nodes, edges, dtype=dtype)
 
+    # ----------------------------------------------------- LTV batch setters
+    # Reference tree_qp_in_set_ltv_* (tree_qp_common.c:1953-2153): flat
+    # concatenated per-edge / per-node arrays (variable dims), unpacked in
+    # node order. Used for stage-varying (LTV) problem data.
+
+    def set_ltv_dynamics(self, A_flat, B_flat, b_flat) -> "TreeQPIn":
+        """``tree_qp_in_set_ltv_dynamics_colmajor``: A/B/b of every edge,
+        flat-concatenated in child-node order 1..Nn-1 (column-major per
+        matrix, matching the reference)."""
+        topo = self.topo
+        nx, nu = topo.nx, topo.nu
+        A_flat = np.asarray(A_flat, dtype=np.float64).ravel()
+        B_flat = np.asarray(B_flat, dtype=np.float64).ravel()
+        b_flat = np.asarray(b_flat, dtype=np.float64).ravel()
+        A = np.zeros((topo.Nn, topo.nxm, topo.nxm))
+        B = np.zeros((topo.Nn, topo.nxm, topo.num))
+        b = np.zeros((topo.Nn, topo.nxm))
+        ia = ib = iv = 0
+        for c in range(1, topo.Nn):
+            p = topo.parent[c]
+            m, nA, nB = nx[c], nx[p], nu[p]
+            A[c, :m, :nA] = A_flat[ia: ia + m * nA].reshape(nA, m).T
+            ia += m * nA
+            B[c, :m, :nB] = B_flat[ib: ib + m * nB].reshape(nB, m).T
+            ib += m * nB
+            b[c, :m] = b_flat[iv: iv + m]
+            iv += m
+        dt = self.dtype
+        return self.replace(A=jnp.asarray(A, dt), B=jnp.asarray(B, dt),
+                            b=jnp.asarray(b, dt))
+
+    def set_ltv_objective_diag(self, Qd_flat, Rd_flat, q_flat, r_flat) -> "TreeQPIn":
+        """``tree_qp_in_set_ltv_objective_diag``: diagonal weights + linear
+        terms of every node, flat-concatenated in node order (S zeroed)."""
+        topo = self.topo
+        Qd_flat = np.asarray(Qd_flat, dtype=np.float64).ravel()
+        Rd_flat = np.asarray(Rd_flat, dtype=np.float64).ravel()
+        q_flat = np.asarray(q_flat, dtype=np.float64).ravel()
+        r_flat = np.asarray(r_flat, dtype=np.float64).ravel()
+        Q = np.zeros((topo.Nn, topo.nxm, topo.nxm))
+        R = np.zeros((topo.Nn, topo.num, topo.num))
+        q = np.zeros((topo.Nn, topo.nxm))
+        r = np.zeros((topo.Nn, topo.num))
+        iq = ir = 0
+        for i in range(topo.Nn):
+            m, n = topo.nx[i], topo.nu[i]
+            Q[i, :m, :m] = np.diag(Qd_flat[iq: iq + m])
+            q[i, :m] = q_flat[iq: iq + m]
+            iq += m
+            R[i, :n, :n] = np.diag(Rd_flat[ir: ir + n])
+            r[i, :n] = r_flat[ir: ir + n]
+            ir += n
+        dt = self.dtype
+        return self.replace(Q=jnp.asarray(Q, dt), R=jnp.asarray(R, dt),
+                            S=jnp.zeros_like(self.S),
+                            q=jnp.asarray(q, dt), r=jnp.asarray(r, dt))
+
+    def set_ltv_bounds(self, xmin_flat, xmax_flat, umin_flat, umax_flat) -> "TreeQPIn":
+        """Batch bound setter in node order (flat-concatenated, variable
+        dims), cf. tree_qp_in_set_node_bounds applied node by node."""
+        topo = self.topo
+        flats = [np.asarray(v, dtype=np.float64).ravel()
+                 for v in (xmin_flat, xmax_flat, umin_flat, umax_flat)]
+        xmin = np.full((topo.Nn, topo.nxm), -TREEQP_INF)
+        xmax = np.full((topo.Nn, topo.nxm), TREEQP_INF)
+        umin = np.full((topo.Nn, topo.num), -TREEQP_INF)
+        umax = np.full((topo.Nn, topo.num), TREEQP_INF)
+        ix = iu = 0
+        for i in range(topo.Nn):
+            m, n = topo.nx[i], topo.nu[i]
+            xmin[i, :m] = flats[0][ix: ix + m]
+            xmax[i, :m] = flats[1][ix: ix + m]
+            ix += m
+            umin[i, :n] = flats[2][iu: iu + n]
+            umax[i, :n] = flats[3][iu: iu + n]
+            iu += n
+        dt = self.dtype
+        return self.replace(
+            xmin=jnp.asarray(xmin, dt), xmax=jnp.asarray(xmax, dt),
+            umin=jnp.asarray(umin, dt), umax=jnp.asarray(umax, dt))
+
     # --------------------------------------------------------- MPC utilities
 
     def set_x0(self, x0) -> "TreeQPIn":
@@ -200,7 +281,7 @@ class TreeQPIn:
         hi = x0p * mask + TREEQP_INF * (1 - mask)
         return self.replace(xmin=self.xmin.at[0].set(lo), xmax=self.xmax.at[0].set(hi))
 
-    def eliminate_x0(self) -> "TreeQPIn":
+    def eliminate_x0(self, keep_originals: bool = False):
         """Fold a fixed root state into the data, shrinking node 0 to nx=0.
 
         Mirrors ``tree_qp_in_eliminate_x0`` (tree_qp_common.c:404-525): with
@@ -211,28 +292,77 @@ class TreeQPIn:
         problem shares padded array shapes with the original, so jit caches
         keyed on (shapes, topo) remain distinct per topology as in the
         reference (qp_internal_t, tree_qp_common.h:58-80).
+
+        ``keep_originals=True`` instead returns an :class:`EliminatedTreeQP`
+        holding the pre-elimination data so the eliminated problem can get a
+        NEW x0 every MPC step via ``.set_x0`` without rebuilding — the
+        reference's qp_internal_t pattern (tree_qp_common.c:2154-2237).
         """
         topo = self.topo
         x0 = self.xmin[0] * jnp.asarray(topo.x_mask[0], self.dtype)
         new_topo = TreeStructure.from_parent(
             topo.parent, (0,) + topo.nx[1:], topo.nu, topo.nc)
         kids0 = np.asarray(topo.kids[0], dtype=np.int32)
+        A0 = self.A[kids0]
+        b0 = self.b[kids0]
+        S0, r0, C0 = self.S[0], self.r[0], self.C[0]
+        dmin0, dmax0 = self.dmin[0], self.dmax[0]
         # b_c += A_c x0 for children of the root
-        badd = jnp.einsum("kij,j->ki", self.A[kids0], x0)
+        badd = jnp.einsum("kij,j->ki", A0, x0)
         b = self.b.at[kids0].add(badd)
         A = self.A.at[kids0].set(0.0)
         # r_0 += S_0 x0
-        r = self.r.at[0].add(self.S[0] @ x0)
+        r = self.r.at[0].add(S0 @ x0)
         S = self.S.at[0].set(0.0)
         # d bounds at root: dmin_0 -= C_0 x0, dmax_0 -= C_0 x0
-        cshift = self.C[0] @ x0
+        cshift = C0 @ x0
         dmin = self.dmin.at[0].add(-cshift)
         dmax = self.dmax.at[0].add(-cshift)
         C = self.C.at[0].set(0.0)
         Q = self.Q.at[0].set(0.0)
         q = self.q.at[0].set(0.0)
-        return self.replace(A=A, b=b, r=r, S=S, C=C, Q=Q, q=q,
+        elim = self.replace(A=A, b=b, r=r, S=S, C=C, Q=Q, q=q,
                             dmin=dmin, dmax=dmax, topo=new_topo)
+        if not keep_originals:
+            return elim
+        return EliminatedTreeQP(qp=elim, A0=A0, b0=b0, S0=S0, r0=r0, C0=C0,
+                                dmin0=dmin0, dmax0=dmax0,
+                                kids0=tuple(int(k) for k in kids0))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EliminatedTreeQP:
+    """An x0-eliminated tree QP that can be re-embedded with a new x0 every
+    MPC step (the reference's qp_internal_t pattern: originals are kept so
+    ``tree_qp_in_set_x0_strvec`` works on the eliminated problem,
+    tree_qp_common.h:58-80, tree_qp_common.c:2154-2237)."""
+
+    qp: TreeQPIn   # the eliminated problem (nx[0] = 0 topology)
+    A0: Any        # original A of the edges out of the root [K0, nxm, nxm]
+    b0: Any        # original b of those edges [K0, nxm]
+    S0: Any        # original root S [num, nxm]
+    r0: Any        # original root r [num]
+    C0: Any        # original root C [ncm, nxm]
+    dmin0: Any
+    dmax0: Any
+    kids0: Any = dataclasses.field(metadata=dict(static=True))  # root kid ids
+
+    def set_x0(self, x0) -> "EliminatedTreeQP":
+        """Re-embed a new root state into the eliminated data (cheap,
+        jit-friendly: only the folded fields are rewritten)."""
+        qp = self.qp
+        x0 = jnp.asarray(x0, qp.dtype)
+        nxm = qp.topo.nxm
+        x0p = jnp.zeros((nxm,), qp.dtype).at[: x0.shape[0]].set(x0)
+        kids0 = np.asarray(self.kids0, dtype=np.int32)
+        b = qp.b.at[kids0].set(self.b0 + jnp.einsum("kij,j->ki", self.A0, x0p))
+        r = qp.r.at[0].set(self.r0 + self.S0 @ x0p)
+        cshift = self.C0 @ x0p
+        dmin = qp.dmin.at[0].set(self.dmin0 - cshift)
+        dmax = qp.dmax.at[0].set(self.dmax0 - cshift)
+        return dataclasses.replace(
+            self, qp=qp.replace(b=b, r=r, dmin=dmin, dmax=dmax))
 
 
 @jax.tree_util.register_dataclass

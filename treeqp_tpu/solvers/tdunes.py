@@ -305,6 +305,12 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
         at_hi = (z >= hi - 1e-12) & (g < 0)
         free = ~(at_lo | at_hi)
         fm = free.astype(hmod.dtype)
+        # convergence guard: the projected-Newton loop runs a fixed
+        # boxqp_iters; a hard active set can leave the free-set gradient
+        # nonzero, silently degrading the stage solution and the
+        # elimination matrix P. Expose the max free-gradient residual so
+        # the caller can flag / the user can raise boxqp_iters.
+        sol["boxqp_res"] = jnp.max(jnp.abs(g * fm))
         mu = -g * (1.0 - fm)  # hmod - Hz on the active set, signed
         M = H * fm[:, :, None] * fm[:, None, :] + \
             eyez[None] * (1.0 - fm)[:, :, None]
@@ -802,6 +808,10 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         mu_u = jnp.zeros_like(sol["u"])
 
     info = dict(iter=it, status=status, error=err, ls_iter=ls_it)
+    if opts.stage_solver == "boxqp":
+        # inner-solver convergence guard (see _stage_solve): nonzero means
+        # boxqp_iters was too small for the final active set
+        info["boxqp_res"] = sol["boxqp_res"]
     if opts.record_history:
         info["err_hist"], info["ls_hist"] = hist
     return TreeQPOut(
