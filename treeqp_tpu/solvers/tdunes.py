@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut
+from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut, TREEQP_INF
 from treeqp_tpu.utils.tree import TreeStructure
 
 __all__ = ["TdunesOpts", "tdunes_solve", "TDUNES_OPTIMAL", "TDUNES_MAX_ITER",
@@ -74,9 +74,27 @@ class TdunesOpts:
     reg_type: str = "on_the_fly"  # none | always | on_the_fly
     reg_tol: float = 1e-6
     reg_value: float = 1e-6
-    stage_solver: str = "clipping"  # clipping | dense | boxqp
+    # Stage-QP solver (reference per-node vtable, dual_Newton_tree.c:124-162):
+    #   clipping — closed-form for diag Q/R, S=0, nc=0
+    #             (dual_Newton_tree_clipping.c)
+    #   dense    — unconstrained general H via P = H^-1
+    #   boxqp    — dense H + bounds, batched projected Newton
+    #   qpgen    — fully general stage QPs incl. C/D rows (the qpOASES
+    #             capability, dual_Newton_tree_qpoases.c): batched ADMM for
+    #             active-set identification + one exact KKT polish + the
+    #             null-space elimination matrix P = Z (Z'HZ)^-1 Z'
+    #   mixed    — per-node dispatch clipping/qpgen (reference mixes
+    #             clipping and qpOASES nodes in one tree); the node split
+    #             comes from `node_solver` (auto-derived by tdunes_solve)
+    stage_solver: str = "clipping"  # clipping | dense | boxqp | qpgen | mixed
     # inner projected-Newton iterations for the boxqp stage solver
     boxqp_iters: int = 8
+    # qpgen: ADMM iterations for active-set identification (the final
+    # answer comes from exact working-set solves; see _qpgen_batch)
+    qpgen_iters: int = 100
+    # static per-node solver choice for stage_solver="mixed":
+    # tuple of 1 (clipping) / 0 (qpgen) per node; None = derive from data
+    node_solver: tuple = None
     # Mixed-precision path for TPU: gradients / residuals / line search stay
     # in the data dtype (f64 for 1e-8+ KKT targets), while the dual-Hessian
     # factorization + triangular solves run in this dtype. "same" disables.
@@ -181,47 +199,67 @@ def _masks(qp: TreeQPIn):
             jnp.asarray(t.nonroot_x_mask, dt))
 
 
+def _dense_H(qp: TreeQPIn):
+    """Per-node dense Hessian [[Q S'],[S R]], identity on padded dims."""
+    xm, um, _ = _masks(qp)
+    nxm, num = qp.topo.nxm, qp.topo.num
+    H = jnp.zeros((qp.topo.Nn, nxm + num, nxm + num), qp.dtype)
+    H = H.at[:, :nxm, :nxm].set(qp.Q * xm[:, :, None] * xm[:, None, :])
+    H = H.at[:, nxm:, nxm:].set(qp.R * um[:, :, None] * um[:, None, :])
+    Sm = qp.S * um[:, :, None] * xm[:, None, :]
+    H = H.at[:, nxm:, :nxm].set(Sm)
+    H = H.at[:, :nxm, nxm:].set(Sm.swapaxes(1, 2))
+    zmask = jnp.concatenate([xm, um], axis=1)
+    return H + jnp.eye(nxm + num, dtype=qp.dtype)[None] * (1.0 - zmask)[:, :, None]
+
+
+def _batched_inverse_spd(H):
+    L = jnp.linalg.cholesky(H)
+    eye = jnp.broadcast_to(jnp.eye(H.shape[-1], dtype=H.dtype), H.shape)
+    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return Linv.swapaxes(1, 2) @ Linv
+
+
 def _stage_data(qp: TreeQPIn, opts: TdunesOpts):
     """Per-node solver data: diag weights + inverses (clipping,
-    dual_Newton_tree_clipping.c:149-184) or dense H factor/inverse P = H^-1
-    (unconstrained general stage QPs)."""
+    dual_Newton_tree_clipping.c:149-184), dense H factor/inverse P = H^-1
+    (unconstrained general stage QPs), or the general-constraint machinery
+    (qpgen/mixed: constraint stack G, H^-1, ADMM factor)."""
     xm, um, _ = _masks(qp)
     data = {}
-    if opts.stage_solver == "clipping":
+    if opts.stage_solver in ("clipping", "mixed"):
         Qd = jnp.diagonal(qp.Q, axis1=1, axis2=2) * xm + (1.0 - xm)
         Rd = jnp.diagonal(qp.R, axis1=1, axis2=2) * um + (1.0 - um)
         data["Qd"], data["Rd"] = Qd, Rd
         data["Qinv"], data["Rinv"] = 1.0 / Qd, 1.0 / Rd
-    elif opts.stage_solver == "boxqp":
-        nxm, num = qp.topo.nxm, qp.topo.num
-        H = jnp.zeros((qp.topo.Nn, nxm + num, nxm + num), qp.dtype)
-        H = H.at[:, :nxm, :nxm].set(qp.Q * xm[:, :, None] * xm[:, None, :])
-        H = H.at[:, nxm:, nxm:].set(qp.R * um[:, :, None] * um[:, None, :])
-        Sm = qp.S * um[:, :, None] * xm[:, None, :]
-        H = H.at[:, nxm:, :nxm].set(Sm)
-        H = H.at[:, :nxm, nxm:].set(Sm.swapaxes(1, 2))
-        zmask = jnp.concatenate([xm, um], axis=1)
-        H = H + jnp.eye(nxm + num, dtype=qp.dtype)[None] * (1.0 - zmask)[:, :, None]
+    if opts.stage_solver == "boxqp":
+        H = _dense_H(qp)
         data["H"] = H
         data["Hd"] = jnp.diagonal(H, axis1=1, axis2=2)
         data["lo"] = jnp.concatenate([qp.xmin, qp.umin], axis=1)
         data["hi"] = jnp.concatenate([qp.xmax, qp.umax], axis=1)
-    else:
-        nxm, num = qp.topo.nxm, qp.topo.num
-        H = jnp.zeros((qp.topo.Nn, nxm + num, nxm + num), qp.dtype)
-        H = H.at[:, :nxm, :nxm].set(qp.Q * xm[:, :, None] * xm[:, None, :])
-        H = H.at[:, nxm:, nxm:].set(qp.R * um[:, :, None] * um[:, None, :])
-        Sm = qp.S * um[:, :, None] * xm[:, None, :]
-        H = H.at[:, nxm:, :nxm].set(Sm)
-        H = H.at[:, :nxm, nxm:].set(Sm.swapaxes(1, 2))
-        zmask = jnp.concatenate([xm, um], axis=1)
-        H = H + jnp.eye(nxm + num, dtype=qp.dtype)[None] * (1.0 - zmask)[:, :, None]
-        # P = H^-1 via Cholesky (stage Hessians are SPD)
-        L = jnp.linalg.cholesky(H)
-        eye = jnp.broadcast_to(jnp.eye(nxm + num, dtype=qp.dtype), H.shape)
-        Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    elif opts.stage_solver in ("qpgen", "mixed"):
+        from treeqp_tpu.solvers.ipm import _constraint_data
+        H = _dense_H(qp)
+        G, lo, hi, m_lo, m_hi = _constraint_data(qp)
         data["H"] = H
-        data["P"] = Linv.swapaxes(1, 2) @ Linv
+        data["Hinv"] = _batched_inverse_spd(H)
+        data["G"], data["lo"], data["hi"] = G, lo, hi
+        data["m_lo"], data["m_hi"] = m_lo, m_hi
+        # per-row ADMM penalty: base = Hessian scale; equality rows
+        # (lo == hi) get a 1e3 stiffer penalty (OSQP convention)
+        rho_base = jnp.mean(jnp.diagonal(H, axis1=1, axis2=2),
+                            axis=1)[:, None]
+        eq = ((jnp.where(m_hi > 0, hi, TREEQP_INF)
+               - jnp.where(m_lo > 0, lo, -TREEQP_INF)) <= 1e-14).astype(qp.dtype)
+        rho_row = rho_base * (1.0 + 999.0 * eq)
+        data["rho_row"] = rho_row
+        GtRG = (G * rho_row[:, :, None]).swapaxes(1, 2) @ G
+        data["L_admm"] = jnp.linalg.cholesky(H + GtRG)
+    elif opts.stage_solver not in ("clipping",):
+        H = _dense_H(qp)
+        data["H"] = H
+        data["P"] = _batched_inverse_spd(H)
     return data
 
 
@@ -243,6 +281,124 @@ def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep, extra_q=None, extra_r=Non
     qmod = (-qp.q + lam - sum_A) * xm
     rmod = (-qp.r - sum_B) * um
     return qmod, rmod
+
+
+def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
+                 opts: TdunesOpts):
+    """Batched general stage QPs:  min 1/2 z'Hz - hmod'z,  lo <= G z <= hi.
+
+    The qpOASES capability (dual_Newton_tree_qpoases.c:153-214, :401-476).
+    Three phases, all batched and jit-friendly:
+
+    1. scaled ADMM (fixed iterations, factor precomputed; per-row penalty
+       with stiff equality rows, OSQP-style) — globally convergent
+       active-set identification;
+    2. a few primal-dual active-set refinement steps with a per-node
+       keep-best safeguard (plain PDAS can 2-cycle; the safeguard keeps
+       the working set with the smallest KKT residual);
+    3. one exact KKT polish on the selected set, plus the elimination
+       matrix  P = H^-1 - H^-1 G_A' (G_A H^-1 G_A')^-1 G_A H^-1  — the
+       dense analog of qpOASES' null-space form Z (Z'HZ)^-1 Z'.
+
+    Equality rows (lo == hi, e.g. the root's embedded x0) stay permanently
+    active. Returns (z, P, mu, res): mu signed (positive = upper active),
+    res = max over nodes of the violation/stationarity guard.
+    """
+    dt = hmod.dtype
+    ng = G.shape[1]
+    mask = m_lo + m_hi - m_lo * m_hi  # any finite side
+    lo_c = jnp.where(m_lo > 0, lo, -TREEQP_INF)
+    hi_c = jnp.where(m_hi > 0, hi, TREEQP_INF)
+    m_eq = ((hi_c - lo_c <= 1e-14) & (m_lo > 0) & (m_hi > 0)).astype(dt)
+    eye = jnp.eye(ng, dtype=dt)[None]
+    GH = G @ Hinv                           # [n, ng, nz]
+    GHG = GH @ G.swapaxes(1, 2)             # [n, ng, ng]
+    w = jnp.einsum("ngz,nz->ng", GH, hmod)  # G H^-1 hmod
+    c_pd = 1.0 / jnp.maximum(jnp.diagonal(GHG, axis1=1, axis2=2), 1e-12)
+    # relative working-set regularization: an absolute shift would bias the
+    # active-row residuals by ~reg/scale(GHG), showing up as bound
+    # complementarity error scaled by the (large, probability-weighted)
+    # multipliers
+    regM = 1e-13 * jnp.maximum(
+        jnp.mean(jnp.diagonal(GHG, axis1=1, axis2=2), axis=1), 1e-300
+    )[:, None, None]
+
+    # ---- phase 1: scaled ADMM
+    def z_update(v):
+        return jax.lax.linalg.triangular_solve(
+            L_admm, jax.lax.linalg.triangular_solve(
+                L_admm, v[..., None], left_side=True, lower=True),
+            left_side=True, lower=True, transpose_a=True)[..., 0]
+
+    z0 = jnp.einsum("nij,nj->ni", Hinv, hmod)
+    y0 = jnp.clip(jnp.einsum("ngz,nz->ng", G, z0), lo_c, hi_c)
+
+    def admm_step(_, carry):
+        z, y, lm = carry
+        z = z_update(hmod + jnp.einsum("ngz,ng->nz", G, rho_row * (y - lm)))
+        t = jnp.einsum("ngz,nz->ng", G, z) + lm
+        y = jnp.clip(t, lo_c, hi_c)
+        return (z, y, t - y)
+
+    _, _, lm = jax.lax.fori_loop(0, opts.qpgen_iters, admm_step,
+                                 (z0, y0, jnp.zeros_like(y0)))
+    mu_admm = rho_row * lm
+    tol_act = 1e-9
+    m_up = ((mu_admm > tol_act) & (m_hi > 0)).astype(dt) * (1.0 - m_eq)
+    m_dn = ((mu_admm < -tol_act) & (m_lo > 0)).astype(dt) * (1.0 - m_eq)
+
+    # ---- exact working-set solve + per-node KKT guard
+    def polish(m_up, m_dn):
+        m_act = jnp.minimum(m_up + m_dn + m_eq, 1.0)
+        d_act = (m_up * hi_c + m_dn * lo_c + m_eq * lo_c) * m_act
+        Mfull = (m_act[:, :, None] * GHG * m_act[:, None, :]
+                 + eye * (1.0 - m_act)[:, :, None] + regM * eye)
+        rhs = m_act * (w - d_act)
+        mu = jnp.linalg.solve(Mfull, rhs[..., None])[..., 0]
+        # one refinement pass (the reg + f64 roundoff would otherwise leave
+        # active rows ~1e-10 off their bounds)
+        mu = m_act * (mu + jnp.linalg.solve(
+            Mfull, (rhs - jnp.einsum("nij,nj->ni", Mfull, mu))[..., None]
+        )[..., 0])
+        z = jnp.einsum("nij,nj->ni", Hinv,
+                       hmod - jnp.einsum("ngz,ng->nz", G, mu))
+        t = jnp.einsum("ngz,nz->ng", G, z)
+        viol = jnp.maximum(jnp.maximum(t - hi_c, lo_c - t), 0.0) * mask
+        # wrong-sign working-set multipliers are also KKT violations
+        bad_mu = jnp.maximum(-mu * m_up, 0.0) + jnp.maximum(mu * m_dn, 0.0)
+        res_node = jnp.maximum(jnp.max(viol, axis=1), jnp.max(bad_mu, axis=1))
+        return z, mu, t, m_act, res_node
+
+    z, mu, t, m_act, res_node = polish(m_up, m_dn)
+    best = (z, mu, t, m_act, res_node, m_up, m_dn)
+
+    # ---- phase 2: PDAS refinement with keep-best safeguard
+    for _ in range(3):
+        m_up = ((mu + c_pd * (t - hi_c) > 0) & (m_hi > 0)).astype(dt) * (1.0 - m_eq)
+        m_dn = ((mu + c_pd * (t - lo_c) < 0) & (m_lo > 0)).astype(dt) * (1.0 - m_eq)
+        z, mu, t, m_act, res_node = polish(m_up, m_dn)
+        better = (res_node < best[4])[:, None]
+        best = (jnp.where(better, z, best[0]),
+                jnp.where(better, mu, best[1]),
+                jnp.where(better, t, best[2]),
+                jnp.where(better, m_act, best[3]),
+                jnp.minimum(res_node, best[4]),
+                jnp.where(better, m_up, best[5]),
+                jnp.where(better, m_dn, best[6]))
+
+    z, mu, t, m_act, res_node = best[0], best[1], best[2], best[3], best[4]
+
+    # ---- phase 3: elimination matrix on the selected set
+    Mfull = (m_act[:, :, None] * GHG * m_act[:, None, :]
+             + eye * (1.0 - m_act)[:, :, None] + regM * eye)
+    Minv = _batched_inverse_spd(Mfull)
+    HG_act = Hinv @ G.swapaxes(1, 2) * m_act[:, None, :]   # [n, nz, ng]
+    P = Hinv - HG_act @ Minv @ HG_act.swapaxes(1, 2)
+
+    stat = (jnp.einsum("nij,nj->ni", H, z) - hmod
+            + jnp.einsum("ngz,ng->nz", G, mu))
+    res = jnp.maximum(jnp.max(res_node), jnp.max(jnp.abs(stat)))
+    return z, P, mu, res
 
 
 def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
@@ -320,6 +476,55 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
         P = (Linv.swapaxes(1, 2) @ Linv) * fm[:, :, None] * fm[:, None, :]
         sol.update(x=z[:, :nxm] * xm, u=z[:, nxm:] * um, P=P,
                    mu=mu, free=fm)
+    elif opts.stage_solver == "qpgen":
+        nxm, nz = prep.nxm, prep.nxm + prep.num
+        hmod = jnp.concatenate([qmod, rmod], axis=1)
+        z, P, mu, res = _qpgen_batch(
+            hmod, data["H"], data["Hinv"], data["G"], data["lo"], data["hi"],
+            data["m_lo"], data["m_hi"], data["rho_row"], data["L_admm"], opts)
+        sol.update(x=z[:, :nxm] * xm, u=z[:, nxm:] * um, P=P,
+                   mu_x=mu[:, :nxm], mu_u=mu[:, nxm:nz], mu_d=mu[:, nz:],
+                   qpgen_res=res)
+    elif opts.stage_solver == "mixed":
+        # per-node solver dispatch (reference vtable dual_Newton_tree.c:
+        # 124-162): clipping closed-form on applicable nodes, qpgen on the
+        # rest; both feed the unified dense-P Hessian build.
+        assert opts.node_solver is not None, \
+            "stage_solver='mixed' needs opts.node_solver (use tdunes_solve)"
+        nxm, nz = prep.nxm, prep.nxm + prep.num
+        ns = np.asarray(opts.node_solver, dtype=np.int64)
+        gen_idx = np.nonzero(ns == 0)[0].astype(np.int32)
+        # clipping closed-form everywhere (general nodes overwritten below)
+        xUnc = data["Qinv"] * qmod
+        uUnc = data["Rinv"] * rmod
+        x = jnp.clip(xUnc, qp.xmin, qp.xmax) * xm
+        u = jnp.clip(uUnc, qp.umin, qp.umax) * um
+        qtilde = jnp.where((xUnc > qp.xmax) | (xUnc < qp.xmin), 0.0,
+                           data["Qinv"])
+        rtilde = jnp.where((uUnc > qp.umax) | (uUnc < qp.umin), 0.0,
+                           data["Rinv"])
+        # diagonal elimination matrix for clipping nodes
+        diagP = jnp.concatenate([qtilde * xm, rtilde * um], axis=1)
+        P = jnp.eye(nz, dtype=qp.dtype)[None] * diagP[:, None, :]
+        mu_x = data["Qd"] * (xUnc - x) * xm
+        mu_u = data["Rd"] * (uUnc - u) * um
+        mu_d = jnp.zeros((prep.Nn, data["G"].shape[1] - nz), qp.dtype)
+        res = jnp.zeros((), qp.dtype)
+        if len(gen_idx) > 0:
+            hmod_g = jnp.concatenate([qmod[gen_idx], rmod[gen_idx]], axis=1)
+            z_g, P_g, mu_g, res = _qpgen_batch(
+                hmod_g, data["H"][gen_idx], data["Hinv"][gen_idx],
+                data["G"][gen_idx], data["lo"][gen_idx], data["hi"][gen_idx],
+                data["m_lo"][gen_idx], data["m_hi"][gen_idx],
+                data["rho_row"][gen_idx], data["L_admm"][gen_idx], opts)
+            x = x.at[gen_idx].set(z_g[:, :nxm] * xm[gen_idx])
+            u = u.at[gen_idx].set(z_g[:, nxm:] * um[gen_idx])
+            P = P.at[gen_idx].set(P_g)
+            mu_x = mu_x.at[gen_idx].set(mu_g[:, :nxm])
+            mu_u = mu_u.at[gen_idx].set(mu_g[:, nxm:nz])
+            mu_d = mu_d.at[gen_idx].set(mu_g[:, nz:])
+        sol.update(x=x, u=u, P=P, mu_x=mu_x, mu_u=mu_u, mu_d=mu_d,
+                   qpgen_res=res)
     else:
         nxm = prep.nxm
         hmod = jnp.concatenate([qmod, rmod], axis=1)
@@ -718,6 +923,22 @@ def clipping_applicable(qp: TreeQPIn, atol: float = 0.0) -> bool:
             and np.max(np.abs(S)) <= atol and max(qp.topo.nc) == 0)
 
 
+def clipping_applicable_nodes(qp: TreeQPIn, atol: float = 0.0) -> tuple:
+    """Per-node clipping applicability (diag Q/R, zero S, nc=0) — the
+    static node split for ``stage_solver='mixed'``. Host-side."""
+    Q = np.asarray(qp.Q)
+    R = np.asarray(qp.R)
+    S = np.asarray(qp.S)
+    offq = np.abs(Q - np.einsum("nii->ni", Q)[:, :, None]
+                  * np.eye(Q.shape[-1])).max(axis=(1, 2))
+    offr = np.abs(R - np.einsum("nii->ni", R)[:, :, None]
+                  * np.eye(R.shape[-1])).max(axis=(1, 2))
+    offs = np.abs(S).max(axis=(1, 2))
+    nc = np.asarray(qp.topo.nc)
+    ok = (offq <= atol) & (offr <= atol) & (offs <= atol) & (nc == 0)
+    return tuple(int(v) for v in ok)
+
+
 def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
     """Solve a tree QP with dual Newton on the tree formulation.
 
@@ -730,8 +951,12 @@ def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> Tr
             and not clipping_applicable(qp)):
         raise ValueError(
             "clipping stage solver not applicable (needs diagonal Q/R, zero "
-            "S, nc=0) — use stage_solver='boxqp' or the IPM "
+            "S, nc=0) — use stage_solver='qpgen'/'mixed'/'boxqp' or the IPM "
             "(cf. stage_qp_clipping_is_applicable)")
+    if (opts.stage_solver == "mixed" and opts.node_solver is None
+            and not isinstance(qp.Q, jax.core.Tracer)):
+        opts = dataclasses.replace(
+            opts, node_solver=clipping_applicable_nodes(qp))
     return _tdunes_solve_jit(qp, lam0, opts)
 
 
@@ -796,6 +1021,7 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
     status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
                        TDUNES_MAX_ITER, status)
 
+    mu_d = jnp.zeros((topo.Nn, topo.ncm), dt)
     if opts.stage_solver == "clipping":
         # mu = Q .* (xUnc - x) (stage_qp_clipping_export_mu)
         mu_x = data["Qd"] * (sol["xUnc"] - sol["x"]) * xm
@@ -803,6 +1029,10 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
     elif opts.stage_solver == "boxqp":
         mu_x = sol["mu"][:, : topo.nxm] * xm
         mu_u = sol["mu"][:, topo.nxm:] * um
+    elif opts.stage_solver in ("qpgen", "mixed"):
+        mu_x = sol["mu_x"] * xm
+        mu_u = sol["mu_u"] * um
+        mu_d = sol["mu_d"][:, : topo.ncm] * jnp.asarray(topo.c_mask, dt)
     else:
         mu_x = jnp.zeros_like(sol["x"])
         mu_u = jnp.zeros_like(sol["u"])
@@ -812,11 +1042,15 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         # inner-solver convergence guard (see _stage_solve): nonzero means
         # boxqp_iters was too small for the final active set
         info["boxqp_res"] = sol["boxqp_res"]
+    if opts.stage_solver in ("qpgen", "mixed"):
+        # inner-solver guard: max primal violation / stationarity of the
+        # polished general stage QPs at the final iterate
+        info["qpgen_res"] = sol["qpgen_res"]
     if opts.record_history:
         info["err_hist"], info["ls_hist"] = hist
     return TreeQPOut(
         x=sol["x"], u=sol["u"], lam=lam * nrxm,
         mu_x=mu_x, mu_u=mu_u,
-        mu_d=jnp.zeros((topo.Nn, topo.ncm), dt),
+        mu_d=mu_d,
         info=info,
     )
