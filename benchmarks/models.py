@@ -40,6 +40,10 @@ def _col_major(flat: np.ndarray, rows: int, cols: int) -> np.ndarray:
 
 def spring_mass_qp(data_dir: str = SPRING_MASS_DIR, xmax1: float = 0.2,
                   x0_from_file: bool = True):
+    # NOTE: xmax1=None keeps the original (untightened) bound from data.c —
+    # the configuration of the sdunes-specific reference example
+    # (spring_mass_dual_newton_scenarios.c), whose warm-start txt files
+    # correspond to the untightened instance.
     """The spring_mass.c robust-MPC tree QP (reference spring_mass.c:125-227).
 
     Loads the code-generated instance data (data.c); skips the first
@@ -56,7 +60,8 @@ def spring_mass_qp(data_dir: str = SPRING_MASS_DIR, xmax1: float = 0.2,
     b = d["b"].reshape(-1, NX)[1:]
 
     xmax = d["xmax"].copy()
-    xmax[1] = xmax1
+    if xmax1 is not None:
+        xmax[1] = xmax1
 
     x0 = read_txt_vector(f"{data_dir}/x0.txt") if x0_from_file else np.zeros(NX)
 

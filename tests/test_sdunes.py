@@ -78,3 +78,66 @@ def test_dual_dimension_formula():
         sqp = scenario_data(qp)
         Ns = md**Nr
         assert sum(sqp.meta.common) == Nr * Ns - (Ns - 1) // (md - 1)
+
+
+def test_spring_mass_reference_instance():
+    """sdunes on the EXACT reference sdunes example configuration
+    (spring_mass_dual_newton_scenarios.c: untightened bounds), cold and
+    warm-started from the reference's own txt files (VERDICT #5 parity)."""
+    from benchmarks.models import spring_mass_qp
+    from treeqp_tpu.utils.ref_data import read_txt_vector
+    from treeqp_tpu.solvers.sdunes import (
+        scenario_data, sdunes_solve, SdunesOpts, scenario_output,
+        _coupling_masks)
+    from treeqp_tpu.core.kkt import max_kkt_residual
+    qp, _ = spring_mass_qp(xmax1=None)
+    sqp = scenario_data(qp)
+    meta = sqp.meta
+    # cold
+    sol, lam, mu, info = sdunes_solve(sqp, opts=SdunesOpts(tol=1e-8, max_iter=100))
+    out = scenario_output(sqp, sol, lam, mu, info)
+    assert int(info["status"]) == 0
+    assert float(max_kkt_residual(qp, out)) < 1e-8
+    # warm from reference txt (lambda0_scen / mu0_scen)
+    base = "/root/reference/examples/spring_mass_utils"
+    lam_flat = read_txt_vector(f"{base}/lambda0_scen.txt")
+    mu_flat = read_txt_vector(f"{base}/mu0_scen.txt")
+    nx = sqp.b.shape[-1]
+    nu = sqp.r.shape[-1]
+    mu0 = jnp.asarray(mu_flat.reshape(meta.Ns, meta.Nh, nx))
+    cm = np.asarray(_coupling_masks(meta, jnp.float64))
+    lam0 = np.zeros((max(meta.Ns - 1, 1), meta.Nr, nu))
+    idx = 0
+    for s in range(meta.Ns - 1):
+        m = int(cm[s].sum()) * nu
+        lam0[s].flat[:m] = lam_flat[idx: idx + m]
+        idx += m
+    assert idx == len(lam_flat)
+    sol, lam, mu, info = sdunes_solve(sqp, jnp.asarray(lam0), mu0,
+                                      opts=SdunesOpts(tol=1e-8, max_iter=100))
+    out = scenario_output(sqp, sol, lam, mu, info)
+    assert int(info["status"]) == 0
+    assert int(info["iter"]) <= 5
+    assert float(max_kkt_residual(qp, out)) < 1e-8
+
+
+def test_spring_mass_tightened_via_bootstrap():
+    """The tightened spring_mass.c instance (xmax1=0.2, active state
+    constraints) hits the dual-Newton cold-start plateau; an IPM-mapped
+    warm start (scenario_duals_from_tree) converges in O(1) iterations."""
+    from benchmarks.models import spring_mass_qp
+    from treeqp_tpu.solvers.sdunes import (
+        scenario_data, sdunes_solve, SdunesOpts, scenario_output,
+        scenario_duals_from_tree)
+    from treeqp_tpu.solvers.ipm import ipm_solve, IpmOpts
+    from treeqp_tpu.core.kkt import max_kkt_residual
+    qp, _ = spring_mass_qp()  # tightened (spring_mass.c:124)
+    sqp = scenario_data(qp)
+    ref = ipm_solve(qp, IpmOpts(tol=1e-10, max_iter=40))
+    lam0, mu0 = scenario_duals_from_tree(sqp, ref.lam)
+    sol, lam, mu, info = sdunes_solve(sqp, lam0, mu0,
+                                      opts=SdunesOpts(tol=1e-8, max_iter=50))
+    out = scenario_output(sqp, sol, lam, mu, info)
+    assert int(info["status"]) == 0
+    assert int(info["iter"]) <= 10
+    assert float(max_kkt_residual(qp, out)) < 1e-8

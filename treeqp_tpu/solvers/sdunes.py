@@ -42,7 +42,8 @@ from treeqp_tpu.solvers.tdunes import (
     TdunesOpts, TDUNES_OPTIMAL, TDUNES_MAX_ITER, TDUNES_NOT_DESCENT,
     _reg_cholesky)
 
-__all__ = ["SdunesOpts", "sdunes_solve", "scenario_data"]
+__all__ = ["SdunesOpts", "sdunes_solve", "scenario_data",
+           "scenario_duals_from_tree"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +59,12 @@ class SdunesOpts:
     reg_type: str = "on_the_fly"
     reg_tol: float = 1e-6
     reg_value: float = 1e-6
+    # Globalization for the dual-Newton cold-start plateau (the reference
+    # has the same weakness and ships warm-start files instead,
+    # spring_mass.c:69-83): when the Newton step's Armijo search fails or
+    # the direction is not descent, fall back to a curvature-scaled
+    # gradient-ascent step on the dual (guaranteed descent on f = -g).
+    grad_fallback: bool = True
 
     def _as_tdunes(self) -> TdunesOpts:
         return TdunesOpts(reg_type=self.reg_type, reg_tol=self.reg_tol,
@@ -476,12 +483,50 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
             f2 = f_at(tau2)
             return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot)
 
-        tau, _, ls_it, _ = jax.lax.while_loop(
+        tau, _, ls_it, acc = jax.lax.while_loop(
             cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc0))
 
         lam2 = jnp.where(descent_ok, lam + tau * dlam, lam)
         mu2 = jnp.where(descent_ok, mu + tau * dmu, mu)
-        status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
+
+        if opts.grad_fallback:
+            # --- globalization: if the Newton step failed (non-descent
+            # direction or maxed-out Armijo — the piecewise-singular
+            # cold-start plateau), take a curvature-scaled gradient step on
+            # the dual: direction (r_lam, r_mu) is always ascent for g.
+            need_fb = (~descent_ok) | (~acc)
+            L_est = jnp.max(jnp.abs(jnp.diagonal(D, axis1=2, axis2=3)))
+            if Ns > 1:
+                L_est = jnp.maximum(
+                    L_est, jnp.max(jnp.abs(jnp.diagonal(diag, axis1=1, axis2=2))))
+            t0 = 1.0 / jnp.maximum(L_est, 1e-12)
+            dot_g = -(jnp.sum(r_mu * r_mu) + jnp.sum(r_lam * r_lam))
+
+            def f_at_g(tau_):
+                mu_t = mu + tau_ * r_mu
+                lam_t = lam + tau_ * r_lam
+                sol_t = _stage_solve(sqp, mu_t, lam_t, cmask)
+                return _dual_value(sqp, sol_t, mu_t, lam_t, cmask)
+
+            def body_g(c):
+                tau_, f_, i_, a_ = c
+                tau2 = opts.ls_beta * tau_
+                f2 = f_at_g(tau2)
+                return (tau2, f2, i_ + 1,
+                        f2 <= f0 + opts.ls_gamma * tau2 * dot_g)
+
+            def cond_g(c):
+                return (~c[3]) & (c[2] < opts.ls_max_iter)
+
+            fg = f_at_g(t0)
+            accg0 = fg <= f0 + opts.ls_gamma * t0 * dot_g
+            tau_g, _, ls_g, _ = jax.lax.while_loop(
+                cond_g, body_g, (t0, fg, jnp.ones((), jnp.int32), accg0))
+            lam2 = jnp.where(need_fb, lam + tau_g * r_lam, lam2)
+            mu2 = jnp.where(need_fb, mu + tau_g * r_mu, mu2)
+            ls_it = jnp.where(need_fb, ls_it + ls_g, ls_it)
+        else:
+            status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
         return lam2, mu2, it + 1, err, status, ls_it
 
     def cond(carry):
@@ -510,6 +555,33 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
                        TDUNES_MAX_ITER, status)
     info = dict(iter=it, status=status, error=err, ls_iter=ls_it)
     return sol, lam, mu, info
+
+
+def scenario_duals_from_tree(sqp: ScenarioQP, lam_tree):
+    """Map tree-edge dynamics multipliers to scenario duals (mu0, lam0).
+
+    The scenario copies of a shared tree edge split its multiplier
+    equally: mu[s, k] = lam_tree[path(s, k+1)] / #scenarios-through-edge.
+    Used to bootstrap sdunes from an IPM/tdunes solution on cold-start
+    plateau instances (the reference instead ships warm-start txt files,
+    spring_mass.c:69-83)."""
+    meta = sqp.meta
+    Ns, Nh, Nr = meta.Ns, meta.Nh, meta.Nr
+    nx = sqp.b.shape[-1]
+    nu = sqp.r.shape[-1]
+    paths = np.asarray(meta.path_ids).reshape(Ns, Nh + 1)
+    cnt = np.zeros(meta.topo.Nn)
+    for s in range(Ns):
+        for k in range(Nh + 1):
+            cnt[paths[s, k]] += 1
+    lam_tree = np.asarray(lam_tree)
+    mu0 = np.zeros((Ns, Nh, nx))
+    for s in range(Ns):
+        for k in range(Nh):
+            node = paths[s, k + 1]
+            mu0[s, k] = lam_tree[node, :nx] / cnt[node]
+    lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), sqp.b.dtype)
+    return lam0, jnp.asarray(mu0, sqp.b.dtype)
 
 
 def scenario_output(sqp: ScenarioQP, sol, lam, mu, info) -> TreeQPOut:
