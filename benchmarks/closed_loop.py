@@ -25,6 +25,9 @@ import numpy as np
 from treeqp_tpu.core.kkt import max_kkt_residual
 from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
 from treeqp_tpu.solvers.ipm import IpmOpts, ipm_solve
+from treeqp_tpu.solvers.sdunes import (
+    SdunesOpts, scenario_data, sdunes_solve, scenario_output,
+    scenario_duals_from_tree)
 
 
 @dataclasses.dataclass
@@ -64,13 +67,17 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
 
     if solver == "tdunes":
         opts = opts or TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=100)
-    elif solver == "ipm":
+    elif solver in ("ipm", "hpmpc", "hpipm"):
+        solver = "ipm"
         opts = opts or IpmOpts(tol=1e-8, max_iter=30)
+    elif solver == "sdunes":
+        opts = opts or SdunesOpts(tol=1e-8, max_iter=100)
     else:
         raise ValueError(solver)
 
     lam = None
     prev_out = None  # IPM warm start (hpmpc_tree.h:56 analog)
+    sd_duals = None  # sdunes (lam, mu) persistence across steps
     logs = dict(cpu_time=[], iters=[], status=[], kkt=[])
     xs, us = [x.copy()], []
 
@@ -81,6 +88,18 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
             if lam is None and ipm_bootstrap:
                 lam = ipm_solve(qp, IpmOpts(tol=1e-8, max_iter=30)).lam
             out = jax.block_until_ready(tdunes_solve(qp, lam, opts))
+        elif solver == "sdunes":
+            sqp = scenario_data(qp)
+            if sd_duals is None and ipm_bootstrap:
+                boot = ipm_solve(qp, IpmOpts(tol=1e-8, max_iter=30))
+                sd_duals = scenario_duals_from_tree(sqp, boot.lam)
+            sd_lam0, sd_mu0 = sd_duals if sd_duals is not None else (None, None)
+            sol, sd_lam, sd_mu, info = sdunes_solve(sqp, sd_lam0, sd_mu0, opts)
+            sol, sd_lam, sd_mu, info = jax.block_until_ready(
+                (sol, sd_lam, sd_mu, info))
+            out = scenario_output(sqp, sol, sd_lam, sd_mu, info)
+            if warm_start:
+                sd_duals = (sd_lam, sd_mu)
         else:
             ws = prev_out if warm_start else None
             out = jax.block_until_ready(ipm_solve(qp, opts, ws=ws))

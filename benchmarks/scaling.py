@@ -66,6 +66,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--weak-base", type=int, default=32)
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--device", choices=["cpu", "default"], default="cpu")
     args = ap.parse_args()
+    if args.device == "cpu":
+        # the sitecustomize-pinned remote backend ignores JAX_PLATFORMS;
+        # virtual-device runs must force the CPU backend explicitly
+        jax.config.update("jax_platforms", "cpu")
     for r in scaling_sweep(tuple(args.devices), args.weak_base):
         print(json.dumps(r))
