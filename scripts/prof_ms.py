@@ -33,11 +33,12 @@ def loop_time(name, fn, args):
             eps, a0 = carry
             # perturb the first float leaf by eps (serializes iterations)
             leaves, treedef = jax.tree_util.tree_flatten(a0)
-            leaves = [leaves[0] + eps] + leaves[1:]
+            leaves = [leaves[0] + eps.astype(leaves[0].dtype)] + leaves[1:]
             out = fn(*jax.tree_util.tree_unflatten(treedef, leaves))
             s = sum(jnp.sum(jnp.abs(l)).astype(jnp.float64)
                     for l in jax.tree_util.tree_leaves(out)
-                    if jnp.issubdtype(l.dtype, jnp.floating))
+                    if hasattr(l, "dtype")
+                    and jnp.issubdtype(l.dtype, jnp.floating))
             return (s * 1e-30, a0), None
         (eps, _), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float64), args),
                                    None, length=n_static)
@@ -134,8 +135,13 @@ def main():
     def crown_factor(W, Ut, schur0):
         W = W.at[g_of[:, None, None], rows[:, :, None], rows[:, None, :]].add(-schur0)
         return td._tree_chol_factor(W, Ut, opts, prep_cr)
-    loop_time("crown factor", crown_factor, (W2, Ut2, schur0))
-    cf = jax.jit(crown_factor)(W2, Ut2, schur0)
+    def crown_factor_arrays(W, Ut, schur0):
+        f = crown_factor(W, Ut, schur0)
+        return {k: v for k, v in f.items() if hasattr(v, "dtype")}
+    loop_time("crown factor", crown_factor_arrays, (W2, Ut2, schur0))
+    cf = dict(jax.jit(crown_factor_arrays)(W2, Ut2, schur0))
+    if "kind" not in cf:
+        cf["kind"] = "pallas" if opts.chain_backend == "pallas" else "xla"
 
     def solve(rcr, rch, Ls, CUs, sW, sc):
         s_node = td._group_to_nodes(sW, prep_cr, dt) * nrxm_cr

@@ -45,6 +45,24 @@ def test_bench_opts_match_f64_xla(problem):
     assert float(jnp.max(jnp.abs(out.u - out_ref.u))) < 1e-6
 
 
+def test_df64_phase_matches_f64(problem):
+    """The df64 (two-f32 double-float) final phase reproduces the native
+    f64 phase: same Newton semantics, solution to ~1e-9, KKT <= 1e-8
+    (solvers/ms_df64.py; the TPU bench runs this exact configuration)."""
+    import dataclasses
+    qp, ms = problem
+    opts = dataclasses.replace(BENCH_OPTS, df64_phase=True)
+    cro, cho, info = tdunes_ms_solve(ms, None, None, opts)
+    out = merge_output(ms, cro, cho, info)
+    ref = tdunes_ms_solve(ms, None, None, REF_OPTS)
+    out_ref = merge_output(ms, *ref)
+    assert int(info["status"]) == 0
+    assert float(max_kkt_residual(qp, out)) < 1e-8
+    assert float(jnp.max(jnp.abs(out.x - out_ref.x))) < 1e-8
+    assert float(jnp.max(jnp.abs(out.u - out_ref.u))) < 1e-8
+    assert float(jnp.max(jnp.abs(out.lam - out_ref.lam))) < 1e-7
+
+
 def test_two_phase_equals_single_phase_solution(problem):
     """f32_phase_tol only changes the iteration schedule, not the answer."""
     qp, ms = problem

@@ -1,0 +1,524 @@
+"""df64 (double-float) final phase of the multistage dual-Newton solve.
+
+The two-phase TPU schedule (tdunes_multistage.tdunes_ms_solve) runs coarse
+f32 Newton iterations to ~1e-4/1e-5, then a short high-precision phase to
+the final tolerance. With XLA's emulated f64 the high-precision phase costs
+~10x a whole f32 iteration per *single* stage-solve/residual evaluation
+(BENCH_NOTES.md); this module re-implements that phase with two-f32
+double-float arithmetic (treeqp_tpu.ops.df64): every high-precision
+quantity — stage solutions, dual gradients, dual values, the exact Hessian
+action for iterative refinement, and the lambda iterate itself — is an
+(hi, lo) f32 pair manipulated by short fusable f32 op sequences, while the
+factorization/solve machinery stays the plain f32 Pallas/XLA path.
+
+Accuracy: df64 carries ~48 mantissa bits (~3.6e-16 .. 1e-14 relative in
+practice), comfortably below the 1e-8 KKT target and matching the native
+f64 phase to ~1e-12 on the golden problems (tests/test_ms_df64.py).
+
+Semantics mirror `_ms_newton_loop` (same Armijo acceptance, refinement,
+restart and status logic — reference line_search dual_Newton_tree.c:
+922-1019, solve loop :218-330); only the arithmetic changed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treeqp_tpu.ops import df64 as df
+from treeqp_tpu.ops.df64 import Df
+from treeqp_tpu.solvers import tdunes as td
+from treeqp_tpu.solvers import tdunes_multistage as tm
+from treeqp_tpu.solvers.tdunes import (
+    TdunesOpts, TDUNES_OPTIMAL, TDUNES_NOT_DESCENT)
+
+__all__ = ["ms_newton_loop_df"]
+
+f32 = jnp.float32
+
+
+def _mask(x: Df, m) -> Df:
+    """Multiply by an exact 0/1 mask (error-free)."""
+    return Df(x.hi * m, x.lo * m)
+
+
+def _cat(xs, axis) -> Df:
+    return Df(jnp.concatenate([x.hi for x in xs], axis),
+              jnp.concatenate([x.lo for x in xs], axis))
+
+
+def _contract(A: Df, x: Df, axis: int) -> Df:
+    """sum_k A[..., k, :] * x[..., k, None] over `axis` (the contraction
+    axis of A; x is broadcast along A's last axis). Elementwise df64
+    products + a two-sum tree: the df64 replacement for an einsum."""
+    return df.df_sum(df.mul(A, Df(jnp.expand_dims(x.hi, -1),
+                                  jnp.expand_dims(x.lo, -1))), axis=axis)
+
+
+def _contract_f32(A: Df, x, axis: int) -> Df:
+    """Same, with a plain-f32 x (exact two-product lift)."""
+    return df.df_sum(df.mul_f32(A, jnp.expand_dims(x, -1)), axis=axis)
+
+
+def _sum_terms(terms) -> Df:
+    """df64 sum over every element of every term array. Two shapes, picked
+    by backend at trace time (numerically both are ~n*2^-95 error: nil):
+
+    * TPU: radix-64 accumulation chains — a 63-long df.add chain is ONE
+      fused elementwise kernel; a binary two-sum tree would be ~17
+      reshape-separated tiny kernels whose launch overhead dominates the
+      whole phase-B iteration (measured, BENCH_NOTES.md).
+    * CPU: binary two-sum tree (df_sum) — the CPU XLA pipeline does not
+      fuse the radix chains; the resulting >40k-op straight-line scalar
+      dependency chain makes both compile time and thunk execution
+      superlinear (minutes for one Newton step). log2(n) vectorized
+      levels keep the test path tractable.
+    """
+    x = Df(jnp.concatenate([t.hi.reshape(-1) for t in terms]),
+           jnp.concatenate([t.lo.reshape(-1) for t in terms]))
+    if jax.default_backend() not in ("tpu", "axon"):
+        n = x.hi.size
+        m = 1 << max(n - 1, 0).bit_length()  # pad to a power of two
+        z = jnp.zeros((m - n,), f32)
+        x = Df(jnp.concatenate([x.hi, z]), jnp.concatenate([x.lo, z]))
+        s = df.df_sum(Df(x.hi[None], x.lo[None]), axis=1)
+        return Df(s.hi.reshape(()), s.lo.reshape(()))
+    R = 64
+    while x.hi.size > 1:
+        n = x.hi.size
+        m = -(-n // R)
+        pad = m * R - n
+        hi = jnp.concatenate([x.hi, jnp.zeros((pad,), f32)]).reshape(m, R)
+        lo = jnp.concatenate([x.lo, jnp.zeros((pad,), f32)]).reshape(m, R)
+        acc = Df(hi[:, 0], lo[:, 0])
+        for k in range(1, R):
+            acc = df.add(acc, Df(hi[:, k], lo[:, k]))
+        x = acc
+    return Df(x.hi.reshape(()), x.lo.reshape(()))
+
+
+def _dfdot(a: Df, b) -> Df:
+    """<a, b> with b plain f32, full df64 accumulation."""
+    return _sum_terms([df.mul_f32(a, b)])
+
+
+# ---------------------------------------------------------------------------
+# problem data in df64 form (loop-invariant; XLA hoists it out of solver
+# loops / closed-loop scans)
+
+
+def make_dd(ms: tm.MultistageQP, opts: TdunesOpts, prep_cr):
+    qp = ms.crown
+    xm, um, nrxm = td._masks(qp)
+    crown_data = td._stage_data(qp, opts)
+    rid = np.asarray(ms.meta.root_ids)
+    # parent node of each lambda-group (all members share one parent)
+    pnode = np.asarray(prep_cr.par)[np.asarray(prep_cr.kidsP)[:, 0]]
+    dd = dict(
+        xm=xm.astype(f32), um=um.astype(f32), nrxm=nrxm.astype(f32),
+        kv=jnp.asarray(prep_cr.kvalid, f32),
+        # --- chain data [S, L, ...]
+        A=df.from_f64(ms.A), AT=df.from_f64(ms.A.swapaxes(2, 3)),
+        B=df.from_f64(ms.B), BT=df.from_f64(ms.B.swapaxes(2, 3)),
+        b=df.from_f64(ms.b), q=df.from_f64(ms.q), r=df.from_f64(ms.r),
+        Qd=df.from_f64(ms.Qd), Rd=df.from_f64(ms.Rd),
+        Qinv=df.from_f64(1.0 / ms.Qd), Rinv=df.from_f64(1.0 / ms.Rd),
+        xmin=df.from_f64(ms.xmin), xmax=df.from_f64(ms.xmax),
+        umin=df.from_f64(ms.umin), umax=df.from_f64(ms.umax),
+        # --- crown data [Nn, ...]
+        cA=df.from_f64(qp.A), cAT=df.from_f64(qp.A.swapaxes(1, 2)),
+        cB=df.from_f64(qp.B), cBT=df.from_f64(qp.B.swapaxes(1, 2)),
+        cb=df.from_f64(qp.b), cq=df.from_f64(qp.q), crr=df.from_f64(qp.r),
+        cQd=df.from_f64(crown_data["Qd"]), cRd=df.from_f64(crown_data["Rd"]),
+        cQinv=df.from_f64(crown_data["Qinv"]),
+        cRinv=df.from_f64(crown_data["Rinv"]),
+        cxmin=df.from_f64(qp.xmin), cxmax=df.from_f64(qp.xmax),
+        cumin=df.from_f64(qp.umin), cumax=df.from_f64(qp.umax),
+    )
+    meta = dict(rid=rid, pnode=pnode)
+    return dd, meta
+
+
+# ---------------------------------------------------------------------------
+# df64 versions of the per-iteration quantities
+
+
+def _kid_sums(dd, meta, prep_cr, AtL: Df, BtL: Df):
+    """sum over each node's children of AtL/BtL (the segment_sum in
+    _modified_gradient) via the padded kid-group gather + masked df tree
+    sum; scattered back to parent-node rows (each parent owns exactly one
+    kid group, so scatter-set is exact)."""
+    kidsP = np.asarray(prep_cr.kidsP)
+    kv = dd["kv"][:, :, None]
+    Nn = prep_cr.Nn
+    sA_g = df.df_sum(_mask(AtL[kidsP], kv), axis=1)  # [NpG, nxm]
+    sB_g = df.df_sum(_mask(BtL[kidsP], kv), axis=1)
+    pn = meta["pnode"]
+
+    def scat(v):
+        return jnp.zeros((Nn, v.shape[-1]), f32).at[pn].set(v)
+
+    return Df(scat(sA_g.hi), scat(sA_g.lo)), Df(scat(sB_g.hi), scat(sB_g.lo))
+
+
+def df_stage_solve(dd, meta, prep_cr, lam_cr: Df, lam_ch: Df):
+    """Clipping stage solve + modified gradients for crown and chains
+    (mirrors _ms_stage_solve with stage_solver='clipping')."""
+    xm, um = dd["xm"], dd["um"]
+    # --- chain part (cf. _chain_stage_solve)
+    Aup = _contract(Df(dd["A"].hi[:, 1:], dd["A"].lo[:, 1:]),
+                    Df(lam_ch.hi[:, 1:], lam_ch.lo[:, 1:]), axis=2)
+    Bup = _contract(Df(dd["B"].hi[:, 1:], dd["B"].lo[:, 1:]),
+                    Df(lam_ch.hi[:, 1:], lam_ch.lo[:, 1:]), axis=2)
+    S, L, nx = lam_ch.hi.shape
+    zq = Df(jnp.zeros((S, 1, nx), f32), jnp.zeros((S, 1, nx), f32))
+    zr = Df(jnp.zeros((S, 1, Bup.hi.shape[-1]), f32),
+            jnp.zeros((S, 1, Bup.hi.shape[-1]), f32))
+    qmod = df.sub(df.add(df.neg(dd["q"]), lam_ch), _cat([Aup, zq], 1))
+    rmod = df.sub(df.neg(dd["r"]), _cat([Bup, zr], 1))
+    xUnc = df.mul(dd["Qinv"], qmod)
+    uUnc = df.mul(dd["Rinv"], rmod)
+    x = df.clip(xUnc, dd["xmin"], dd["xmax"])
+    u = df.clip(uUnc, dd["umin"], dd["umax"])
+    x_act = df.less(xUnc, dd["xmin"]) | df.less(dd["xmax"], xUnc)
+    u_act = df.less(uUnc, dd["umin"]) | df.less(dd["umax"], uUnc)
+    qt = df.where(x_act, df.from_f32(jnp.zeros_like(xUnc.hi)), dd["Qinv"])
+    rt = df.where(u_act, df.from_f32(jnp.zeros_like(uUnc.hi)), dd["Rinv"])
+    ch = dict(qmod=qmod, rmod=rmod, x=x, u=u, xUnc=xUnc, uUnc=uUnc,
+              qt=qt, rt=rt)
+
+    # --- chain -> crown root contributions (cf. _chain_root_contrib)
+    cqv = _contract(Df(dd["A"].hi[:, 0], dd["A"].lo[:, 0]),
+                    Df(lam_ch.hi[:, 0], lam_ch.lo[:, 0]), axis=1)  # [S, nxm]
+    crv = _contract(Df(dd["B"].hi[:, 0], dd["B"].lo[:, 0]),
+                    Df(lam_ch.hi[:, 0], lam_ch.lo[:, 0]), axis=1)
+    rid = meta["rid"]
+    Nn = prep_cr.Nn
+
+    def rscat(v, w):
+        return jnp.zeros((Nn, w), f32).at[rid].set(v)
+
+    extra_q = Df(rscat(cqv.hi, cqv.hi.shape[-1]), rscat(cqv.lo, cqv.hi.shape[-1]))
+    extra_r = Df(rscat(crv.hi, crv.hi.shape[-1]), rscat(crv.lo, crv.hi.shape[-1]))
+
+    # --- crown clipping solve (cf. _modified_gradient + _stage_solve)
+    AtL = _contract(dd["cA"], lam_cr, axis=1)   # [Nn, nxm]
+    BtL = _contract(dd["cB"], lam_cr, axis=1)   # [Nn, num]
+    sum_A, sum_B = _kid_sums(dd, meta, prep_cr, AtL, BtL)
+    sum_A = df.add(sum_A, extra_q)
+    sum_B = df.add(sum_B, extra_r)
+    cqmod = _mask(df.sub(df.add(df.neg(dd["cq"]), lam_cr), sum_A), xm)
+    crmod = _mask(df.sub(df.neg(dd["crr"]), sum_B), um)
+    cxUnc = df.mul(dd["cQinv"], cqmod)
+    cuUnc = df.mul(dd["cRinv"], crmod)
+    cx = _mask(df.clip(cxUnc, dd["cxmin"], dd["cxmax"]), xm)
+    cu = _mask(df.clip(cuUnc, dd["cumin"], dd["cumax"]), um)
+    cx_act = df.less(cxUnc, dd["cxmin"]) | df.less(dd["cxmax"], cxUnc)
+    cu_act = df.less(cuUnc, dd["cumin"]) | df.less(dd["cumax"], cuUnc)
+    cqt = df.where(cx_act, df.from_f32(jnp.zeros_like(cxUnc.hi)), dd["cQinv"])
+    crt = df.where(cu_act, df.from_f32(jnp.zeros_like(cuUnc.hi)), dd["cRinv"])
+    cr = dict(qmod=cqmod, rmod=crmod, x=cx, u=cu, xUnc=cxUnc, uUnc=cuUnc,
+              qtilde=cqt, rtilde=crt)
+    return cr, ch
+
+
+def df_residuals(dd, meta, prep_cr, cr, ch):
+    """Dual gradients (cf. _dual_residual + _chain_residual)."""
+    par = np.asarray(prep_cr.par)
+    xp = Df(cr["x"].hi[par], cr["x"].lo[par])
+    up = Df(cr["u"].hi[par], cr["u"].lo[par])
+    res_cr = _mask(
+        df.sub(df.add(df.add(_contract(dd["cAT"], xp, axis=1),
+                             _contract(dd["cBT"], up, axis=1)), dd["cb"]),
+               cr["x"]),
+        dd["nrxm"])
+    rid = meta["rid"]
+    xpc = _cat([Df(cr["x"].hi[rid][:, None], cr["x"].lo[rid][:, None]),
+                Df(ch["x"].hi[:, :-1], ch["x"].lo[:, :-1])], 1)
+    upc = _cat([Df(cr["u"].hi[rid][:, None], cr["u"].lo[rid][:, None]),
+                Df(ch["u"].hi[:, :-1], ch["u"].lo[:, :-1])], 1)
+    res_ch = df.sub(df.add(df.add(_contract(dd["AT"], xpc, axis=2),
+                                  _contract(dd["BT"], upc, axis=2)), dd["b"]),
+                    ch["x"])
+    return res_cr, res_ch
+
+
+def df_dual_value(dd, lam_cr: Df, lam_ch: Df, cr, ch) -> Df:
+    """f(lambda) = -g(lambda) (cf. _ms_dual_value), df64 throughout: the
+    Armijo comparisons resolve differences ~1e-10 of O(1e3) values. All
+    per-element terms are signed up front so ONE fused reduction covers
+    quad + lin + cmod."""
+    half = jnp.float32(-0.5)
+    terms = [
+        df.mul_f32(df.mul(df.mul(cr["x"], dd["cQd"]), cr["x"]), half),
+        df.mul_f32(df.mul(df.mul(cr["u"], dd["cRd"]), cr["u"]), half),
+        df.mul_f32(df.mul(df.mul(ch["x"], dd["Qd"]), ch["x"]), half),
+        df.mul_f32(df.mul(df.mul(ch["u"], dd["Rd"]), ch["u"]), half),
+        df.mul(cr["qmod"], cr["x"]),
+        df.mul(cr["rmod"], cr["u"]),
+        df.mul(ch["qmod"], ch["x"]),
+        df.mul(ch["rmod"], ch["u"]),
+        df.neg(df.mul(dd["cb"], lam_cr)),
+        df.neg(df.mul(dd["b"], lam_ch)),
+    ]
+    return _sum_terms(terms)
+
+
+def df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch):
+    """Exact dual-Hessian action M d (cf. _ms_apply_M) with df64 masked
+    inverses: the refinement residual res - M d cancels ~6 digits, so M d
+    must be accurate well below the f32 direction error."""
+    xm, um, nrxm = dd["xm"], dd["um"], dd["nrxm"]
+    AtL = _contract_f32(dd["cA"], dcr, axis=1)
+    BtL = _contract_f32(dd["cB"], dcr, axis=1)
+    sum_A, sum_B = _kid_sums(dd, meta, prep_cr, AtL, BtL)
+    # chain root contributions of dch
+    cqv = _contract_f32(Df(dd["A"].hi[:, 0], dd["A"].lo[:, 0]), dch[:, 0], axis=1)
+    crv = _contract_f32(Df(dd["B"].hi[:, 0], dd["B"].lo[:, 0]), dch[:, 0], axis=1)
+    rid = meta["rid"]
+    Nn = prep_cr.Nn
+
+    def rscat(v):
+        return jnp.zeros((Nn, v.shape[-1]), f32).at[rid].set(v)
+
+    sum_A = df.add(sum_A, Df(rscat(cqv.hi), rscat(cqv.lo)))
+    sum_B = df.add(sum_B, Df(rscat(crv.hi), rscat(crv.lo)))
+    xl = _mask(df.mul(cr["qtilde"],
+                      df.sub(Df(dcr, jnp.zeros_like(dcr)), sum_A)), xm)
+    ul = _mask(df.mul(cr["rtilde"], df.neg(sum_B)), um)
+    # chain linear response
+    Aup = _contract_f32(Df(dd["A"].hi[:, 1:], dd["A"].lo[:, 1:]),
+                        dch[:, 1:], axis=2)
+    Bup = _contract_f32(Df(dd["B"].hi[:, 1:], dd["B"].lo[:, 1:]),
+                        dch[:, 1:], axis=2)
+    S, L, nx = dch.shape
+    zq = Df(jnp.zeros((S, 1, nx), f32), jnp.zeros((S, 1, nx), f32))
+    zr = Df(jnp.zeros((S, 1, Bup.hi.shape[-1]), f32),
+            jnp.zeros((S, 1, Bup.hi.shape[-1]), f32))
+    qml = df.sub(Df(dch, jnp.zeros_like(dch)), _cat([Aup, zq], 1))
+    rml = df.neg(_cat([Bup, zr], 1))
+    xlc = df.mul(ch["qt"], qml)
+    ulc = df.mul(ch["rt"], rml)
+    # linearized residuals
+    par = np.asarray(prep_cr.par)
+    res_cr = _mask(
+        df.sub(df.add(_contract(dd["cAT"], Df(xl.hi[par], xl.lo[par]), axis=1),
+                      _contract(dd["cBT"], Df(ul.hi[par], ul.lo[par]), axis=1)),
+               xl), nrxm)
+    xpc = _cat([Df(xl.hi[rid][:, None], xl.lo[rid][:, None]),
+                Df(xlc.hi[:, :-1], xlc.lo[:, :-1])], 1)
+    upc = _cat([Df(ul.hi[rid][:, None], ul.lo[rid][:, None]),
+                Df(ulc.hi[:, :-1], ulc.lo[:, :-1])], 1)
+    res_ch = df.sub(df.add(_contract(dd["AT"], xpc, axis=2),
+                           _contract(dd["BT"], upc, axis=2)), xlc)
+    return df.neg(res_cr), df.neg(res_ch)
+
+
+# ---------------------------------------------------------------------------
+# the Newton loop
+
+
+def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
+                      opts: TdunesOpts, it0):
+    """df64 mirror of _ms_newton_loop (f64-data semantics, f32 speed).
+
+    ``lam0_crown``/``lam0_chain`` may be f32 or f64; returns the same tuple
+    as _ms_newton_loop with f64 lam / stage solutions.
+    """
+    meta_ms = ms.meta
+    prep_cr = td._get_prep(meta_ms.crown_topo)
+    dd, meta = make_dd(ms, opts, prep_cr)
+    nrxm = dd["nrxm"]
+
+    rid = meta["rid"]
+    g_of = prep_cr.group_of_node[rid]
+    slot = prep_cr.slot_of_node[rid]
+    nxm = meta_ms.crown_topo.nxm
+    rows = slot[:, None] * nxm + np.arange(nxm)[None, :]
+
+    def to_df(v):
+        if v.dtype == jnp.float64:
+            return df.from_f64(v)
+        return df.from_f32(v.astype(f32))
+
+    lam_cr0 = _mask(to_df(lam0_crown), nrxm)
+    lam_ch0 = to_df(lam0_chain)
+
+    def compute_residuals(lam_cr, lam_ch):
+        cr, ch = df_stage_solve(dd, meta, prep_cr, lam_cr, lam_ch)
+        res_cr, res_ch = df_residuals(dd, meta, prep_cr, cr, ch)
+        return cr, ch, res_cr, res_ch
+
+    def error_of(res_cr, res_ch):
+        if opts.termination == "infnorm":
+            return jnp.maximum(jnp.max(jnp.abs(res_cr.hi)),
+                               jnp.max(jnp.abs(res_ch.hi)))
+        sq = jnp.sum(res_cr.hi ** 2) + jnp.sum(res_ch.hi ** 2)
+        return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
+
+    def newton_step(carry, cr, ch, res_cr, res_ch):
+        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
+
+        W, Ut = td._build_dual_hessian(
+            ms.crown, {"qtilde": cr["qtilde"].hi, "rtilde": cr["rtilde"].hi},
+            None, opts, prep_cr, dtype=f32)
+        Wc, Utc = tm._chain_blocks(
+            ms, {"qt": ch["qt"].hi, "rt": ch["rt"].hi},
+            cr["qtilde"].hi, cr["rtilde"].hi, dtype=f32)
+
+        sW = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.diagonal(W, axis1=1, axis2=2), 1e-12))
+        sc = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.diagonal(Wc, axis1=2, axis2=3), 1e-12))
+        ar = np.arange(nxm)
+        rows_all = prep_cr.gslot[:, None] * nxm + ar[None, :]
+        dad_safe = np.maximum(prep_cr.gdad, 0)
+        sUt_rows = sW[dad_safe[:, None], rows_all]
+        W = W * sW[:, :, None] * sW[:, None, :]
+        Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
+        s_root = sW[g_of[:, None], rows]
+        scp = jnp.concatenate([s_root[:, None], sc[:, :-1]], axis=1)
+        Wc = Wc * sc[..., :, None] * sc[..., None, :]
+        Utc = Utc * scp[..., :, None] * sc[..., None, :]
+        s_node = td._group_to_nodes(sW, prep_cr, f32) * nrxm
+
+        Ls, CUs, schur0 = tm._chain_factor(Wc, Utc, opts)
+        W = W.at[g_of[:, None, None], rows[:, :, None],
+                 rows[:, None, :]].add(-schur0)
+        crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
+
+        def solve(rcr, rch):  # f32 in / f32 out
+            rcr_s, rch_s = rcr * s_node, rch * sc
+            ys, radd0 = tm._chain_solve_bwd(Ls, CUs, rch_s, opts)
+            rg = td._nodes_to_group(rcr_s, prep_cr)
+            rg = rg.at[g_of[:, None], rows].add(-radd0)
+            dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
+            dcr_s = td._group_to_nodes(dg, prep_cr, f32) * nrxm
+            dch_s = tm._chain_forward(Ls, CUs, ys, dcr_s[rid], opts)
+            return dcr_s * s_node, dch_s * sc
+
+        def refine_resid(dcr, dch):
+            mcr, mch = df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch)
+            return df.sub(res_cr, mcr), df.sub(res_ch, mch)
+
+        dlam_cr, dlam_ch = solve(res_cr.hi, res_ch.hi)
+        if opts.refine_steps > 0 and not opts.refine_safeguard:
+            for _ in range(opts.refine_steps):
+                rcr, rch = refine_resid(dlam_cr, dlam_ch)
+                ccr, cch = solve(rcr.hi, rch.hi)
+                dlam_cr = dlam_cr + ccr
+                dlam_ch = dlam_ch + cch
+        elif opts.refine_steps > 0:
+            def resnorm(dcr, dch):
+                rcr, rch = refine_resid(dcr, dch)
+                n = jnp.sum(rcr.hi ** 2) + jnp.sum(rch.hi ** 2)
+                return n, rcr, rch
+            n_best, rcr, rch = resnorm(dlam_cr, dlam_ch)
+            for _ in range(opts.refine_steps):
+                ccr, cch = solve(rcr.hi, rch.hi)
+                cand_cr, cand_ch = dlam_cr + ccr, dlam_ch + cch
+                n_new, rcr2, rch2 = resnorm(cand_cr, cand_ch)
+                better = n_new < n_best
+                dlam_cr = jnp.where(better, cand_cr, dlam_cr)
+                dlam_ch = jnp.where(better, cand_ch, dlam_ch)
+                rcr = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(better, a, b), rcr2, rcr)
+                rch = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(better, a, b), rch2, rch)
+                n_best = jnp.where(better, n_new, n_best)
+
+        # --- Armijo on f = -g (df64 values: the comparisons resolve
+        # differences far below f32 ulps of f0)
+        dot = df.neg(_sum_terms([df.mul_f32(res_cr, dlam_cr),
+                                 df.mul_f32(res_ch, dlam_ch)]))
+        dot_hi = dot.hi
+        descent_ok = dot_hi < 1e-10  # NaN compares false -> not ok
+        f0 = df_dual_value(dd, lam_cr, lam_ch, cr, ch)
+
+        def lam_at(tau):
+            lc = df.add(lam_cr, df.mul_f32(Df(dlam_cr, jnp.zeros_like(dlam_cr)), tau))
+            lh = df.add(lam_ch, df.mul_f32(Df(dlam_ch, jnp.zeros_like(dlam_ch)), tau))
+            return lc, lh
+
+        def f_at(tau):
+            lc, lh = lam_at(tau)
+            cr2, ch2 = df_stage_solve(dd, meta, prep_cr, lc, lh)
+            return df_dual_value(dd, lc, lh, cr2, ch2)
+
+        def accepts(f2, tau):
+            # f2 <= f0 + gamma*tau*dot  (all df64)
+            rhs = df.add(f0, df.mul_f32(dot, jnp.float32(opts.ls_gamma) * tau))
+            return ~df.less(rhs, f2)
+
+        def cond_ls(c):
+            tau, i, acc = c
+            return (~acc) & (i < opts.ls_max_iter)
+
+        def body_ls(c):
+            tau, i, acc = c
+            tau2 = jnp.float32(opts.ls_beta) * tau
+            return (tau2, i + 1, accepts(f_at(tau2), tau2))
+
+        one = jnp.ones((), f32)
+        T = min(opts.ls_batch, opts.ls_max_iter)
+        if T > 0:
+            taus = jnp.float32(opts.ls_beta) ** jnp.arange(T, dtype=f32)
+            fs = jax.vmap(f_at)(taus)
+            accs = jax.vmap(accepts)(fs, taus)
+            any_acc = jnp.any(accs)
+            idx = jnp.argmax(accs)
+            init = (taus[-1], jnp.full((), T, jnp.int32), any_acc)
+            tau_sq, it_sq, acc = jax.lax.while_loop(cond_ls, body_ls, init)
+            tau = jnp.where(any_acc, taus[idx], tau_sq)
+            ls_it = jnp.where(any_acc, (idx + 1).astype(jnp.int32), it_sq)
+        else:
+            acc0 = accepts(f_at(one), one)
+            tau, ls_it, acc = jax.lax.while_loop(
+                cond_ls, body_ls, (one, jnp.ones((), jnp.int32), acc0))
+        maxed = ~acc
+        restart = jnp.where(maxed, restart + 1, 0)
+        full_step = (opts.ls_restart_trigger > 0) & \
+            (restart >= opts.ls_restart_trigger)
+        tau = jnp.where(full_step, one, tau)
+        restart = jnp.where(full_step, 0, restart)
+
+        lc2, lh2 = lam_at(tau)
+        keep = descent_ok
+        lam_cr2 = df.where(keep, lc2, lam_cr)
+        lam_ch2 = df.where(keep, lh2, lam_ch)
+        status = jnp.where(keep, status, TDUNES_NOT_DESCENT)
+        return lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it
+
+    def cond(carry):
+        (_, _, it, err, status, _, _), _ = carry
+        return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & \
+            (it < opts.max_iter)
+
+    def body(carry):
+        (lam_cr, lam_ch, it, err, status, restart, ls_it), \
+            (cr, ch, res_cr, res_ch) = carry
+        stepped = newton_step(
+            (lam_cr, lam_ch, it, err, status, restart, ls_it),
+            cr, ch, res_cr, res_ch)
+        lam_cr2, lam_ch2 = stepped[0], stepped[1]
+        cr2, ch2, rc2, rh2 = compute_residuals(lam_cr2, lam_ch2)
+        err2 = error_of(rc2, rh2)
+        state = (lam_cr2, lam_ch2, stepped[2], err2, stepped[4], stepped[5],
+                 stepped[6])
+        return state, (cr2, ch2, rc2, rh2)
+
+    cr0, ch0, rc0, rh0 = compute_residuals(lam_cr0, lam_ch0)
+    err0 = error_of(rc0, rh0)
+    init = ((lam_cr0, lam_ch0, jnp.asarray(it0, jnp.int32), err0,
+             jnp.full((), TDUNES_OPTIMAL, jnp.int32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            (cr0, ch0, rc0, rh0))
+    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, _, _) = \
+        jax.lax.while_loop(cond, body, init)
+
+    # convert to the f64 shapes _ms_newton_loop returns
+    cr64 = {k: df.to_f64(v) for k, v in cr.items()}
+    ch64 = {k: df.to_f64(v) for k, v in ch.items()}
+    return (df.to_f64(lam_cr), df.to_f64(lam_ch), it, status, ls_it,
+            cr64, ch64, err.astype(jnp.float64))

@@ -118,6 +118,12 @@ class TdunesOpts:
     # tolerance. Same Newton iterations, same final accuracy. Requires f64
     # data + factor_dtype=float32; 0 disables.
     f32_phase_tol: float = 0.0
+    # Run the multistage solver's high-precision phase in df64 (two-f32
+    # double-float) arithmetic instead of XLA's emulated f64: same Newton
+    # semantics (solvers/ms_df64.py) at f32 op cost — the emulated-f64
+    # phase dominates the TPU solve time otherwise. Requires f64 data +
+    # factor_dtype=float32; accuracy ~1e-14 relative (ops/df64.py).
+    df64_phase: bool = False
     # Banded-chain sweep backend for the multistage solver: "pallas" fuses
     # each whole sweep into one lane-batched TPU kernel (requires
     # factor_dtype=float32); "xla" is the portable scan path.

@@ -626,8 +626,14 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         lam0_crown = lamA_cr.astype(dt)
         lam0_chain = lamA_ch.astype(dt)
 
-    lam_cr, lam_ch, it, status, ls_it, cr, ch, err = _ms_newton_loop(
-        ms, lam0_crown, lam0_chain, opts, it0)
+    if (opts.df64_phase and dt == jnp.float64
+            and opts.factor_dtype == "float32"):
+        from treeqp_tpu.solvers.ms_df64 import ms_newton_loop_df
+        lam_cr, lam_ch, it, status, ls_it, cr, ch, err = ms_newton_loop_df(
+            ms, lam0_crown, lam0_chain, opts, it0)
+    else:
+        lam_cr, lam_ch, it, status, ls_it, cr, ch, err = _ms_newton_loop(
+            ms, lam0_crown, lam0_chain, opts, it0)
     status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
                        TDUNES_MAX_ITER, status)
 
