@@ -91,8 +91,11 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
         elif solver == "sdunes":
             sqp = scenario_data(qp)
             if sd_duals is None and ipm_bootstrap:
-                boot = ipm_solve(qp, IpmOpts(tol=1e-8, max_iter=30))
-                sd_duals = scenario_duals_from_tree(sqp, boot.lam)
+                # tighter tol than tdunes' bootstrap: the recovered duals
+                # start sdunes at ~the boot residual, and the Nr>=3 plateau
+                # means sdunes cannot polish 1e-7 -> 1e-8 itself
+                boot = ipm_solve(qp, IpmOpts(tol=1e-10, max_iter=40))
+                sd_duals = scenario_duals_from_tree(sqp, boot.lam, boot)
             sd_lam0, sd_mu0 = sd_duals if sd_duals is not None else (None, None)
             sol, sd_lam, sd_mu, info = sdunes_solve(sqp, sd_lam0, sd_mu0, opts)
             sol, sd_lam, sd_mu, info = jax.block_until_ready(

@@ -141,3 +141,28 @@ def test_spring_mass_tightened_via_bootstrap():
     assert int(info["status"]) == 0
     assert int(info["iter"]) <= 10
     assert float(max_kkt_residual(qp, out)) < 1e-8
+
+
+def test_exact_dual_recovery_branchy_tree():
+    """With the full tree solution, scenario_duals_from_tree recovers the
+    copy duals exactly (per-scenario adjoint recursion for mu, telescoped
+    u-stationarity for lam): on an Nr=3 branchy tree — where the equal
+    lam/cnt split is inconsistent at branching stages and sdunes used to
+    run to max_iter — the bootstrapped solve terminates immediately."""
+    from benchmarks.models import linear_chain
+    from treeqp_tpu.solvers.sdunes import (
+        scenario_data, sdunes_solve, SdunesOpts, scenario_output,
+        scenario_duals_from_tree)
+    from treeqp_tpu.solvers.ipm import ipm_solve, IpmOpts
+    from treeqp_tpu.core.kkt import max_kkt_residual
+    model = linear_chain(md=3, Nr=3, Nh=12, nm=2, nu_count=1)
+    qp = model.qp
+    boot = ipm_solve(qp, IpmOpts(tol=1e-10, max_iter=40))
+    sqp = scenario_data(qp)
+    lam0, mu0 = scenario_duals_from_tree(sqp, boot.lam, boot)
+    sol, lam, mu, info = sdunes_solve(sqp, lam0, mu0,
+                                      opts=SdunesOpts(tol=1e-8, max_iter=50))
+    out = scenario_output(sqp, sol, lam, mu, info)
+    assert int(info["status"]) == 0
+    assert int(info["iter"]) <= 2
+    assert float(max_kkt_residual(qp, out)) < 1e-8

@@ -557,11 +557,31 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
     return sol, lam, mu, info
 
 
-def scenario_duals_from_tree(sqp: ScenarioQP, lam_tree):
-    """Map tree-edge dynamics multipliers to scenario duals (mu0, lam0).
+def scenario_duals_from_tree(sqp: ScenarioQP, lam_tree, out=None):
+    """Map a tree solution to scenario duals (lam0, mu0).
 
-    The scenario copies of a shared tree edge split its multiplier
-    equally: mu[s, k] = lam_tree[path(s, k+1)] / #scenarios-through-edge.
+    With only ``lam_tree`` (tree-edge dynamics multipliers), the scenario
+    copies of a shared edge split its multiplier equally:
+    mu[s, k] = lam_tree[path(s, k+1)] / #scenarios-through-edge. That is
+    exact on the chain part (count 1) but inconsistent at branching
+    stages — the md child edges of a crown node carry *different*
+    multipliers, so no equal split satisfies each copy's stationarity,
+    and the bootstrap residual stays O(1) for Nr >= 3.
+
+    With the full tree solution ``out`` (TreeQPOut: x, u, mu_x, mu_u), the
+    copy duals are recovered exactly instead:
+
+    * mu by the per-scenario backward adjoint recursion on the copy's own
+      x-stationarity (see _stage_solve conventions; kkt.py:11-12 signs):
+          mu[s, k-1] = Qd x_k + q_k + mu_x_k/cnt + A_k' mu[s, k]
+      (A term absent at k = Nh), which reproduces lam_tree on the chain
+      part and distributes the crown children's contributions per copy.
+    * lam (non-anticipativity) by telescoping the copy u-stationarity
+      over each coupled scenario block (cmask):
+          lam[s, k] = lam[s-1, k] + rmod0 - Rd u_k - mu_u_k/cnt
+      with rmod0 the lam-free modified gradient; block sums reproduce the
+      tree node's own u-stationarity, so block edges land back at ~0.
+
     Used to bootstrap sdunes from an IPM/tdunes solution on cold-start
     plateau instances (the reference instead ships warm-start txt files,
     spring_mass.c:69-83)."""
@@ -574,14 +594,46 @@ def scenario_duals_from_tree(sqp: ScenarioQP, lam_tree):
     for s in range(Ns):
         for k in range(Nh + 1):
             cnt[paths[s, k]] += 1
-    lam_tree = np.asarray(lam_tree)
-    mu0 = np.zeros((Ns, Nh, nx))
-    for s in range(Ns):
-        for k in range(Nh):
-            node = paths[s, k + 1]
-            mu0[s, k] = lam_tree[node, :nx] / cnt[node]
     lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), sqp.b.dtype)
-    return lam0, jnp.asarray(mu0, sqp.b.dtype)
+    if out is None:
+        lam_tree = np.asarray(lam_tree)
+        mu0 = np.zeros((Ns, Nh, nx))
+        for s in range(Ns):
+            for k in range(Nh):
+                node = paths[s, k + 1]
+                mu0[s, k] = lam_tree[node, :nx] / cnt[node]
+        return lam0, jnp.asarray(mu0, sqp.b.dtype)
+
+    share = cnt[paths]                                   # [Ns, Nh+1]
+    x_sc = np.asarray(out.x)[paths][..., :nx]            # [Ns, Nh+1, nx]
+    mux_sc = np.asarray(out.mu_x)[paths][..., :nx] / share[..., None]
+    muu_sc = np.asarray(out.mu_u)[paths][..., :nu] / share[..., None]
+    u_sc = np.asarray(out.u)[paths][..., :nu]
+    Qd = np.asarray(sqp.Qd)
+    q = np.asarray(sqp.q)
+    A = np.asarray(sqp.A)                                # [Ns, Nh, nx, nx]
+    mu0 = np.zeros((Ns, Nh, nx))
+    for k in range(Nh, 0, -1):                           # adjoint recursion
+        g = Qd[:, k] * x_sc[:, k] + q[:, k] + mux_sc[:, k]
+        if k < Nh:
+            g = g + np.einsum("sji,sj->si", A[:, k], mu0[:, k])
+        mu0[:, k - 1] = g
+    mu0 = jnp.asarray(mu0, sqp.b.dtype)
+
+    if Ns > 1:
+        cmask = _coupling_masks(meta, sqp.b.dtype)
+        sol0 = _stage_solve(sqp, mu0, lam0, cmask)
+        d = (np.asarray(sol0["rmod"])[:, :Nr]
+             - np.asarray(sqp.Rd)[:, :Nr] * u_sc[:, :Nr]
+             - muu_sc[:, :Nr])                           # [Ns, Nr, nu]
+        cm = np.asarray(cmask)                           # [Ns-1, Nr]
+        lam = np.zeros((Ns - 1, Nr, nu))
+        prev = np.zeros((Nr, nu))
+        for s in range(Ns - 1):
+            prev = (prev + d[s]) * cm[s, :, None]  # restart at boundaries
+            lam[s] = prev
+        lam0 = jnp.asarray(lam, sqp.b.dtype)
+    return lam0, mu0
 
 
 def scenario_output(sqp: ScenarioQP, sol, lam, mu, info) -> TreeQPOut:
