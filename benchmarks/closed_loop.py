@@ -100,6 +100,15 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
             sol, sd_lam, sd_mu, info = sdunes_solve(sqp, sd_lam0, sd_mu0, opts)
             sol, sd_lam, sd_mu, info = jax.block_until_ready(
                 (sol, sd_lam, sd_mu, info))
+            if int(info["status"]) != 0 and ipm_bootstrap:
+                # a large active-set change can drop the warm start onto the
+                # dual-Newton plateau mid-loop; recover by re-bootstrapping
+                # from the IPM (the fall-back pattern of the reference
+                # harness, fault_tolerance.c:569-574)
+                boot = ipm_solve(qp, IpmOpts(tol=1e-10, max_iter=40))
+                sd_lam0, sd_mu0 = scenario_duals_from_tree(sqp, boot.lam, boot)
+                sol, sd_lam, sd_mu, info = jax.block_until_ready(
+                    sdunes_solve(sqp, sd_lam0, sd_mu0, opts))
             out = scenario_output(sqp, sol, sd_lam, sd_mu, info)
             if warm_start:
                 sd_duals = (sd_lam, sd_mu)

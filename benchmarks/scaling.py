@@ -47,8 +47,14 @@ def scaling_sweep(devices=(1, 2, 4, 8), weak_base=32, nm=4, Nh=20, nrep=3,
         if n > len(all_devs):
             continue
         S = weak_base * n
-        # md**Nr = S with md=S, Nr=1 keeps the crown tiny for any S
-        qp, _ = spring_mass_chain(nm=nm, md=S, Nr=1, Nh=Nh)
+        # Grow scenarios by DEEPENING the tree (md=2, Nr=log2 S), never by
+        # widening one node: a dual-Newton crown block is dense over all
+        # kids of a parent (dim sum-of-kid-nx, dual_Newton_tree.h:91-150),
+        # so an S-ary root would cost O(S^3) replicated Cholesky and
+        # measure the wrong thing entirely.
+        Nr = int(np.round(np.log2(S)))
+        assert 2 ** Nr == S, "weak_base * n must be a power of two"
+        qp, _ = spring_mass_chain(nm=nm, md=2, Nr=Nr, Nh=max(Nh, Nr + 1))
         ms = split_multistage(qp)
         mesh = scenario_mesh(all_devs[:n])
         ms = shard_multistage(ms, mesh)
@@ -59,6 +65,13 @@ def scaling_sweep(devices=(1, 2, 4, 8), weak_base=32, nm=4, Nh=20, nrep=3,
         t1 = results[0]["time_s"]
         for r in results:
             r["weak_efficiency"] = t1 / r["time_s"]
+            # On VIRTUAL devices all shards timeshare one CPU, so the weak
+            # ideal is time growing linearly with device count (total work
+            # x N, fixed compute). The interpretable number is the factor
+            # ABOVE that ideal: replicated-crown work + collective
+            # overhead. Real-slice weak efficiency ~ 1/overhead.
+            r["overhead_vs_shared_core_ideal"] = (
+                r["time_s"] / (r["devices"] * t1))
     return results
 
 
