@@ -37,7 +37,9 @@ BASELINE_ITERS_PER_SEC = 400.0
 # quadcopter-class workload (BASELINE.md north star): 256 scenarios
 MD, NR, NH, NM = 4, 4, 20, 4  # md^Nr = 256 scenarios, nx = 8, Nh = 20
 NREP = 5
-CHAIN_R = 24  # solves chained inside one jit per timed dispatch
+# solves chained inside one jit per timed dispatch (env-overridable for
+# protocol experiments)
+CHAIN_R = int(os.environ.get("TREEQP_BENCH_CHAIN", "48"))
 
 
 def build_problem():

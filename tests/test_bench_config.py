@@ -106,3 +106,21 @@ def test_batched_ls_matches_sequential(problem):
     _, _, i1 = tdunes_ms_solve(ms, None, None, seq)
     _, _, i2 = tdunes_ms_solve(ms, None, None, bat)
     assert int(i1["iter"]) == int(i2["iter"])
+
+
+def test_factor_reuse_matches_refactorization(problem):
+    """reuse_factorization skips refactorizing on unchanged active sets
+    (checkLastActiveSet / idxFactorStart, dual_Newton_tree.c:501-512);
+    with clipping the reused factors are bitwise the ones a refactorization
+    would build, so iterations and solutions match exactly."""
+    import dataclasses
+    qp, ms = problem
+    on = dataclasses.replace(REF_OPTS, reuse_factorization=True)
+    off = dataclasses.replace(REF_OPTS, reuse_factorization=False)
+    cro1, cho1, i1 = tdunes_ms_solve(ms, None, None, on)
+    cro2, cho2, i2 = tdunes_ms_solve(ms, None, None, off)
+    assert int(i1["iter"]) == int(i2["iter"])
+    o1 = merge_output(ms, cro1, cho1, i1)
+    o2 = merge_output(ms, cro2, cho2, i2)
+    assert float(jnp.max(jnp.abs(o1.x - o2.x))) == 0.0
+    assert float(jnp.max(jnp.abs(o1.lam - o2.lam))) == 0.0

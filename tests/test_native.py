@@ -47,3 +47,26 @@ def test_large_tree_via_native():
     t = TreeStructure.multistage(md=4, Nr=4, Nh=12, nx=4, nu=1)
     assert t.Nn == (12 - 4) * 256 + (4**5 - 1) // 3
     assert t.parent[1] == 0
+
+
+def test_cpp_embedding_api_golden_dataset():
+    """The C++ embedding API (treeqp_cpp.hpp: TreeQp / TdunesSolver,
+    treeqp_cpp_interface.hpp:43-175 analog) solves a reference golden
+    dataset end-to-end through the JSON protocol bridge: JSON parse ->
+    string-keyed data classes -> CLI solve -> solution parse, matching
+    the embedded optimum at the reference unit-test bar (random_qp.c:
+    249-254)."""
+    import os
+    import subprocess
+
+    cpp_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "treeqp_tpu", "interfaces", "cpp")
+    subprocess.run(["make", "-s", "treeqp_cpp_demo"], cwd=cpp_dir, check=True)
+    dataset = "/root/reference/examples/random_qp_utils/data01.json"
+    if not os.path.exists(dataset):
+        pytest.skip("reference datasets unavailable")
+    env = dict(os.environ, TREEQP_ROOT=os.path.dirname(cpp_dir) and
+               os.path.dirname(os.path.dirname(os.path.dirname(cpp_dir))))
+    res = subprocess.run([os.path.join(cpp_dir, "treeqp_cpp_demo"), dataset],
+                         env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout + res.stderr

@@ -357,9 +357,7 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         sq = jnp.sum(res_cr.hi ** 2) + jnp.sum(res_ch.hi ** 2)
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
-    def newton_step(carry, cr, ch, res_cr, res_ch):
-        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
-
+    def factorize(cr, ch):
         W, Ut = td._build_dual_hessian(
             ms.crown, {"qtilde": cr["qtilde"].hi, "rtilde": cr["rtilde"].hi},
             None, opts, prep_cr, dtype=f32)
@@ -387,6 +385,41 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         W = W.at[g_of[:, None, None], rows[:, :, None],
                  rows[:, None, :]].add(-schur0)
         crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
+        return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
+                    CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
+
+    crown_kind = None
+    if opts.chain_backend == "pallas":
+        from treeqp_tpu.ops import crown_kernels as ckr
+        if ckr.crown_supported(prep_cr, opts):
+            crown_kind = "pallas"
+
+    def active_sig(cr, ch):
+        # reuse key (see tdunes_multistage.factorize): hi words of the
+        # masked inverses are Qinv-or-0 — equality == pattern equality
+        return (cr["qtilde"].hi, cr["rtilde"].hi, ch["qt"].hi, ch["rt"].hi)
+
+    def sig_equal(a, b):
+        eq = [jnp.all(x == y) for x, y in zip(a, b)]
+        out = eq[0]
+        for e in eq[1:]:
+            out = out & e
+        return out
+
+    def newton_step(carry, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
+        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
+
+        sig = active_sig(cr, ch)
+        if opts.reuse_factorization:
+            fact = jax.lax.cond(sig_equal(sig, sig_prev),
+                                lambda: fact_prev, lambda: factorize(cr, ch))
+        else:
+            fact = factorize(cr, ch)
+        Ls, CUs = fact["Ls"], fact["CUs"]
+        s_node, sc = fact["s_node"], fact["sc"]
+        crown_fact = dict(CholW=fact["CholW"], CholUt=fact["CholUt"])
+        if crown_kind:
+            crown_fact["kind"] = crown_kind
 
         def solve(rcr, rch):  # f32 in / f32 out
             rcr_s, rch_s = rcr * s_node, rch * sc
@@ -488,33 +521,36 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         lam_cr2 = df.where(keep, lc2, lam_cr)
         lam_ch2 = df.where(keep, lh2, lam_ch)
         status = jnp.where(keep, status, TDUNES_NOT_DESCENT)
-        return lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it
+        return (lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it), \
+            fact, sig
 
     def cond(carry):
-        (_, _, it, err, status, _, _), _ = carry
+        (_, _, it, err, status, _, _), _, _, _ = carry
         return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & \
             (it < opts.max_iter)
 
     def body(carry):
         (lam_cr, lam_ch, it, err, status, restart, ls_it), \
-            (cr, ch, res_cr, res_ch) = carry
-        stepped = newton_step(
+            (cr, ch, res_cr, res_ch), fact, sig = carry
+        stepped, fact2, sig2 = newton_step(
             (lam_cr, lam_ch, it, err, status, restart, ls_it),
-            cr, ch, res_cr, res_ch)
+            cr, ch, res_cr, res_ch, fact, sig)
         lam_cr2, lam_ch2 = stepped[0], stepped[1]
         cr2, ch2, rc2, rh2 = compute_residuals(lam_cr2, lam_ch2)
         err2 = error_of(rc2, rh2)
         state = (lam_cr2, lam_ch2, stepped[2], err2, stepped[4], stepped[5],
                  stepped[6])
-        return state, (cr2, ch2, rc2, rh2)
+        return state, (cr2, ch2, rc2, rh2), fact2, sig2
 
     cr0, ch0, rc0, rh0 = compute_residuals(lam_cr0, lam_ch0)
     err0 = error_of(rc0, rh0)
+    fact0 = factorize(cr0, ch0)
+    sig0 = active_sig(cr0, ch0)
     init = ((lam_cr0, lam_ch0, jnp.asarray(it0, jnp.int32), err0,
              jnp.full((), TDUNES_OPTIMAL, jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-            (cr0, ch0, rc0, rh0))
-    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, _, _) = \
+            (cr0, ch0, rc0, rh0), fact0, sig0)
+    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, _, _), _, _ = \
         jax.lax.while_loop(cond, body, init)
 
     # convert to the f64 shapes _ms_newton_loop returns

@@ -124,6 +124,16 @@ class TdunesOpts:
     # phase dominates the TPU solve time otherwise. Requires f64 data +
     # factor_dtype=float32; accuracy ~1e-14 relative (ops/df64.py).
     df64_phase: bool = False
+    # Skip the dual-Hessian build + factorization when the clipping active
+    # set is unchanged from the previous Newton iteration (the reference's
+    # checkLastActiveSet / idxFactorStart, dual_Newton_tree.c:501-512,
+    # :681-699): with clipping, W depends only on the active-set PATTERN
+    # (qtilde is Qinv-or-0 and A/B are constants), so an equal pattern
+    # means bitwise-equal factors — a scalar lax.cond reuses them exactly.
+    # Warm MPC solves settle their active set in 1-2 iterations; the
+    # remaining iterations skip the dominant per-iteration cost.
+    # Multistage solver only.
+    reuse_factorization: bool = True
     # Banded-chain sweep backend for the multistage solver: "pallas" fuses
     # each whole sweep into one lane-batched TPU kernel (requires
     # factor_dtype=float32); "xla" is the portable scan path.

@@ -407,9 +407,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         sq = jnp.sum(res_cr**2) + jnp.sum(res_ch**2)
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
-    def newton_step(carry, cr, ch, res_cr, res_ch):
-        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
-
+    def factorize(cr, ch):
         # --- dual Hessian (crown + chain blocks straight in f32 on the
         # mixed path: they feed only the f32 factorization; the exact f64
         # Hessian action for refinement goes through _ms_apply_M)
@@ -443,6 +441,34 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         Ls, CUs, schur0 = _chain_factor(Wc, Utc, opts)
         W = W.at[g_of[:, None, None], rows[:, :, None], rows[:, None, :]].add(-schur0)
         crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
+        return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
+                    CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
+
+    crown_kind = None
+    if opts.chain_backend == "pallas":
+        from treeqp_tpu.ops import crown_kernels as ckr
+        if ckr.crown_supported(prep_cr, opts):
+            crown_kind = "pallas"
+
+    def active_sig(cr, ch):
+        # With clipping, qtilde/rtilde are Qinv-or-0: exact array equality
+        # is exactly active-set-pattern equality, and equal patterns give
+        # bitwise-identical factorization inputs.
+        return (cr["qtilde"], cr["rtilde"], ch["qt"], ch["rt"])
+
+    def sig_equal(a, b):
+        eq = [jnp.all(x == y) for x, y in zip(a, b)]
+        out = eq[0]
+        for e in eq[1:]:
+            out = out & e
+        return out
+
+    def make_solve(fact):
+        Ls, CUs = fact["Ls"], fact["CUs"]
+        s_node, sc = fact["s_node"], fact["sc"]
+        crown_fact = dict(CholW=fact["CholW"], CholUt=fact["CholUt"])
+        if crown_kind:
+            crown_fact["kind"] = crown_kind
 
         def solve(rcr, rch):
             rcr_s, rch_s = rcr * s_node, rch * sc
@@ -453,6 +479,18 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             dcr_s = td._group_to_nodes(dg, prep_cr, dt) * nrxm_cr
             dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid], opts)
             return dcr_s * s_node, dch_s * sc
+        return solve
+
+    def newton_step(carry, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
+        lam_cr, lam_ch, it, err, status, restart, ls_it = carry
+
+        sig = active_sig(cr, ch)
+        if opts.reuse_factorization:
+            fact = jax.lax.cond(sig_equal(sig, sig_prev),
+                                lambda: fact_prev, lambda: factorize(cr, ch))
+        else:
+            fact = factorize(cr, ch)
+        solve = make_solve(fact)
 
         def newton_resnorm(dcr, dch):
             mcr, mch = _ms_apply_M(ms, cr, ch, dcr, dch, prep_cr, trans)
@@ -532,7 +570,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         lam_cr2 = jnp.where(descent_ok, lam_cr + tau * dlam_cr, lam_cr)
         lam_ch2 = jnp.where(descent_ok, lam_ch + tau * dlam_ch, lam_ch)
         status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
-        return lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it
+        return (lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it), \
+            fact, sig
 
     # step-then-evaluate structure: the carry always holds the stage
     # solution / residuals / error AT the carried lam, so the termination
@@ -540,7 +579,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     # re-evaluation (the f64 stage+residual eval is one of the most
     # expensive single ops on TPU).
     def cond(carry):
-        (_, _, it, err, status, _, _), _, (best, noimp) = carry
+        (_, _, it, err, status, _, _), _, (best, noimp), _, _ = carry
         ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
         if patience > 0:
             ok = ok & (noimp < patience)
@@ -548,9 +587,10 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
 
     def body(carry):
         (lam_cr, lam_ch, it, err, status, restart, ls_it), \
-            (cr, ch, res_cr, res_ch), (best, noimp) = carry
-        stepped = newton_step((lam_cr, lam_ch, it, err, status, restart, ls_it),
-                              cr, ch, res_cr, res_ch)
+            (cr, ch, res_cr, res_ch), (best, noimp), fact, sig = carry
+        stepped, fact2, sig2 = newton_step(
+            (lam_cr, lam_ch, it, err, status, restart, ls_it),
+            cr, ch, res_cr, res_ch, fact, sig)
         lam_cr2, lam_ch2 = stepped[0], stepped[1]
         cr2, ch2, rc2, rh2 = compute_residuals(lam_cr2, lam_ch2)
         err2 = error_of(rc2, rh2)
@@ -559,17 +599,21 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         noimp = jnp.where(improved, 0, noimp + 1)
         state = (lam_cr2, lam_ch2, stepped[2], err2, stepped[4], stepped[5],
                  stepped[6])
-        return state, (cr2, ch2, rc2, rh2), (best, noimp)
+        return state, (cr2, ch2, rc2, rh2), (best, noimp), fact2, sig2
 
     cr0, ch0, rc0, rh0 = compute_residuals(lam0_crown, lam0_chain)
     err0 = error_of(rc0, rh0)
+    # the initial factorization matches cr0/ch0's active set, so the first
+    # newton_step's reuse-compare is a true hit and uses exactly fact0
+    fact0 = factorize(cr0, ch0)
+    sig0 = active_sig(cr0, ch0)
     init = ((lam0_crown, lam0_chain, jnp.asarray(it0, jnp.int32), err0,
              jnp.full((), TDUNES_OPTIMAL, jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
             (cr0, ch0, rc0, rh0),
-            (err0, jnp.zeros((), jnp.int32)))
-    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, res_cr, res_ch), _ = \
-        jax.lax.while_loop(cond, body, init)
+            (err0, jnp.zeros((), jnp.int32)), fact0, sig0)
+    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, res_cr, res_ch), \
+        _, _, _ = jax.lax.while_loop(cond, body, init)
     return lam_cr, lam_ch, it, status, ls_it, cr, ch, err
 
 
