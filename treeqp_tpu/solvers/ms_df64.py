@@ -118,9 +118,14 @@ def make_dd(ms: tm.MultistageQP, opts: TdunesOpts, prep_cr):
     dd = dict(
         xm=xm.astype(f32), um=um.astype(f32), nrxm=nrxm.astype(f32),
         kv=jnp.asarray(prep_cr.kvalid, f32),
-        # --- chain data [S, L, ...]
+        # --- chain data [S, L, ...]; [A B] packed along the output axis and
+        # [A'; B'] stacked along the contraction axis: every per-iteration
+        # dynamics contraction is ONE df64 contract instead of two
         A=df.from_f64(ms.A), AT=df.from_f64(ms.A.swapaxes(2, 3)),
         B=df.from_f64(ms.B), BT=df.from_f64(ms.B.swapaxes(2, 3)),
+        ABp=df.from_f64(jnp.concatenate([ms.A, ms.B], axis=3)),
+        ABT=df.from_f64(jnp.concatenate(
+            [ms.A.swapaxes(2, 3), ms.B.swapaxes(2, 3)], axis=2)),
         b=df.from_f64(ms.b), q=df.from_f64(ms.q), r=df.from_f64(ms.r),
         Qd=df.from_f64(ms.Qd), Rd=df.from_f64(ms.Rd),
         Qinv=df.from_f64(1.0 / ms.Qd), Rinv=df.from_f64(1.0 / ms.Rd),
@@ -129,6 +134,9 @@ def make_dd(ms: tm.MultistageQP, opts: TdunesOpts, prep_cr):
         # --- crown data [Nn, ...]
         cA=df.from_f64(qp.A), cAT=df.from_f64(qp.A.swapaxes(1, 2)),
         cB=df.from_f64(qp.B), cBT=df.from_f64(qp.B.swapaxes(1, 2)),
+        cABp=df.from_f64(jnp.concatenate([qp.A, qp.B], axis=2)),
+        cABT=df.from_f64(jnp.concatenate(
+            [qp.A.swapaxes(1, 2), qp.B.swapaxes(1, 2)], axis=1)),
         cb=df.from_f64(qp.b), cq=df.from_f64(qp.q), crr=df.from_f64(qp.r),
         cQd=df.from_f64(crown_data["Qd"]), cRd=df.from_f64(crown_data["Rd"]),
         cQinv=df.from_f64(crown_data["Qinv"]),
@@ -144,34 +152,32 @@ def make_dd(ms: tm.MultistageQP, opts: TdunesOpts, prep_cr):
 # df64 versions of the per-iteration quantities
 
 
-def _kid_sums(dd, meta, prep_cr, AtL: Df, BtL: Df):
-    """sum over each node's children of AtL/BtL (the segment_sum in
-    _modified_gradient) via the padded kid-group gather + masked df tree
-    sum; scattered back to parent-node rows (each parent owns exactly one
-    kid group, so scatter-set is exact)."""
+def _kid_sums(dd, meta, prep_cr, AtBtL: Df):
+    """sum over each node's children of the packed [A'lam B'lam] rows (the
+    segment_sum in _modified_gradient) via the padded kid-group gather +
+    masked df tree sum; scattered back to parent-node rows (each parent
+    owns exactly one kid group, so scatter-set is exact). Returns the
+    packed [Nn, nxm+num] sum (callers split)."""
     kidsP = np.asarray(prep_cr.kidsP)
     kv = dd["kv"][:, :, None]
     Nn = prep_cr.Nn
-    sA_g = df.df_sum(_mask(AtL[kidsP], kv), axis=1)  # [NpG, nxm]
-    sB_g = df.df_sum(_mask(BtL[kidsP], kv), axis=1)
+    s_g = df.df_sum(_mask(AtBtL[kidsP], kv), axis=1)  # [NpG, nxm+num]
     pn = meta["pnode"]
 
     def scat(v):
         return jnp.zeros((Nn, v.shape[-1]), f32).at[pn].set(v)
 
-    return Df(scat(sA_g.hi), scat(sA_g.lo)), Df(scat(sB_g.hi), scat(sB_g.lo))
+    return Df(scat(s_g.hi), scat(s_g.lo))
 
 
 def df_stage_solve(dd, meta, prep_cr, lam_cr: Df, lam_ch: Df):
     """Clipping stage solve + modified gradients for crown and chains
     (mirrors _ms_stage_solve with stage_solver='clipping')."""
     xm, um = dd["xm"], dd["um"]
-    # --- chain part (cf. _chain_stage_solve)
-    Aup = _contract(Df(dd["A"].hi[:, 1:], dd["A"].lo[:, 1:]),
-                    Df(lam_ch.hi[:, 1:], lam_ch.lo[:, 1:]), axis=2)
-    Bup = _contract(Df(dd["B"].hi[:, 1:], dd["B"].lo[:, 1:]),
-                    Df(lam_ch.hi[:, 1:], lam_ch.lo[:, 1:]), axis=2)
+    # --- chain part (cf. _chain_stage_solve); packed [A B] contraction
+    ABup = _contract(dd["ABp"][:, 1:], lam_ch[:, 1:], axis=2)
     S, L, nx = lam_ch.hi.shape
+    Aup, Bup = ABup[..., :nx], ABup[..., nx:]
     zq = Df(jnp.zeros((S, 1, nx), f32), jnp.zeros((S, 1, nx), f32))
     zr = Df(jnp.zeros((S, 1, Bup.hi.shape[-1]), f32),
             jnp.zeros((S, 1, Bup.hi.shape[-1]), f32))
@@ -188,26 +194,22 @@ def df_stage_solve(dd, meta, prep_cr, lam_cr: Df, lam_ch: Df):
     ch = dict(qmod=qmod, rmod=rmod, x=x, u=u, xUnc=xUnc, uUnc=uUnc,
               qt=qt, rt=rt)
 
-    # --- chain -> crown root contributions (cf. _chain_root_contrib)
-    cqv = _contract(Df(dd["A"].hi[:, 0], dd["A"].lo[:, 0]),
-                    Df(lam_ch.hi[:, 0], lam_ch.lo[:, 0]), axis=1)  # [S, nxm]
-    crv = _contract(Df(dd["B"].hi[:, 0], dd["B"].lo[:, 0]),
-                    Df(lam_ch.hi[:, 0], lam_ch.lo[:, 0]), axis=1)
+    # --- chain -> crown root contributions (cf. _chain_root_contrib),
+    # packed [S, nxm+num]
+    cqr = _contract(dd["ABp"][:, 0], lam_ch[:, 0], axis=1)
     rid = meta["rid"]
     Nn = prep_cr.Nn
 
-    def rscat(v, w):
-        return jnp.zeros((Nn, w), f32).at[rid].set(v)
+    def rscat(v):
+        return jnp.zeros((Nn, v.shape[-1]), f32).at[rid].set(v)
 
-    extra_q = Df(rscat(cqv.hi, cqv.hi.shape[-1]), rscat(cqv.lo, cqv.hi.shape[-1]))
-    extra_r = Df(rscat(crv.hi, crv.hi.shape[-1]), rscat(crv.lo, crv.hi.shape[-1]))
+    extra = Df(rscat(cqr.hi), rscat(cqr.lo))
 
     # --- crown clipping solve (cf. _modified_gradient + _stage_solve)
-    AtL = _contract(dd["cA"], lam_cr, axis=1)   # [Nn, nxm]
-    BtL = _contract(dd["cB"], lam_cr, axis=1)   # [Nn, num]
-    sum_A, sum_B = _kid_sums(dd, meta, prep_cr, AtL, BtL)
-    sum_A = df.add(sum_A, extra_q)
-    sum_B = df.add(sum_B, extra_r)
+    nxm_c = lam_cr.hi.shape[-1]
+    AtBtL = _contract(dd["cABp"], lam_cr, axis=1)   # [Nn, nxm+num]
+    sum_AB = df.add(_kid_sums(dd, meta, prep_cr, AtBtL), extra)
+    sum_A, sum_B = sum_AB[..., :nxm_c], sum_AB[..., nxm_c:]
     cqmod = _mask(df.sub(df.add(df.neg(dd["cq"]), lam_cr), sum_A), xm)
     crmod = _mask(df.sub(df.neg(dd["crr"]), sum_B), um)
     cxUnc = df.mul(dd["cQinv"], cqmod)
@@ -224,13 +226,13 @@ def df_stage_solve(dd, meta, prep_cr, lam_cr: Df, lam_ch: Df):
 
 
 def df_residuals(dd, meta, prep_cr, cr, ch):
-    """Dual gradients (cf. _dual_residual + _chain_residual)."""
+    """Dual gradients (cf. _dual_residual + _chain_residual); stacked
+    [A'; B'] against [x; u] — one df64 contraction per residual."""
     par = np.asarray(prep_cr.par)
-    xp = Df(cr["x"].hi[par], cr["x"].lo[par])
-    up = Df(cr["u"].hi[par], cr["u"].lo[par])
+    zp = _cat([Df(cr["x"].hi[par], cr["x"].lo[par]),
+               Df(cr["u"].hi[par], cr["u"].lo[par])], 1)
     res_cr = _mask(
-        df.sub(df.add(df.add(_contract(dd["cAT"], xp, axis=1),
-                             _contract(dd["cBT"], up, axis=1)), dd["cb"]),
+        df.sub(df.add(_contract(dd["cABT"], zp, axis=1), dd["cb"]),
                cr["x"]),
         dd["nrxm"])
     rid = meta["rid"]
@@ -238,8 +240,8 @@ def df_residuals(dd, meta, prep_cr, cr, ch):
                 Df(ch["x"].hi[:, :-1], ch["x"].lo[:, :-1])], 1)
     upc = _cat([Df(cr["u"].hi[rid][:, None], cr["u"].lo[rid][:, None]),
                 Df(ch["u"].hi[:, :-1], ch["u"].lo[:, :-1])], 1)
-    res_ch = df.sub(df.add(df.add(_contract(dd["AT"], xpc, axis=2),
-                                  _contract(dd["BT"], upc, axis=2)), dd["b"]),
+    zc = _cat([xpc, upc], 2)
+    res_ch = df.sub(df.add(_contract(dd["ABT"], zc, axis=2), dd["b"]),
                     ch["x"])
     return res_cr, res_ch
 
@@ -270,29 +272,27 @@ def df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch):
     inverses: the refinement residual res - M d cancels ~6 digits, so M d
     must be accurate well below the f32 direction error."""
     xm, um, nrxm = dd["xm"], dd["um"], dd["nrxm"]
-    AtL = _contract_f32(dd["cA"], dcr, axis=1)
-    BtL = _contract_f32(dd["cB"], dcr, axis=1)
-    sum_A, sum_B = _kid_sums(dd, meta, prep_cr, AtL, BtL)
-    # chain root contributions of dch
-    cqv = _contract_f32(Df(dd["A"].hi[:, 0], dd["A"].lo[:, 0]), dch[:, 0], axis=1)
-    crv = _contract_f32(Df(dd["B"].hi[:, 0], dd["B"].lo[:, 0]), dch[:, 0], axis=1)
+    nxm_c = dcr.shape[-1]
+    AtBtL = _contract_f32(dd["cABp"], dcr, axis=1)
+    sum_AB = _kid_sums(dd, meta, prep_cr, AtBtL)
+    # chain root contributions of dch (packed [S, nxm+num])
+    cqr = _contract_f32(dd["ABp"][:, 0], dch[:, 0], axis=1)
     rid = meta["rid"]
     Nn = prep_cr.Nn
 
     def rscat(v):
         return jnp.zeros((Nn, v.shape[-1]), f32).at[rid].set(v)
 
-    sum_A = df.add(sum_A, Df(rscat(cqv.hi), rscat(cqv.lo)))
-    sum_B = df.add(sum_B, Df(rscat(crv.hi), rscat(crv.lo)))
+    sum_AB = df.add(sum_AB, Df(rscat(cqr.hi), rscat(cqr.lo)))
+    sum_A = sum_AB[..., :nxm_c]
+    sum_B = sum_AB[..., nxm_c:]
     xl = _mask(df.mul(cr["qtilde"],
                       df.sub(Df(dcr, jnp.zeros_like(dcr)), sum_A)), xm)
     ul = _mask(df.mul(cr["rtilde"], df.neg(sum_B)), um)
-    # chain linear response
-    Aup = _contract_f32(Df(dd["A"].hi[:, 1:], dd["A"].lo[:, 1:]),
-                        dch[:, 1:], axis=2)
-    Bup = _contract_f32(Df(dd["B"].hi[:, 1:], dd["B"].lo[:, 1:]),
-                        dch[:, 1:], axis=2)
+    # chain linear response (packed [A B])
+    ABup = _contract_f32(dd["ABp"][:, 1:], dch[:, 1:], axis=2)
     S, L, nx = dch.shape
+    Aup, Bup = ABup[..., :nx], ABup[..., nx:]
     zq = Df(jnp.zeros((S, 1, nx), f32), jnp.zeros((S, 1, nx), f32))
     zr = Df(jnp.zeros((S, 1, Bup.hi.shape[-1]), f32),
             jnp.zeros((S, 1, Bup.hi.shape[-1]), f32))
@@ -300,18 +300,15 @@ def df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch):
     rml = df.neg(_cat([Bup, zr], 1))
     xlc = df.mul(ch["qt"], qml)
     ulc = df.mul(ch["rt"], rml)
-    # linearized residuals
+    # linearized residuals (stacked [A'; B'] against [x; u])
     par = np.asarray(prep_cr.par)
-    res_cr = _mask(
-        df.sub(df.add(_contract(dd["cAT"], Df(xl.hi[par], xl.lo[par]), axis=1),
-                      _contract(dd["cBT"], Df(ul.hi[par], ul.lo[par]), axis=1)),
-               xl), nrxm)
+    zpr = _cat([Df(xl.hi[par], xl.lo[par]), Df(ul.hi[par], ul.lo[par])], 1)
+    res_cr = _mask(df.sub(_contract(dd["cABT"], zpr, axis=1), xl), nrxm)
     xpc = _cat([Df(xl.hi[rid][:, None], xl.lo[rid][:, None]),
                 Df(xlc.hi[:, :-1], xlc.lo[:, :-1])], 1)
     upc = _cat([Df(ul.hi[rid][:, None], ul.lo[rid][:, None]),
                 Df(ulc.hi[:, :-1], ulc.lo[:, :-1])], 1)
-    res_ch = df.sub(df.add(_contract(dd["AT"], xpc, axis=2),
-                           _contract(dd["BT"], upc, axis=2)), xlc)
+    res_ch = df.sub(_contract(dd["ABT"], _cat([xpc, upc], 2), axis=2), xlc)
     return df.neg(res_cr), df.neg(res_ch)
 
 
@@ -349,6 +346,9 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         cr, ch = df_stage_solve(dd, meta, prep_cr, lam_cr, lam_ch)
         res_cr, res_ch = df_residuals(dd, meta, prep_cr, cr, ch)
         return cr, ch, res_cr, res_ch
+
+    def residuals_of(cr, ch):
+        return df_residuals(dd, meta, prep_cr, cr, ch)
 
     def error_of(res_cr, res_ch):
         if opts.termination == "infnorm":
@@ -477,7 +477,7 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         def f_at(tau):
             lc, lh = lam_at(tau)
             cr2, ch2 = df_stage_solve(dd, meta, prep_cr, lc, lh)
-            return df_dual_value(dd, lc, lh, cr2, ch2)
+            return df_dual_value(dd, lc, lh, cr2, ch2), cr2, ch2
 
         def accepts(f2, tau):
             # f2 <= f0 + gamma*tau*dot  (all df64)
@@ -485,44 +485,75 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
             return ~df.less(rhs, f2)
 
         def cond_ls(c):
-            tau, i, acc = c
+            tau, i, acc, _, _ = c
             return (~acc) & (i < opts.ls_max_iter)
 
         def body_ls(c):
-            tau, i, acc = c
+            tau, i, acc, _, _ = c
             tau2 = jnp.float32(opts.ls_beta) * tau
-            return (tau2, i + 1, accepts(f_at(tau2), tau2))
+            f2, cr2, ch2 = f_at(tau2)
+            return (tau2, i + 1, accepts(f2, tau2), cr2, ch2)
 
+        # every path carries the accepted tau's stage solution so the next
+        # residual evaluation reuses it instead of re-solving (a df64 stage
+        # solve is one of the costliest per-iteration pieces)
         one = jnp.ones((), f32)
+        f1, cr1, ch1 = f_at(one)
+        acc1 = accepts(f1, one)
         T = min(opts.ls_batch, opts.ls_max_iter)
         if T > 0:
-            taus = jnp.float32(opts.ls_beta) ** jnp.arange(T, dtype=f32)
-            fs = jax.vmap(f_at)(taus)
-            accs = jax.vmap(accepts)(fs, taus)
-            any_acc = jnp.any(accs)
-            idx = jnp.argmax(accs)
-            init = (taus[-1], jnp.full((), T, jnp.int32), any_acc)
-            tau_sq, it_sq, acc = jax.lax.while_loop(cond_ls, body_ls, init)
-            tau = jnp.where(any_acc, taus[idx], tau_sq)
-            ls_it = jnp.where(any_acc, (idx + 1).astype(jnp.int32), it_sq)
+            def quick_path():
+                return (one, jnp.ones((), jnp.int32), jnp.ones((), bool),
+                        cr1, ch1)
+
+            def batch_path():
+                taus = jnp.float32(opts.ls_beta) ** \
+                    jnp.arange(1, T + 1, dtype=f32)
+                fs, crs, chs = jax.vmap(f_at)(taus)
+                accs = jax.vmap(accepts)(fs, taus)
+                any_acc = jnp.any(accs)
+                idx = jnp.argmax(accs)
+                crb = jax.tree_util.tree_map(lambda a: a[idx], crs)
+                chb = jax.tree_util.tree_map(lambda a: a[idx], chs)
+                init = (taus[-1], jnp.full((), T + 1, jnp.int32), any_acc,
+                        jax.tree_util.tree_map(lambda a: a[-1], crs),
+                        jax.tree_util.tree_map(lambda a: a[-1], chs))
+                tau_sq, it_sq, acc, crq, chq = jax.lax.while_loop(
+                    cond_ls, body_ls, init)
+                tau = jnp.where(any_acc, taus[idx], tau_sq)
+                ls_it = jnp.where(any_acc, (idx + 2).astype(jnp.int32), it_sq)
+                sel = lambda a, b: jnp.where(any_acc, a, b)
+                cr_t = jax.tree_util.tree_map(sel, crb, crq)
+                ch_t = jax.tree_util.tree_map(sel, chb, chq)
+                return tau, ls_it, acc, cr_t, ch_t
+
+            tau, ls_it, acc, cr_t, ch_t = jax.lax.cond(
+                acc1, quick_path, batch_path)
         else:
-            acc0 = accepts(f_at(one), one)
-            tau, ls_it, acc = jax.lax.while_loop(
-                cond_ls, body_ls, (one, jnp.ones((), jnp.int32), acc0))
+            tau, ls_it, acc, cr_t, ch_t = jax.lax.while_loop(
+                cond_ls, body_ls, (one, jnp.ones((), jnp.int32), acc1,
+                                   cr1, ch1))
         maxed = ~acc
         restart = jnp.where(maxed, restart + 1, 0)
         full_step = (opts.ls_restart_trigger > 0) & \
             (restart >= opts.ls_restart_trigger)
-        tau = jnp.where(full_step, one, tau)
         restart = jnp.where(full_step, 0, restart)
+        sel_fs = lambda a, b: jnp.where(full_step, a, b)
+        tau = jnp.where(full_step, one, tau)
+        cr_t = jax.tree_util.tree_map(sel_fs, cr1, cr_t)
+        ch_t = jax.tree_util.tree_map(sel_fs, ch1, ch_t)
 
         lc2, lh2 = lam_at(tau)
         keep = descent_ok
         lam_cr2 = df.where(keep, lc2, lam_cr)
         lam_ch2 = df.where(keep, lh2, lam_ch)
+        cr_t = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), cr_t, cr)
+        ch_t = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), ch_t, ch)
         status = jnp.where(keep, status, TDUNES_NOT_DESCENT)
         return (lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it), \
-            fact, sig
+            fact, sig, cr_t, ch_t
 
     def cond(carry):
         (_, _, it, err, status, _, _), _, _, _ = carry
@@ -532,11 +563,11 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
     def body(carry):
         (lam_cr, lam_ch, it, err, status, restart, ls_it), \
             (cr, ch, res_cr, res_ch), fact, sig = carry
-        stepped, fact2, sig2 = newton_step(
+        stepped, fact2, sig2, cr2, ch2 = newton_step(
             (lam_cr, lam_ch, it, err, status, restart, ls_it),
             cr, ch, res_cr, res_ch, fact, sig)
         lam_cr2, lam_ch2 = stepped[0], stepped[1]
-        cr2, ch2, rc2, rh2 = compute_residuals(lam_cr2, lam_ch2)
+        rc2, rh2 = residuals_of(cr2, ch2)
         err2 = error_of(rc2, rh2)
         state = (lam_cr2, lam_ch2, stepped[2], err2, stepped[4], stepped[5],
                  stepped[6])

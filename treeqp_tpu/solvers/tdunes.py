@@ -286,10 +286,12 @@ def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep, extra_q=None, extra_r=Non
     ``extra_q/extra_r`` add externally-computed -A'lam contributions (used by
     the multistage solver to inject chain-edge terms into crown nodes)."""
     xm, um, nrxm = _masks(qp)
-    AtL = jnp.einsum("nji,nj->ni", qp.A, lam)
-    BtL = jnp.einsum("nji,nj->ni", qp.B, lam)
-    sum_A = jax.ops.segment_sum(AtL[1:], prep.par[1:], num_segments=prep.Nn)
-    sum_B = jax.ops.segment_sum(BtL[1:], prep.par[1:], num_segments=prep.Nn)
+    # packed [A B]: one einsum + one segment-sum for both contributions
+    nx = qp.A.shape[-1]
+    AB = jnp.concatenate([qp.A, qp.B], axis=2)
+    AtBtL = jnp.einsum("nji,nj->ni", AB, lam)
+    sum_AB = jax.ops.segment_sum(AtBtL[1:], prep.par[1:], num_segments=prep.Nn)
+    sum_A, sum_B = sum_AB[..., :nx], sum_AB[..., nx:]
     if extra_q is not None:
         sum_A = sum_A + extra_q
     if extra_r is not None:
@@ -558,10 +560,9 @@ def _dual_residual(qp: TreeQPIn, sol, prep: _Prep, AT=None, BT=None):
     _, _, nrxm = _masks(qp)
     if AT is None:
         AT, BT = qp.A.swapaxes(1, 2), qp.B.swapaxes(1, 2)
-    xp = sol["x"][prep.par]
-    up = sol["u"][prep.par]
-    res = (jnp.einsum("nji,nj->ni", AT, xp)
-           + jnp.einsum("nji,nj->ni", BT, up) + qp.b - sol["x"]) * nrxm
+    ABT = jnp.concatenate([AT, BT], axis=1)  # stacked [A'; B'], hoisted
+    zp = jnp.concatenate([sol["x"][prep.par], sol["u"][prep.par]], axis=1)
+    res = (jnp.einsum("nji,nj->ni", ABT, zp) + qp.b - sol["x"]) * nrxm
     return res
 
 
@@ -578,10 +579,14 @@ def _dual_value(qp: TreeQPIn, lam, sol, data, opts: TdunesOpts):
     per node -1/2 x'Qx + qmod'x - 1/2 u'Ru + rmod'u, minus sum_c b_c'lam_c."""
     x, u = sol["x"], sol["u"]
     if opts.stage_solver == "clipping":
-        quad = jnp.sum(x * data["Qd"] * x) + jnp.sum(u * data["Rd"] * u)
-    else:
-        z = jnp.concatenate([x, u], axis=1)
-        quad = jnp.sum(z * jnp.einsum("nij,nj->ni", data["H"], z))
+        # fused per-element terms -> ONE reduction per array family (the
+        # naive 5-reduction form costs 5 kernel launches per dual value,
+        # and dual values run 2-5x per Newton iteration via the LS)
+        tx = x * (sol["qmod"] - 0.5 * data["Qd"] * x) - qp.b * lam
+        tu = u * (sol["rmod"] - 0.5 * data["Rd"] * u)
+        return jnp.sum(tx) + jnp.sum(tu)
+    z = jnp.concatenate([x, u], axis=1)
+    quad = jnp.sum(z * jnp.einsum("nij,nj->ni", data["H"], z))
     lin = jnp.sum(sol["qmod"] * x) + jnp.sum(sol["rmod"] * u)
     cmod = jnp.sum(qp.b * lam)  # lam rows are masked to non-root support
     return -0.5 * quad + lin - cmod

@@ -149,8 +149,12 @@ def _chain_stage_solve(ms: MultistageQP, lam_ch):
 
     qmod[s,j] = -q + lam[s,j] - A[s,j+1]' lam[s,j+1]   (last j: no kid term)
     """
-    Aup = jnp.einsum("sljn,slj->sln", ms.A[:, 1:], lam_ch[:, 1:])  # A_{j+1}'lam_{j+1}
-    Bup = jnp.einsum("sljn,slj->sln", ms.B[:, 1:], lam_ch[:, 1:])
+    # packed [A B] operand: ONE einsum for both contractions (the concat of
+    # the loop-invariant dynamics is hoisted out of solver loops by XLA)
+    nx = ms.A.shape[-1]
+    AB = jnp.concatenate([ms.A, ms.B], axis=3)[:, 1:]
+    ABup = jnp.einsum("sljn,slj->sln", AB, lam_ch[:, 1:])
+    Aup, Bup = ABup[..., :nx], ABup[..., nx:]
     qmod = -ms.q + lam_ch
     qmod = qmod.at[:, :-1].add(-Aup)
     rmod = -ms.r
@@ -168,8 +172,10 @@ def _chain_stage_solve(ms: MultistageQP, lam_ch):
 def _chain_root_contrib(ms: MultistageQP, lam_ch):
     """-A0'lam0 / -B0'lam0 terms to inject into the crown stage-Nr nodes'
     modified gradients, in crown [Ncrown, nxm/num] layout (all-gathered)."""
-    cq = jnp.einsum("sjn,sj->sn", ms.A[:, 0], lam_ch[:, 0])  # [S, nxm]
-    cr = jnp.einsum("sjn,sj->sn", ms.B[:, 0], lam_ch[:, 0])
+    nx = ms.A.shape[-1]
+    AB0 = jnp.concatenate([ms.A, ms.B], axis=3)[:, 0]
+    cqr = jnp.einsum("sjn,sj->sn", AB0, lam_ch[:, 0])
+    cq, cr = cqr[..., :nx], cqr[..., nx:]  # [S, nxm] / [S, num]
     Ncrown = ms.meta.crown_topo.Nn
     rid = np.asarray(ms.meta.root_ids)
     extra_q = jnp.zeros((Ncrown, cq.shape[-1]), cq.dtype).at[rid].set(cq)
@@ -189,8 +195,10 @@ def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown, AT=None, BT=None):
         AT, BT = ms.A.swapaxes(2, 3), ms.B.swapaxes(2, 3)
     xp = jnp.concatenate([x_crown[rid][:, None], ch["x"][:, :-1]], axis=1)
     up = jnp.concatenate([u_crown[rid][:, None], ch["u"][:, :-1]], axis=1)
-    return (jnp.einsum("sljn,slj->sln", AT, xp)
-            + jnp.einsum("sljn,slj->sln", BT, up) + ms.b - ch["x"])
+    # stacked [A' ; B'] against [x; u]: one einsum, no separate add
+    ABT = jnp.concatenate([AT, BT], axis=2)
+    zp = jnp.concatenate([xp, up], axis=2)
+    return jnp.einsum("sljn,slj->sln", ABT, zp) + ms.b - ch["x"]
 
 
 def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown, dtype=None):
@@ -211,8 +219,9 @@ def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown, dtype=None):
     if dtype is not None:
         A, B = A.astype(dtype), B.astype(dtype)
         qt_p, rt_p, qt_c = (v.astype(dtype) for v in (qt_p, rt_p, qt_c))
-    Wc = (jnp.einsum("slin,sln,sljn->slij", A, qt_p, A)
-          + jnp.einsum("slin,sln,sljn->slij", B, rt_p, B))
+    AB = jnp.concatenate([A, B], axis=3)
+    zt_p = jnp.concatenate([qt_p, rt_p], axis=2)
+    Wc = jnp.einsum("slin,sln,sljn->slij", AB, zt_p, AB)
     nxm = Wc.shape[-1]
     Wc = Wc + jnp.eye(nxm, dtype=Wc.dtype) * qt_c[:, :, None, :]
     Utc = -(qt_p[:, :, :, None] * A.swapaxes(2, 3))  # [S,L,nx(parent),nx(child)]
@@ -302,10 +311,9 @@ def _chain_dual_terms(ms: MultistageQP, ch, lam_ch):
     """Chain contribution to f = -g: per node -1/2 x'Qx + qmod'x (+u terms),
     minus sum over chain edges b'lam."""
     x, u = ch["x"], ch["u"]
-    quad = jnp.sum(x * ms.Qd * x) + jnp.sum(u * ms.Rd * u)
-    lin = jnp.sum(ch["qmod"] * x) + jnp.sum(ch["rmod"] * u)
-    cmod = jnp.sum(ms.b * lam_ch)
-    return -0.5 * quad + lin - cmod
+    tx = x * (ch["qmod"] - 0.5 * ms.Qd * x) - ms.b * lam_ch
+    tu = u * (ch["rmod"] - 0.5 * ms.Rd * u)
+    return jnp.sum(tx) + jnp.sum(tu)
 
 
 # ---------------------------------------------------------------------------
@@ -333,30 +341,35 @@ def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr,
     if trans is None:
         trans = dict(ATc=ms.A.swapaxes(2, 3), BTc=ms.B.swapaxes(2, 3),
                      ATr=qp.A.swapaxes(1, 2), BTr=qp.B.swapaxes(1, 2))
-    # crown linear stage response
-    AtL = jnp.einsum("nji,nj->ni", qp.A, dlam_cr)
-    BtL = jnp.einsum("nji,nj->ni", qp.B, dlam_cr)
-    sum_A = jax.ops.segment_sum(AtL[1:], prep_cr.par[1:], num_segments=prep_cr.Nn)
-    sum_B = jax.ops.segment_sum(BtL[1:], prep_cr.par[1:], num_segments=prep_cr.Nn)
+    # crown linear stage response (packed [A B] -> one einsum + one segsum)
+    nxc = qp.A.shape[-1]
+    ABr = jnp.concatenate([qp.A, qp.B], axis=2)
+    AtBtL = jnp.einsum("nji,nj->ni", ABr, dlam_cr)
+    sum_AB = jax.ops.segment_sum(AtBtL[1:], prep_cr.par[1:],
+                                 num_segments=prep_cr.Nn)
+    sum_A, sum_B = sum_AB[..., :nxc], sum_AB[..., nxc:]
     eq, er = _chain_root_contrib(ms, dlam_ch)
     xl = cr["qtilde"] * (dlam_cr - sum_A - eq) * xm
     ul = cr["rtilde"] * (-sum_B - er) * um
     # chain linear stage response
-    Aup = jnp.einsum("sljn,slj->sln", ms.A[:, 1:], dlam_ch[:, 1:])
-    Bup = jnp.einsum("sljn,slj->sln", ms.B[:, 1:], dlam_ch[:, 1:])
+    nx = ms.A.shape[-1]
+    ABc = jnp.concatenate([ms.A, ms.B], axis=3)[:, 1:]
+    ABup = jnp.einsum("sljn,slj->sln", ABc, dlam_ch[:, 1:])
+    Aup, Bup = ABup[..., :nx], ABup[..., nx:]
     qml = dlam_ch.at[:, :-1].add(-Aup)
     rml = jnp.zeros_like(ch["rmod"]).at[:, :-1].add(-Bup)
     xlc = ch["qt"] * qml
     ulc = ch["rt"] * rml
-    # linearized residuals
-    res_cr = (jnp.einsum("nji,nj->ni", trans["ATr"], xl[prep_cr.par])
-              + jnp.einsum("nji,nj->ni", trans["BTr"], ul[prep_cr.par])
-              - xl) * nrxm
+    # linearized residuals (stacked transposes against [x; u])
+    ABTr = jnp.concatenate([trans["ATr"], trans["BTr"]], axis=1)
+    zpr = jnp.concatenate([xl[prep_cr.par], ul[prep_cr.par]], axis=1)
+    res_cr = (jnp.einsum("nji,nj->ni", ABTr, zpr) - xl) * nrxm
     rid = np.asarray(ms.meta.root_ids)
     xp = jnp.concatenate([xl[rid][:, None], xlc[:, :-1]], axis=1)
     up = jnp.concatenate([ul[rid][:, None], ulc[:, :-1]], axis=1)
-    res_ch = (jnp.einsum("sljn,slj->sln", trans["ATc"], xp)
-              + jnp.einsum("sljn,slj->sln", trans["BTc"], up) - xlc)
+    ABTc = jnp.concatenate([trans["ATc"], trans["BTc"]], axis=2)
+    zpc = jnp.concatenate([xp, up], axis=2)
+    res_ch = jnp.einsum("sljn,slj->sln", ABTc, zpc) - xlc
     return -res_cr, -res_ch
 
 
@@ -394,12 +407,15 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     nxm = meta.crown_topo.nxm
     rows = slot[:, None] * nxm + np.arange(nxm)[None, :]  # [S, nxm]
 
-    def compute_residuals(lam_cr, lam_ch):
-        cr, ch = _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
+    def residuals_of(cr, ch):
         res_cr = td._dual_residual(ms.crown, cr, prep_cr)
         res_ch = _chain_residual(ms, ch, cr["x"], cr["u"],
                                  AT=trans["ATc"], BT=trans["BTc"])
-        return cr, ch, res_cr, res_ch
+        return res_cr, res_ch
+
+    def compute_residuals(lam_cr, lam_ch):
+        cr, ch = _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
+        return (cr, ch) + residuals_of(cr, ch)
 
     def error_of(res_cr, res_ch):
         if opts.termination == "infnorm":
@@ -526,52 +542,94 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         descent_ok = dot < 1e-10
         f0 = _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts)
 
+        def solve_at(tau):
+            lc = lam_cr + tau * dlam_cr
+            lh = lam_ch + tau * dlam_ch
+            return _ms_stage_solve(ms, crown_data, lc, lh, opts, prep_cr)
+
         def f_at(tau):
             lc = lam_cr + tau * dlam_cr
             lh = lam_ch + tau * dlam_ch
             cr2, ch2 = _ms_stage_solve(ms, crown_data, lc, lh, opts, prep_cr)
-            return _ms_dual_value(ms, crown_data, lc, lh, cr2, ch2, opts)
+            return _ms_dual_value(ms, crown_data, lc, lh, cr2, ch2, opts), \
+                cr2, ch2
 
         def cond_ls(c):
-            tau, f, i, acc = c
+            tau, f, i, acc, _, _ = c
             return (~acc) & (i < opts.ls_max_iter)
 
         def body_ls(c):
-            tau, f, i, acc = c
+            tau, f, i, acc, _, _ = c
             tau2 = opts.ls_beta * tau
-            f2 = f_at(tau2)
-            return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot)
+            f2, cr2, ch2 = f_at(tau2)
+            return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot,
+                    cr2, ch2)
 
         one = jnp.ones((), dt)
         T = min(opts.ls_batch, opts.ls_max_iter)
+        # every path returns the accepted tau's STAGE SOLUTION too, so the
+        # caller's next residual evaluation reuses it instead of re-solving
+        f1, cr1, ch1 = f_at(one)
+        acc1 = f1 <= f0 + opts.ls_gamma * one * dot
         if T > 0:
-            # batched trial steps (SURVEY 7 hard-part 4): all tau = beta^k
-            # candidates in one batched stage solve, sequential fallback
-            taus = opts.ls_beta ** jnp.arange(T, dtype=dt)
-            fs = jax.vmap(f_at)(taus)
-            accs = fs <= f0 + opts.ls_gamma * taus * dot
-            any_acc = jnp.any(accs)
-            idx = jnp.argmax(accs)
-            init = (taus[-1], fs[-1], jnp.full((), T, jnp.int32), any_acc)
-            tau_sq, _, it_sq, acc = jax.lax.while_loop(cond_ls, body_ls, init)
-            tau = jnp.where(any_acc, taus[idx], tau_sq)
-            ls_it = jnp.where(any_acc, (idx + 1).astype(jnp.int32), it_sq)
+            # tau=1 fast path: near convergence the full Newton step is
+            # accepted almost always, so pay ONE stage-solve eval and run
+            # the batched backtracking only on rejection (the batch is
+            # ~T stage solves; measured ~54us per eval on the bench tree)
+            def quick_path():
+                return (one, jnp.ones((), jnp.int32), jnp.ones((), bool),
+                        cr1, ch1)
+
+            def batch_path():
+                # batched trial steps (SURVEY 7 hard-part 4): all
+                # tau = beta^k candidates (k >= 1) in one batched stage
+                # solve, sequential fallback beyond
+                taus = opts.ls_beta ** jnp.arange(1, T + 1, dtype=dt)
+                fs, crs, chs = jax.vmap(f_at)(taus)
+                accs = fs <= f0 + opts.ls_gamma * taus * dot
+                any_acc = jnp.any(accs)
+                idx = jnp.argmax(accs)
+                crb = jax.tree_util.tree_map(lambda a: a[idx], crs)
+                chb = jax.tree_util.tree_map(lambda a: a[idx], chs)
+                init = (taus[-1], fs[-1], jnp.full((), T + 1, jnp.int32),
+                        any_acc,
+                        jax.tree_util.tree_map(lambda a: a[-1], crs),
+                        jax.tree_util.tree_map(lambda a: a[-1], chs))
+                tau_sq, _, it_sq, acc, crq, chq = jax.lax.while_loop(
+                    cond_ls, body_ls, init)
+                tau = jnp.where(any_acc, taus[idx], tau_sq)
+                ls_it = jnp.where(any_acc, (idx + 2).astype(jnp.int32), it_sq)
+                sel = lambda a, b: jnp.where(any_acc, a, b)
+                cr_t = jax.tree_util.tree_map(sel, crb, crq)
+                ch_t = jax.tree_util.tree_map(sel, chb, chq)
+                return tau, ls_it, acc, cr_t, ch_t
+
+            tau, ls_it, acc, cr_t, ch_t = jax.lax.cond(
+                acc1, quick_path, batch_path)
         else:
-            f1 = f_at(one)
-            acc0 = f1 <= f0 + opts.ls_gamma * one * dot
-            tau, _, ls_it, acc = jax.lax.while_loop(
-                cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc0))
+            tau, _, ls_it, acc, cr_t, ch_t = jax.lax.while_loop(
+                cond_ls, body_ls,
+                (one, f1, jnp.ones((), jnp.int32), acc1, cr1, ch1))
         maxed = ~acc
         restart = jnp.where(maxed, restart + 1, 0)
         full_step = (opts.ls_restart_trigger > 0) & (restart >= opts.ls_restart_trigger)
-        tau = jnp.where(full_step, one, tau)
         restart = jnp.where(full_step, 0, restart)
+        # full-step restart: tau forced to 1; f_at(1)'s solution is cr1/ch1
+        sel_fs = lambda a, b: jnp.where(full_step, a, b)
+        tau = jnp.where(full_step, one, tau)
+        cr_t = jax.tree_util.tree_map(sel_fs, cr1, cr_t)
+        ch_t = jax.tree_util.tree_map(sel_fs, ch1, ch_t)
 
-        lam_cr2 = jnp.where(descent_ok, lam_cr + tau * dlam_cr, lam_cr)
-        lam_ch2 = jnp.where(descent_ok, lam_ch + tau * dlam_ch, lam_ch)
-        status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
+        keep = descent_ok
+        lam_cr2 = jnp.where(keep, lam_cr + tau * dlam_cr, lam_cr)
+        lam_ch2 = jnp.where(keep, lam_ch + tau * dlam_ch, lam_ch)
+        cr_t = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), cr_t, cr)
+        ch_t = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(keep, a, b), ch_t, ch)
+        status = jnp.where(keep, status, TDUNES_NOT_DESCENT)
         return (lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it), \
-            fact, sig
+            fact, sig, cr_t, ch_t
 
     # step-then-evaluate structure: the carry always holds the stage
     # solution / residuals / error AT the carried lam, so the termination
@@ -588,11 +646,13 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     def body(carry):
         (lam_cr, lam_ch, it, err, status, restart, ls_it), \
             (cr, ch, res_cr, res_ch), (best, noimp), fact, sig = carry
-        stepped, fact2, sig2 = newton_step(
+        stepped, fact2, sig2, cr2, ch2 = newton_step(
             (lam_cr, lam_ch, it, err, status, restart, ls_it),
             cr, ch, res_cr, res_ch, fact, sig)
         lam_cr2, lam_ch2 = stepped[0], stepped[1]
-        cr2, ch2, rc2, rh2 = compute_residuals(lam_cr2, lam_ch2)
+        # stage solution at the accepted step comes from the line search —
+        # only the residuals remain to evaluate
+        rc2, rh2 = residuals_of(cr2, ch2)
         err2 = error_of(rc2, rh2)
         improved = err2 < 0.9 * best
         best = jnp.minimum(best, err2)
