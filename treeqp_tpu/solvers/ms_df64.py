@@ -466,7 +466,10 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         dot = df.neg(_sum_terms([df.mul_f32(res_cr, dlam_cr),
                                  df.mul_f32(res_ch, dlam_ch)]))
         dot_hi = dot.hi
-        descent_ok = dot_hi < 1e-10  # NaN compares false -> not ok
+        descent_ok = dot_hi < 1e-10  # NaN compares false -> not ok; documented
+        # deviation: reference requires < 0 (dual_Newton_tree.c:951)
+        # but near the residual floor g'd rounds to ~+-eps — the
+        # 1e-10 slack avoids spurious NOT_DESCENT exits there
         f0 = df_dual_value(dd, lam_cr, lam_ch, cr, ch)
 
         def lam_at(tau):

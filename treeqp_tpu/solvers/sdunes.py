@@ -460,7 +460,7 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
 
         # Armijo line search on f = -g over (lambda, mu) jointly
         dot = -(jnp.sum(r_mu * dmu) + jnp.sum(r_lam * dlam))
-        descent_ok = dot < 1e-10
+        descent_ok = dot < 1e-10  # see tdunes.py: documented < 0 deviation
         f0 = _dual_value(sqp, sol, mu, lam, cmask)
 
         def f_at(tau):

@@ -23,8 +23,10 @@ Architectural translation (not a port):
 * The level-synchronous tree Cholesky (dual_Newton_tree.c:668-775) becomes a
   static sweep over depths with batched potrf/trsm/syrk over all parent
   blocks of a depth, with scatter-adds for the parent Schur updates.
-* The active-set change tracking (`checkLastActiveSet`) is intentionally
-  dropped: on TPU always-dense masked recomputation beats branchy skipping.
+* The active-set change tracking (`checkLastActiveSet`) survives as a
+  whole-tree scalar: per-node branchy skipping loses on TPU, but when the
+  ENTIRE active set is unchanged a scalar lax.cond reuses the previous
+  factorization bitwise (opts.reuse_factorization, multistage solver).
 * The Armijo line search (dual_Newton_tree.c:922-1019) runs under
   lax.while_loop with batched dual-function evaluations.
 """
@@ -881,7 +883,10 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
     """
     dt = lam.dtype
     dot = -jnp.sum(rg * dlam_g)
-    descent_ok = dot < 1e-10  # NaN compares false -> not ok
+    descent_ok = dot < 1e-10  # NaN compares false -> not ok; documented
+        # deviation: reference requires < 0 (dual_Newton_tree.c:951)
+        # but near the residual floor g'd rounds to ~+-eps — the
+        # 1e-10 slack avoids spurious NOT_DESCENT exits there
 
     f0 = _dual_value(qp, lam, sol0, data, opts)
 

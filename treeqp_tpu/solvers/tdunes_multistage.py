@@ -539,7 +539,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
 
         # --- Armijo line search on f = -g over (crown, chain) jointly
         dot = -(jnp.sum(res_cr * dlam_cr) + jnp.sum(res_ch * dlam_ch))
-        descent_ok = dot < 1e-10
+        descent_ok = dot < 1e-10  # see tdunes.py: documented < 0 deviation
         f0 = _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts)
 
         def solve_at(tau):
