@@ -127,7 +127,11 @@ def chain_factor(Wc, Utc):
     """Fused banded backward factorization.
 
     Wc, Utc: [S, L, n, n] f32 (equilibrated). Returns (Ls, CUs, schur0) with
-    the same layout as the XLA path: Ls/CUs [S, L, n, n], schur0 [S, n, n].
+    the factors in KERNEL layout [L, n, n, S_pad] (scenarios on the lane
+    dim, identity on padded lanes) so the per-iteration solve sweeps consume
+    them without re-transposing/re-padding; schur0 is [S, n, n]. The kernel
+    layout is an opaque handle: only chain_solve_bwd / chain_forward (and
+    the fused system solve) read it.
     """
     S, L, n, _ = Wc.shape
     S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
@@ -163,22 +167,18 @@ def chain_factor(Wc, Utc):
                        jax.ShapeDtypeStruct((n, n, S_pad), Wc.dtype)),
             interpret=_interpret(),
         )(Wt, Ut_t)
-    Ls = jnp.transpose(Ls[..., :S], (3, 0, 1, 2))
-    CUs = jnp.transpose(CUs[..., :S], (3, 0, 1, 2))
     schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
     return Ls, CUs, schur0
 
 
-def chain_solve_bwd(Ls, CUs, res):
-    """Fused RHS backward sweep: y_j = L_j^-1 (r_j - CU_{j+1} y_{j+1});
-    returns (ys [S, L, n], radd0 [S, n])."""
-    S, L, n, _ = Ls.shape
-    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
-    Lt = _pad_s(jnp.transpose(Ls, (1, 2, 3, 0)), S_pad)
-    eye = jnp.eye(n, dtype=Ls.dtype)[:, :, None]
-    lane_pad = (jnp.arange(S_pad) >= S)[None, None, :]
-    Lt = Lt + jnp.where(lane_pad, eye, 0.0)[None]
-    CUt = _pad_s(jnp.transpose(CUs, (1, 2, 3, 0)), S_pad)
+def chain_solve_bwd(Lt, CUt, res):
+    """Fused RHS backward sweep: y_j = L_j^-1 (r_j - CU_{j+1} y_{j+1}).
+
+    Lt/CUt are chain_factor's kernel-layout factors [L, n, n, S_pad].
+    Returns (ys in kernel layout [L, n, S_pad] — feed it straight to
+    chain_forward — and radd0 [S, n])."""
+    L, n, _, S_pad = Lt.shape
+    S = res.shape[0]
     rt = _pad_s(jnp.transpose(res, (1, 2, 0)), S_pad)
 
     def kernel(L_ref, CU_ref, r_ref, y_ref, radd_ref):
@@ -196,24 +196,21 @@ def chain_solve_bwd(Ls, CUs, res):
             grid=(S_pad // _TS,),
             in_specs=[_spec4(L, n), _spec4(L, n), _spec3(L, n)],
             out_specs=(_spec3(L, n), _spec_v(n)),
-            out_shape=(jax.ShapeDtypeStruct((L, n, S_pad), Ls.dtype),
-                       jax.ShapeDtypeStruct((n, S_pad), Ls.dtype)),
+            out_shape=(jax.ShapeDtypeStruct((L, n, S_pad), Lt.dtype),
+                       jax.ShapeDtypeStruct((n, S_pad), Lt.dtype)),
             interpret=_interpret(),
         )(Lt, CUt, rt)
-    return (jnp.transpose(ys[..., :S], (2, 0, 1)),
-            jnp.transpose(radd0[..., :S], (1, 0)))
+    return ys, jnp.transpose(radd0[..., :S], (1, 0))
 
 
-def chain_forward(Ls, CUs, ys, droot):
-    """Fused forward substitution: dl_j = L_j^-T (y_j - CU_j' dl_{j-1})."""
-    S, L, n, _ = Ls.shape
-    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
-    Lt = _pad_s(jnp.transpose(Ls, (1, 2, 3, 0)), S_pad)
-    eye = jnp.eye(n, dtype=Ls.dtype)[:, :, None]
-    lane_pad = (jnp.arange(S_pad) >= S)[None, None, :]
-    Lt = Lt + jnp.where(lane_pad, eye, 0.0)[None]
-    CUt = _pad_s(jnp.transpose(CUs, (1, 2, 3, 0)), S_pad)
-    yt = _pad_s(jnp.transpose(ys, (1, 2, 0)), S_pad)
+def chain_forward(Lt, CUt, ys, droot):
+    """Fused forward substitution: dl_j = L_j^-T (y_j - CU_j' dl_{j-1}).
+
+    Lt/CUt: kernel-layout factors; ys: chain_solve_bwd's kernel-layout
+    output [L, n, S_pad]; droot [S, n]. Returns dls [S, L, n]."""
+    L, n, _, S_pad = Lt.shape
+    S = droot.shape[0]
+    yt = ys
     dr = _pad_s(jnp.transpose(droot, (1, 0)), S_pad)
 
     def kernel(L_ref, CU_ref, y_ref, dr_ref, dl_ref):
@@ -231,7 +228,15 @@ def chain_forward(Ls, CUs, ys, droot):
             grid=(S_pad // _TS,),
             in_specs=[_spec4(L, n), _spec4(L, n), _spec3(L, n), _spec_v(n)],
             out_specs=_spec3(L, n),
-            out_shape=jax.ShapeDtypeStruct((L, n, S_pad), Ls.dtype),
+            out_shape=jax.ShapeDtypeStruct((L, n, S_pad), Lt.dtype),
             interpret=_interpret(),
         )(Lt, CUt, yt, dr)
     return jnp.transpose(dls[..., :S], (2, 0, 1))
+
+
+def kernel_layout_shapes(S, L, n, dtype=jnp.float32):
+    """ShapeDtypeStructs of chain_factor's kernel-layout factors (for
+    carry-structure bookkeeping)."""
+    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
+    f = jax.ShapeDtypeStruct((L, n, n, S_pad), dtype)
+    return f, f

@@ -388,11 +388,7 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
                     CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
 
-    crown_kind = None
-    if opts.chain_backend == "pallas":
-        from treeqp_tpu.ops import crown_kernels as ckr
-        if ckr.crown_supported(prep_cr, opts):
-            crown_kind = "pallas"
+    crown_kind, fused = tm._solve_backends(prep_cr, meta_ms, opts)
 
     def active_sig(cr, ch):
         # reuse key (see tdunes_multistage.factorize): hi words of the
@@ -415,21 +411,9 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
                                 lambda: fact_prev, lambda: factorize(cr, ch))
         else:
             fact = factorize(cr, ch)
-        Ls, CUs = fact["Ls"], fact["CUs"]
-        s_node, sc = fact["s_node"], fact["sc"]
-        crown_fact = dict(CholW=fact["CholW"], CholUt=fact["CholUt"])
-        if crown_kind:
-            crown_fact["kind"] = crown_kind
-
-        def solve(rcr, rch):  # f32 in / f32 out
-            rcr_s, rch_s = rcr * s_node, rch * sc
-            ys, radd0 = tm._chain_solve_bwd(Ls, CUs, rch_s, opts)
-            rg = td._nodes_to_group(rcr_s, prep_cr)
-            rg = rg.at[g_of[:, None], rows].add(-radd0)
-            dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
-            dcr_s = td._group_to_nodes(dg, prep_cr, f32) * nrxm
-            dch_s = tm._chain_forward(Ls, CUs, ys, dcr_s[rid], opts)
-            return dcr_s * s_node, dch_s * sc
+        # f32 in / f32 out
+        solve = tm._make_ms_solve(fact, meta_ms, prep_cr, opts, f32, nrxm,
+                                  g_of, rows, rid, crown_kind, fused)
 
         def refine_resid(dcr, dch):
             mcr, mch = df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch)

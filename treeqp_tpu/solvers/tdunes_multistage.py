@@ -378,6 +378,58 @@ def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts):
     return f_cr + _chain_dual_terms(ms, ch, lam_ch)
 
 
+def _solve_backends(prep_cr, meta, opts):
+    """(crown_kind, fused): which kernel paths the Newton solve uses."""
+    crown_kind, fused = None, False
+    if opts.chain_backend == "pallas":
+        from treeqp_tpu.ops import crown_kernels as ckr
+        from treeqp_tpu.ops import system_kernels as sk
+        if ckr.crown_supported(prep_cr, opts):
+            crown_kind = "pallas"
+            fused = sk.system_supported(prep_cr, meta, opts)
+    return crown_kind, fused
+
+
+def _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr, g_of, rows, rid,
+                   crown_kind, fused):
+    """Build solve(rcr, rch) -> (dcr, dch) from stored factors.
+
+    Shared by the f32/f64 loop (_ms_newton_loop) and the df64 loop
+    (ms_df64) — the factors/solves are f32 either way. With ``fused`` the
+    whole three-sweep solve is ONE Pallas launch (ops/system_kernels.py);
+    otherwise chain backward / crown / chain forward run as separate
+    kernels with XLA glue."""
+    Ls, CUs = fact["Ls"], fact["CUs"]
+    s_node, sc = fact["s_node"], fact["sc"]
+    if fused:
+        from treeqp_tpu.ops import system_kernels as sk
+
+        def solve(rcr, rch):
+            rcr_s, rch_s = rcr * s_node, rch * sc
+            rg = td._nodes_to_group(rcr_s, prep_cr)
+            dg, dch_s = sk.system_solve(
+                Ls, CUs, fact["CholW"], fact["CholUt"],
+                rg, rch_s, prep_cr, meta.root_ids)
+            dcr_s = td._group_to_nodes(dg.astype(dt), prep_cr, dt) * nrxm_cr
+            return dcr_s * s_node, dch_s.astype(dt) * sc
+        return solve
+
+    crown_fact = dict(CholW=fact["CholW"], CholUt=fact["CholUt"])
+    if crown_kind:
+        crown_fact["kind"] = crown_kind
+
+    def solve(rcr, rch):
+        rcr_s, rch_s = rcr * s_node, rch * sc
+        ys, radd0 = _chain_solve_bwd(Ls, CUs, rch_s, opts)
+        rg = td._nodes_to_group(rcr_s, prep_cr)
+        rg = rg.at[g_of[:, None], rows].add(-radd0)
+        dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
+        dcr_s = td._group_to_nodes(dg, prep_cr, dt) * nrxm_cr
+        dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid], opts)
+        return dcr_s * s_node, dch_s * sc
+    return solve
+
+
 def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
                     opts: TdunesOpts, it0, patience: int = 0):
     """The dual-Newton while-loop on one precision level.
@@ -460,11 +512,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
                     CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
 
-    crown_kind = None
-    if opts.chain_backend == "pallas":
-        from treeqp_tpu.ops import crown_kernels as ckr
-        if ckr.crown_supported(prep_cr, opts):
-            crown_kind = "pallas"
+    crown_kind, fused = _solve_backends(prep_cr, meta, opts)
 
     def active_sig(cr, ch):
         # With clipping, qtilde/rtilde are Qinv-or-0: exact array equality
@@ -480,22 +528,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         return out
 
     def make_solve(fact):
-        Ls, CUs = fact["Ls"], fact["CUs"]
-        s_node, sc = fact["s_node"], fact["sc"]
-        crown_fact = dict(CholW=fact["CholW"], CholUt=fact["CholUt"])
-        if crown_kind:
-            crown_fact["kind"] = crown_kind
-
-        def solve(rcr, rch):
-            rcr_s, rch_s = rcr * s_node, rch * sc
-            ys, radd0 = _chain_solve_bwd(Ls, CUs, rch_s, opts)
-            rg = td._nodes_to_group(rcr_s, prep_cr)
-            rg = rg.at[g_of[:, None], rows].add(-radd0)
-            dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
-            dcr_s = td._group_to_nodes(dg, prep_cr, dt) * nrxm_cr
-            dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid], opts)
-            return dcr_s * s_node, dch_s * sc
-        return solve
+        return _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr,
+                              g_of, rows, rid, crown_kind, fused)
 
     def newton_step(carry, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
         lam_cr, lam_ch, it, err, status, restart, ls_it = carry
