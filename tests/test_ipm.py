@@ -124,3 +124,26 @@ def test_ipm_warm_start_cuts_iterations():
     assert int(warm.info["status"]) == 0
     assert float(max_kkt_residual(qp2, warm)) < 1e-8
     assert int(warm.info["iter"]) * 2 <= int(cold.info["iter"])
+
+
+def test_ipm_mixed_precision_matches_f64():
+    """The TPU speed path — f32 tree-Riccati factorization/solves with a
+    full-precision finish (IpmOpts.factor_dtype) — must reproduce the f64
+    path's solution, and iterative refinement must recover its iteration
+    count (VERDICT round 1: mixed precision for the IPM; the engine being
+    matched is hpipm_tree.c:489 / mode=SPEED)."""
+    import jax.numpy as jnp
+    from benchmarks.models import crane
+
+    qp = crane(md=2, Nr=2, Nh=10).qp  # active bounds + crane dynamics
+    o64 = ipm_solve(qp, IpmOpts())
+    o32 = ipm_solve(qp, IpmOpts(factor_dtype="float32"))
+    o32r = ipm_solve(qp, IpmOpts(factor_dtype="float32", refine_steps=1))
+    assert int(o64.info["status"]) == 0
+    assert int(o32.info["status"]) == 0
+    assert int(o32r.info["status"]) == 0
+    assert float(max_kkt_residual(qp, o32)) < 1e-9
+    assert float(max_kkt_residual(qp, o32r)) < 1e-9
+    assert float(jnp.max(jnp.abs(o32.x - o64.x))) < 1e-9
+    # refinement restores f64-quality directions: same iteration count
+    assert int(o32r.info["iter"]) == int(o64.info["iter"])

@@ -67,6 +67,21 @@ class IpmOpts:
     # hpipm_tree.c:88): slack/dual floor when initializing from a previous
     # solution — keeps the start strictly interior
     ws_eps: float = 1e-3
+    # --- TPU mixed-precision path (the engine-speed analog of the tdunes
+    # factor_dtype machinery; HPIPM mode=SPEED counterpart). With
+    # factor_dtype="float32" the tree-Riccati factorization + solves run in
+    # f32 while residuals/steps stay in the data dtype; IPM residuals are
+    # recomputed exactly every iteration, so an f32-accurate direction only
+    # perturbs the path (inexact Newton), not the answer. Once
+    # max(res4) < f32_until (or the barrier is small enough that f32
+    # directions stall), iterations switch to full-precision factorization
+    # to close the last digits.
+    factor_dtype: str = "same"  # same | float32
+    f32_until: float = 1e-5  # residual switch point of the f32 phase
+    # optional iterative refinement of each f32 Riccati solve against the
+    # exact data-dtype KKT operator (per-solve cost: one f64 KKT apply +
+    # one f32 re-solve per step)
+    refine_steps: int = 0
 
 
 class _IpmPrep:
@@ -148,17 +163,22 @@ def _tri_solve_mat(L, B, trans=False):
                                            transpose_a=trans)
 
 
-def _riccati_factor(qp: TreeQPIn, Hbar, prep: _IpmPrep, opts: IpmOpts):
+def _riccati_factor(qp: TreeQPIn, Hbar, prep: _IpmPrep, opts: IpmOpts,
+                    fdt=None):
     """Backward depth sweep: per-node P, chol(Muu), K, Mxu.
 
     M_n = Hbar_n + sum_kids [A B]' P_c [A B];  u = K x + k elimination.
-    Batched over all nodes of a depth per scan step.
-    """
+    Batched over all nodes of a depth per scan step. ``fdt`` (e.g.
+    jnp.float32) runs the whole factorization in that dtype — the IPM
+    mixed-precision speed path; _riccati_solve then casts rhs/solution at
+    the boundary."""
     topo = qp.topo
+    if fdt is not None:
+        Hbar = Hbar.astype(fdt)
     dt = Hbar.dtype
     Nn, nxm, num = topo.Nn, topo.nxm, topo.num
     nz = nxm + num
-    AB = jnp.concatenate([qp.A, qp.B], axis=2)  # [Nn, nxm, nz]
+    AB = jnp.concatenate([qp.A, qp.B], axis=2).astype(dt)  # [Nn, nxm, nz]
 
     P = jnp.zeros((Nn + 1, nxm, nxm), dt)
     Luu = jnp.zeros((Nn + 1, num, num), dt)
@@ -207,9 +227,12 @@ def _riccati_solve(qp: TreeQPIn, fact, rg, rb, prep: _IpmPrep):
     as the affine term of the edge into each node. Returns (dz [Nn, nz],
     dlam [Nn, nxm]) solving the equality-constrained Newton system:
         Hbar dz + rg + edge-duals = 0,  dx_c = A dx_p + B du_p + rb_c.
+    Runs in the factors' dtype (rhs cast in, solution cast back out).
     """
     topo = qp.topo
-    dt = rg.dtype
+    out_dt = rg.dtype
+    dt = fact["P"].dtype
+    rg, rb = rg.astype(dt), rb.astype(dt)
     Nn, nxm, num = topo.Nn, topo.nxm, topo.num
     nz = nxm + num
     P, Luu, K, Mxu, AB = fact["P"], fact["Luu"], fact["K"], fact["Mxu"], fact["AB"]
@@ -274,7 +297,28 @@ def _riccati_solve(qp: TreeQPIn, fact, rg, rb, prep: _IpmPrep):
 
     (dx, du, dlam), _ = jax.lax.scan(fwd, (dx, du, dlam), fxs)
     dz = jnp.concatenate([dx[:Nn], du[:Nn]], axis=1)
-    return dz, dlam[:Nn]
+    return dz.astype(out_dt), dlam[:Nn].astype(out_dt)
+
+
+def _kkt_apply(qp: TreeQPIn, Hbar, dz, dlam, prep: _IpmPrep, nrxm, zmask):
+    """Exact data-dtype action of the equality-constrained KKT operator
+    solved by the Riccati recursion:
+        L1(dz, dlam) = Hbar dz - E'dlam + sum_kids [A B]' dlam_kid
+        L2(dz)       = dx - (A dx_p + B du_p)
+    _riccati_solve returns (dz, dlam) with L1 = -rg, L2 = rb; used for
+    iterative refinement of f32-factored solves."""
+    topo = qp.topo
+    Nn, nxm = topo.Nn, topo.nxm
+    AB = jnp.concatenate([qp.A, qp.B], axis=2)
+    par = prep.par.copy()
+    par[0] = 0
+    r1 = jnp.einsum("nij,nj->ni", Hbar, dz)
+    r1 = r1.at[:, :nxm].add(-dlam * nrxm)
+    contrib = jnp.einsum("nxz,nx->nz", AB, dlam * nrxm)
+    r1 = (r1 + jax.ops.segment_sum(contrib[1:], par[1:], num_segments=Nn)) \
+        * zmask
+    r2 = (dz[:, :nxm] - jnp.einsum("nxz,nz->nx", AB, dz[par])) * nrxm
+    return r1, r2
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -384,7 +428,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         l_lo0 = jnp.where(m_lo > 0, jnp.maximum(-mu_fold, eps), 0.0)
         l_hi0 = jnp.where(m_hi > 0, jnp.maximum(mu_fold, eps), 0.0)
 
-    def iteration(carry):
+    def iteration(carry, fdt=None):
         z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4 = carry
         rg, rb, rd_lo, rd_hi, rm_lo, rm_hi = residuals(z, lam, l_lo, l_hi, s_lo, s_hi)
 
@@ -392,10 +436,24 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         rhs_g_aff, gamma = kkt_rhs(rg, rb, rd_lo, rd_hi, rm_lo, rm_hi,
                                    s_lo, s_hi, l_lo, l_hi)
         Hbar = H + jnp.einsum("ngi,ng,ngj->nij", G, gamma, G)
-        fact = _riccati_factor(qp, Hbar, prep, opts)
+        fact = _riccati_factor(qp, Hbar, prep, opts, fdt)
+
+        def rsolve(rg_, rb_):
+            dz_, dlam_ = _riccati_solve(qp, fact, rg_, rb_, prep)
+            if fdt is None or opts.refine_steps <= 0:
+                return dz_, dlam_
+            # iterative refinement against the exact data-dtype KKT
+            # operator (cf. tdunes _newton_direction)
+            for _ in range(opts.refine_steps):
+                r1, r2 = _kkt_apply(qp, Hbar, dz_, dlam_, prep, nrxm, zmask)
+                e1 = -rg_ - r1
+                e2 = rb_ - r2
+                cz, clam = _riccati_solve(qp, fact, -e1, e2, prep)
+                dz_, dlam_ = dz_ + cz, dlam_ + clam
+            return dz_, dlam_
 
         # --- affine (predictor) step: dx_c = A dx_p + B du_p + rb_c
-        dz_a, dlam_a = _riccati_solve(qp, fact, rhs_g_aff, rb, prep)
+        dz_a, dlam_a = rsolve(rhs_g_aff, rb)
         ds_lo_a, ds_hi_a, dl_lo_a, dl_hi_a = expand_step(
             dz_a, rd_lo, rd_hi, rm_lo, rm_hi, s_lo, s_hi, l_lo, l_hi)
         a_p = jnp.minimum(max_step(s_lo, ds_lo_a, m_lo), max_step(s_hi, ds_hi_a, m_hi))
@@ -411,7 +469,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         rm_hi_c = rm_hi + (ds_hi_a * dl_hi_a - sigma * mu) * m_hi
         rhs_g_c, _ = kkt_rhs(rg, rb, rd_lo, rd_hi, rm_lo_c, rm_hi_c,
                              s_lo, s_hi, l_lo, l_hi)
-        dz, dlam = _riccati_solve(qp, fact, rhs_g_c, rb, prep)
+        dz, dlam = rsolve(rhs_g_c, rb)
         ds_lo, ds_hi, dl_lo, dl_hi = expand_step(
             dz, rd_lo, rd_hi, rm_lo_c, rm_hi_c, s_lo, s_hi, l_lo, l_hi)
 
@@ -420,6 +478,13 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         a_d = jnp.minimum(max_step(l_lo, dl_lo, m_lo, tf), max_step(l_hi, dl_hi, m_hi, tf))
         alpha = jnp.minimum(a_p, a_d)
 
+        # numerical-failure guard (cf. the dual-Newton NaN/non-descent
+        # check, dual_Newton_tree.c:951-954): a NaN direction — e.g. a
+        # failed Cholesky on a late-barrier Muu — must exit as MIN_STEP
+        # with the last finite iterate, never report OPTIMAL (NaN
+        # comparisons in `cond` are false and would exit the loop)
+        ok = ~(jnp.isnan(alpha) | jnp.isnan(jnp.sum(dz)))
+        alpha = jnp.where(ok, alpha, 0.0)
         z = z + alpha * dz
         lam = lam + alpha * dlam * nrxm
         s_lo = jnp.where(m_lo > 0, s_lo + alpha * ds_lo, 1.0)
@@ -427,7 +492,8 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         l_lo = jnp.where(m_lo > 0, l_lo + alpha * dl_lo, 0.0)
         l_hi = jnp.where(m_hi > 0, l_hi + alpha * dl_hi, 0.0)
 
-        status = jnp.where(alpha < opts.alpha_min, IPM_MIN_STEP, status)
+        status = jnp.where((alpha < opts.alpha_min) | ~ok,
+                           IPM_MIN_STEP, status)
         rg2, rb2, rd_lo2, rd_hi2, rm_lo2, rm_hi2 = residuals(
             z, lam, l_lo, l_hi, s_lo, s_hi)
         res4 = jnp.stack([
@@ -443,9 +509,29 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
 
     init = (z0, lam0, l_lo0, l_hi0, s_lo0, s_hi0, jnp.zeros((), jnp.int32),
             jnp.full((), IPM_OPTIMAL, jnp.int32), jnp.full((4,), jnp.inf, dt))
+    if opts.factor_dtype == "float32" and dt == jnp.float64:
+        # --- two-phase mixed precision: f32 Riccati while the residuals
+        # are above f32_until (inexact Newton — the exactly-recomputed
+        # residuals absorb the f32 direction error), then full-precision
+        # factorization to the final tolerance.
+        switch = max(opts.tol, opts.f32_until)
+
+        def cond_a(carry):
+            _, _, _, _, _, _, it, status, res4 = carry
+            return ((jnp.max(res4) >= switch) & (status == IPM_OPTIMAL)
+                    & (it < opts.max_iter))
+
+        carry = jax.lax.while_loop(
+            cond_a, partial(iteration, fdt=jnp.float32), init)
+        # a MIN_STEP in the f32 phase is expected noise near its residual
+        # floor, not a failure: hand over to the exact phase, which
+        # re-detects a true minimum step
+        carry = carry[:7] + (jnp.full((), IPM_OPTIMAL, jnp.int32),) + carry[8:]
+        init = carry
     z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4 = jax.lax.while_loop(
         cond, iteration, init)
-    status = jnp.where((status == IPM_OPTIMAL) & (jnp.max(res4) >= opts.tol),
+    # NaN-safe: ~(max < tol) so a NaN residual can never read as OPTIMAL
+    status = jnp.where((status == IPM_OPTIMAL) & ~(jnp.max(res4) < opts.tol),
                        IPM_MAX_ITER, status)
 
     # --- export with signed multiplier fold mu = l_hi - l_lo (hpmpc_tree.c:405-433)

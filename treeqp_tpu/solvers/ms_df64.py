@@ -402,7 +402,10 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
             out = out & e
         return out
 
-    def newton_step(carry, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
+    def newton_step(carry, f0, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
+        # f0 = f(lam) is carried from the previous line search's accepted
+        # evaluation (it IS the same quantity) — one full df64 dual-value
+        # reduction per iteration saved
         lam_cr, lam_ch, it, err, status, restart, ls_it = carry
 
         sig = active_sig(cr, ch)
@@ -454,7 +457,6 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         # deviation: reference requires < 0 (dual_Newton_tree.c:951)
         # but near the residual floor g'd rounds to ~+-eps — the
         # 1e-10 slack avoids spurious NOT_DESCENT exits there
-        f0 = df_dual_value(dd, lam_cr, lam_ch, cr, ch)
 
         def lam_at(tau):
             lc = df.add(lam_cr, df.mul_f32(Df(dlam_cr, jnp.zeros_like(dlam_cr)), tau))
@@ -472,26 +474,26 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
             return ~df.less(rhs, f2)
 
         def cond_ls(c):
-            tau, i, acc, _, _ = c
+            tau, fv, i, acc, _, _ = c
             return (~acc) & (i < opts.ls_max_iter)
 
         def body_ls(c):
-            tau, i, acc, _, _ = c
+            tau, fv, i, acc, _, _ = c
             tau2 = jnp.float32(opts.ls_beta) * tau
             f2, cr2, ch2 = f_at(tau2)
-            return (tau2, i + 1, accepts(f2, tau2), cr2, ch2)
+            return (tau2, f2, i + 1, accepts(f2, tau2), cr2, ch2)
 
-        # every path carries the accepted tau's stage solution so the next
-        # residual evaluation reuses it instead of re-solving (a df64 stage
-        # solve is one of the costliest per-iteration pieces)
+        # every path carries the accepted tau's stage solution AND dual
+        # value so the next iteration reuses them (its f0 is exactly this
+        # f) instead of re-solving / re-reducing
         one = jnp.ones((), f32)
         f1, cr1, ch1 = f_at(one)
         acc1 = accepts(f1, one)
         T = min(opts.ls_batch, opts.ls_max_iter)
         if T > 0:
             def quick_path():
-                return (one, jnp.ones((), jnp.int32), jnp.ones((), bool),
-                        cr1, ch1)
+                return (one, f1, jnp.ones((), jnp.int32),
+                        jnp.ones((), bool), cr1, ch1)
 
             def batch_path():
                 taus = jnp.float32(opts.ls_beta) ** \
@@ -500,75 +502,79 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
                 accs = jax.vmap(accepts)(fs, taus)
                 any_acc = jnp.any(accs)
                 idx = jnp.argmax(accs)
-                crb = jax.tree_util.tree_map(lambda a: a[idx], crs)
-                chb = jax.tree_util.tree_map(lambda a: a[idx], chs)
-                init = (taus[-1], jnp.full((), T + 1, jnp.int32), any_acc,
-                        jax.tree_util.tree_map(lambda a: a[-1], crs),
-                        jax.tree_util.tree_map(lambda a: a[-1], chs))
-                tau_sq, it_sq, acc, crq, chq = jax.lax.while_loop(
+                at = lambda tree, i: jax.tree_util.tree_map(
+                    lambda a: a[i], tree)
+                init = (taus[-1], at(fs, -1),
+                        jnp.full((), T + 1, jnp.int32), any_acc,
+                        at(crs, -1), at(chs, -1))
+                tau_sq, f_sq, it_sq, acc, crq, chq = jax.lax.while_loop(
                     cond_ls, body_ls, init)
                 tau = jnp.where(any_acc, taus[idx], tau_sq)
                 ls_it = jnp.where(any_acc, (idx + 2).astype(jnp.int32), it_sq)
-                sel = lambda a, b: jnp.where(any_acc, a, b)
-                cr_t = jax.tree_util.tree_map(sel, crb, crq)
-                ch_t = jax.tree_util.tree_map(sel, chb, chq)
-                return tau, ls_it, acc, cr_t, ch_t
+                sel = lambda a, b: jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(any_acc, x, y), a, b)
+                return (tau, sel(at(fs, idx), f_sq), ls_it, acc,
+                        sel(at(crs, idx), crq), sel(at(chs, idx), chq))
 
-            tau, ls_it, acc, cr_t, ch_t = jax.lax.cond(
+            tau, f_t, ls_it, acc, cr_t, ch_t = jax.lax.cond(
                 acc1, quick_path, batch_path)
         else:
-            tau, ls_it, acc, cr_t, ch_t = jax.lax.while_loop(
-                cond_ls, body_ls, (one, jnp.ones((), jnp.int32), acc1,
+            tau, f_t, ls_it, acc, cr_t, ch_t = jax.lax.while_loop(
+                cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc1,
                                    cr1, ch1))
         maxed = ~acc
         restart = jnp.where(maxed, restart + 1, 0)
         full_step = (opts.ls_restart_trigger > 0) & \
             (restart >= opts.ls_restart_trigger)
         restart = jnp.where(full_step, 0, restart)
-        sel_fs = lambda a, b: jnp.where(full_step, a, b)
+        sel_fs = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(full_step, x, y), a, b)
         tau = jnp.where(full_step, one, tau)
-        cr_t = jax.tree_util.tree_map(sel_fs, cr1, cr_t)
-        ch_t = jax.tree_util.tree_map(sel_fs, ch1, ch_t)
+        f_t = sel_fs(f1, f_t)
+        cr_t = sel_fs(cr1, cr_t)
+        ch_t = sel_fs(ch1, ch_t)
 
         lc2, lh2 = lam_at(tau)
         keep = descent_ok
         lam_cr2 = df.where(keep, lc2, lam_cr)
         lam_ch2 = df.where(keep, lh2, lam_ch)
-        cr_t = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(keep, a, b), cr_t, cr)
-        ch_t = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(keep, a, b), ch_t, ch)
+        selk = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(keep, x, y), a, b)
+        f_t = selk(f_t, f0)
+        cr_t = selk(cr_t, cr)
+        ch_t = selk(ch_t, ch)
         status = jnp.where(keep, status, TDUNES_NOT_DESCENT)
         return (lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it), \
-            fact, sig, cr_t, ch_t
+            fact, sig, f_t, cr_t, ch_t
 
     def cond(carry):
-        (_, _, it, err, status, _, _), _, _, _ = carry
+        (_, _, it, err, status, _, _), _, _, _, _ = carry
         return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & \
             (it < opts.max_iter)
 
     def body(carry):
         (lam_cr, lam_ch, it, err, status, restart, ls_it), \
-            (cr, ch, res_cr, res_ch), fact, sig = carry
-        stepped, fact2, sig2, cr2, ch2 = newton_step(
+            (cr, ch, res_cr, res_ch), f0, fact, sig = carry
+        stepped, fact2, sig2, f2, cr2, ch2 = newton_step(
             (lam_cr, lam_ch, it, err, status, restart, ls_it),
-            cr, ch, res_cr, res_ch, fact, sig)
+            f0, cr, ch, res_cr, res_ch, fact, sig)
         lam_cr2, lam_ch2 = stepped[0], stepped[1]
         rc2, rh2 = residuals_of(cr2, ch2)
         err2 = error_of(rc2, rh2)
         state = (lam_cr2, lam_ch2, stepped[2], err2, stepped[4], stepped[5],
                  stepped[6])
-        return state, (cr2, ch2, rc2, rh2), fact2, sig2
+        return state, (cr2, ch2, rc2, rh2), f2, fact2, sig2
 
     cr0, ch0, rc0, rh0 = compute_residuals(lam_cr0, lam_ch0)
     err0 = error_of(rc0, rh0)
+    f0_init = df_dual_value(dd, lam_cr0, lam_ch0, cr0, ch0)
     fact0 = factorize(cr0, ch0)
     sig0 = active_sig(cr0, ch0)
     init = ((lam_cr0, lam_ch0, jnp.asarray(it0, jnp.int32), err0,
              jnp.full((), TDUNES_OPTIMAL, jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-            (cr0, ch0, rc0, rh0), fact0, sig0)
-    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, _, _), _, _ = \
+            (cr0, ch0, rc0, rh0), f0_init, fact0, sig0)
+    (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, _, _), _, _, _ = \
         jax.lax.while_loop(cond, body, init)
 
     # convert to the f64 shapes _ms_newton_loop returns

@@ -531,7 +531,9 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         return _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr,
                               g_of, rows, rid, crown_kind, fused)
 
-    def newton_step(carry, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
+    def newton_step(carry, f0, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
+        # f0 = f(lam) carried from the previous line search's accepted
+        # evaluation (same quantity) — saves one dual-value reduction/iter
         lam_cr, lam_ch, it, err, status, restart, ls_it = carry
 
         sig = active_sig(cr, ch)
@@ -574,12 +576,6 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         # --- Armijo line search on f = -g over (crown, chain) jointly
         dot = -(jnp.sum(res_cr * dlam_cr) + jnp.sum(res_ch * dlam_ch))
         descent_ok = dot < 1e-10  # see tdunes.py: documented < 0 deviation
-        f0 = _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts)
-
-        def solve_at(tau):
-            lc = lam_cr + tau * dlam_cr
-            lh = lam_ch + tau * dlam_ch
-            return _ms_stage_solve(ms, crown_data, lc, lh, opts, prep_cr)
 
         def f_at(tau):
             lc = lam_cr + tau * dlam_cr
@@ -601,8 +597,9 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
 
         one = jnp.ones((), dt)
         T = min(opts.ls_batch, opts.ls_max_iter)
-        # every path returns the accepted tau's STAGE SOLUTION too, so the
-        # caller's next residual evaluation reuses it instead of re-solving
+        # every path returns the accepted tau's STAGE SOLUTION and dual
+        # value too, so the next iteration reuses them (its f0 is exactly
+        # this f) instead of re-solving / re-reducing
         f1, cr1, ch1 = f_at(one)
         acc1 = f1 <= f0 + opts.ls_gamma * one * dot
         if T > 0:
@@ -611,7 +608,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             # the batched backtracking only on rejection (the batch is
             # ~T stage solves; measured ~54us per eval on the bench tree)
             def quick_path():
-                return (one, jnp.ones((), jnp.int32), jnp.ones((), bool),
+                return (one, f1, jnp.ones((), jnp.int32), jnp.ones((), bool),
                         cr1, ch1)
 
             def batch_path():
@@ -629,19 +626,20 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
                         any_acc,
                         jax.tree_util.tree_map(lambda a: a[-1], crs),
                         jax.tree_util.tree_map(lambda a: a[-1], chs))
-                tau_sq, _, it_sq, acc, crq, chq = jax.lax.while_loop(
+                tau_sq, f_sq, it_sq, acc, crq, chq = jax.lax.while_loop(
                     cond_ls, body_ls, init)
                 tau = jnp.where(any_acc, taus[idx], tau_sq)
                 ls_it = jnp.where(any_acc, (idx + 2).astype(jnp.int32), it_sq)
                 sel = lambda a, b: jnp.where(any_acc, a, b)
+                f_t = sel(fs[idx], f_sq)
                 cr_t = jax.tree_util.tree_map(sel, crb, crq)
                 ch_t = jax.tree_util.tree_map(sel, chb, chq)
-                return tau, ls_it, acc, cr_t, ch_t
+                return tau, f_t, ls_it, acc, cr_t, ch_t
 
-            tau, ls_it, acc, cr_t, ch_t = jax.lax.cond(
+            tau, f_t, ls_it, acc, cr_t, ch_t = jax.lax.cond(
                 acc1, quick_path, batch_path)
         else:
-            tau, _, ls_it, acc, cr_t, ch_t = jax.lax.while_loop(
+            tau, f_t, ls_it, acc, cr_t, ch_t = jax.lax.while_loop(
                 cond_ls, body_ls,
                 (one, f1, jnp.ones((), jnp.int32), acc1, cr1, ch1))
         maxed = ~acc
@@ -651,19 +649,21 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         # full-step restart: tau forced to 1; f_at(1)'s solution is cr1/ch1
         sel_fs = lambda a, b: jnp.where(full_step, a, b)
         tau = jnp.where(full_step, one, tau)
+        f_t = sel_fs(f1, f_t)
         cr_t = jax.tree_util.tree_map(sel_fs, cr1, cr_t)
         ch_t = jax.tree_util.tree_map(sel_fs, ch1, ch_t)
 
         keep = descent_ok
         lam_cr2 = jnp.where(keep, lam_cr + tau * dlam_cr, lam_cr)
         lam_ch2 = jnp.where(keep, lam_ch + tau * dlam_ch, lam_ch)
+        f_t = jnp.where(keep, f_t, f0)
         cr_t = jax.tree_util.tree_map(
             lambda a, b: jnp.where(keep, a, b), cr_t, cr)
         ch_t = jax.tree_util.tree_map(
             lambda a, b: jnp.where(keep, a, b), ch_t, ch)
         status = jnp.where(keep, status, TDUNES_NOT_DESCENT)
         return (lam_cr2, lam_ch2, it + 1, err, status, restart, ls_it), \
-            fact, sig, cr_t, ch_t
+            fact, sig, f_t, cr_t, ch_t
 
     # step-then-evaluate structure: the carry always holds the stage
     # solution / residuals / error AT the carried lam, so the termination
@@ -671,7 +671,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     # re-evaluation (the f64 stage+residual eval is one of the most
     # expensive single ops on TPU).
     def cond(carry):
-        (_, _, it, err, status, _, _), _, (best, noimp), _, _ = carry
+        (_, _, it, err, status, _, _), _, _, (best, noimp), _, _ = carry
         ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
         if patience > 0:
             ok = ok & (noimp < patience)
@@ -679,10 +679,10 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
 
     def body(carry):
         (lam_cr, lam_ch, it, err, status, restart, ls_it), \
-            (cr, ch, res_cr, res_ch), (best, noimp), fact, sig = carry
-        stepped, fact2, sig2, cr2, ch2 = newton_step(
+            (cr, ch, res_cr, res_ch), f0, (best, noimp), fact, sig = carry
+        stepped, fact2, sig2, f2, cr2, ch2 = newton_step(
             (lam_cr, lam_ch, it, err, status, restart, ls_it),
-            cr, ch, res_cr, res_ch, fact, sig)
+            f0, cr, ch, res_cr, res_ch, fact, sig)
         lam_cr2, lam_ch2 = stepped[0], stepped[1]
         # stage solution at the accepted step comes from the line search —
         # only the residuals remain to evaluate
@@ -693,10 +693,12 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         noimp = jnp.where(improved, 0, noimp + 1)
         state = (lam_cr2, lam_ch2, stepped[2], err2, stepped[4], stepped[5],
                  stepped[6])
-        return state, (cr2, ch2, rc2, rh2), (best, noimp), fact2, sig2
+        return state, (cr2, ch2, rc2, rh2), f2, (best, noimp), fact2, sig2
 
     cr0, ch0, rc0, rh0 = compute_residuals(lam0_crown, lam0_chain)
     err0 = error_of(rc0, rh0)
+    f0_init = _ms_dual_value(ms, crown_data, lam0_crown, lam0_chain,
+                             cr0, ch0, opts)
     # the initial factorization matches cr0/ch0's active set, so the first
     # newton_step's reuse-compare is a true hit and uses exactly fact0
     fact0 = factorize(cr0, ch0)
@@ -704,10 +706,10 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     init = ((lam0_crown, lam0_chain, jnp.asarray(it0, jnp.int32), err0,
              jnp.full((), TDUNES_OPTIMAL, jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-            (cr0, ch0, rc0, rh0),
+            (cr0, ch0, rc0, rh0), f0_init,
             (err0, jnp.zeros((), jnp.int32)), fact0, sig0)
     (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, res_cr, res_ch), \
-        _, _, _ = jax.lax.while_loop(cond, body, init)
+        _, _, _, _ = jax.lax.while_loop(cond, body, init)
     return lam_cr, lam_ch, it, status, ls_it, cr, ch, err
 
 
