@@ -1,0 +1,74 @@
+"""Multistage (crown+chains) IPM vs the generic tree IPM.
+
+The multistage IPM is a pure re-layout of ipm_solve (same Mehrotra
+algorithm, same residuals) — it must reproduce the generic solver's
+iterates exactly, at f64, on the clipping-class instances it supports.
+Reference semantics being matched: treeqp_hpmpc_solve / treeqp_hpipm_solve
+(hpmpc_tree.c:316-455, hpipm_tree.c:307-562).
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from benchmarks.models import spring_mass_chain, crane
+from treeqp_tpu.core.kkt import max_kkt_residual
+from treeqp_tpu.solvers.ipm import IpmOpts, ipm_solve
+from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
+from treeqp_tpu.solvers.tdunes_multistage import split_multistage, merge_output
+
+
+@pytest.fixture(scope="module")
+def problem():
+    qp, _ = spring_mass_chain(nm=2, md=3, Nr=2, Nh=10)
+    return qp, split_multistage(qp)
+
+
+def test_matches_generic_ipm(problem):
+    qp, ms = problem
+    opts = IpmOpts(tol=1e-10, max_iter=40)
+    ref = ipm_solve(qp, opts)
+    cro, cho, info = ipm_ms_solve(ms, opts)
+    out = merge_output(ms, cro, cho, info)
+    assert int(info["status"]) == 0
+    assert int(info["iter"]) == int(ref.info["iter"])
+    assert float(max_kkt_residual(qp, out)) < 1e-9
+    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 1e-10
+    assert float(jnp.max(jnp.abs(out.lam - ref.lam))) < 1e-10
+    assert float(jnp.max(jnp.abs(out.mu_x - ref.mu_x))) < 1e-10
+
+
+def test_crane_instance():
+    m = crane(md=2, Nr=2, Nh=10)
+    ms = split_multistage(m.qp)
+    cro, cho, info = ipm_ms_solve(ms, IpmOpts(tol=1e-10, max_iter=40))
+    out = merge_output(ms, cro, cho, info)
+    assert int(info["status"]) == 0
+    assert float(max_kkt_residual(m.qp, out)) < 1e-9
+
+
+def test_mixed_precision(problem):
+    qp, ms = problem
+    cro, cho, info = ipm_ms_solve(
+        ms, IpmOpts(tol=1e-10, max_iter=40, factor_dtype="float32"))
+    out = merge_output(ms, cro, cho, info)
+    assert int(info["status"]) == 0
+    assert float(max_kkt_residual(qp, out)) < 1e-9
+
+
+def test_warm_start_cuts_iterations(problem):
+    qp, ms = problem
+    opts = IpmOpts(tol=1e-10, max_iter=40)
+    cro, cho, _ = ipm_ms_solve(ms, opts)
+    ms2 = dataclasses.replace(
+        ms, b=ms.b + 1e-4,
+        crown=dataclasses.replace(ms.crown, b=ms.crown.b + 1e-4))
+    cold = ipm_ms_solve(ms2, opts)
+    warm = ipm_ms_solve(ms2, opts, ws=(cro, cho))
+    assert int(warm[2]["status"]) == 0
+    qp2 = dataclasses.replace(qp, b=qp.b + 1e-4)
+    out_w = merge_output(ms2, *warm)
+    assert float(max_kkt_residual(qp2, out_w)) < 1e-8
+    assert int(warm[2]["iter"]) < int(cold[2]["iter"])

@@ -82,6 +82,9 @@ class IpmOpts:
     # exact data-dtype KKT operator (per-solve cost: one f64 KKT apply +
     # one f32 re-solve per step)
     refine_steps: int = 0
+    # PROFILE>=2 analog: per-iteration [res_g res_b res_d res_m alpha mu
+    # sigma] into info["hist"] ([max_iter, 7], NaN-padded)
+    record_history: bool = False
 
 
 class _IpmPrep:
@@ -164,14 +167,17 @@ def _tri_solve_mat(L, B, trans=False):
 
 
 def _riccati_factor(qp: TreeQPIn, Hbar, prep: _IpmPrep, opts: IpmOpts,
-                    fdt=None):
+                    fdt=None, Wsum0=None):
     """Backward depth sweep: per-node P, chol(Muu), K, Mxu.
 
     M_n = Hbar_n + sum_kids [A B]' P_c [A B];  u = K x + k elimination.
     Batched over all nodes of a depth per scan step. ``fdt`` (e.g.
     jnp.float32) runs the whole factorization in that dtype — the IPM
     mixed-precision speed path; _riccati_solve then casts rhs/solution at
-    the boundary."""
+    the boundary. ``Wsum0`` [Nn, nz, nz] seeds the child contributions —
+    the boundary term when this tree is the crown of a larger multistage
+    tree (ipm_multistage feeds the chains' value-function Hessians here).
+    """
     topo = qp.topo
     if fdt is not None:
         Hbar = Hbar.astype(fdt)
@@ -185,6 +191,8 @@ def _riccati_factor(qp: TreeQPIn, Hbar, prep: _IpmPrep, opts: IpmOpts,
     K = jnp.zeros((Nn + 1, num, nxm), dt)
     Mxu = jnp.zeros((Nn + 1, nxm, num), dt)
     Wsum = jnp.zeros((Nn + 1, nz, nz), dt)
+    if Wsum0 is not None:
+        Wsum = Wsum.at[:Nn].set(Wsum0.astype(dt))
     Hx = jnp.concatenate([Hbar, jnp.eye(nz, dtype=dt)[None]], axis=0)
     ABx = jnp.concatenate([AB, jnp.zeros((1, nxm, nz), dt)], axis=0)
     parx = jnp.asarray(np.concatenate([prep.par, [Nn]]).astype(np.int32))
@@ -220,7 +228,7 @@ def _riccati_factor(qp: TreeQPIn, Hbar, prep: _IpmPrep, opts: IpmOpts,
     return dict(P=P, Luu=Luu, K=K, Mxu=Mxu, AB=AB)
 
 
-def _riccati_solve(qp: TreeQPIn, fact, rg, rb, prep: _IpmPrep):
+def _riccati_solve(qp: TreeQPIn, fact, rg, rb, prep: _IpmPrep, wsum0=None):
     """Two-sweep solve with stored factors.
 
     rg [Nn, nz]: stationarity rhs (gradient); rb [Nn, nxm]: dynamics residual
@@ -243,6 +251,8 @@ def _riccati_solve(qp: TreeQPIn, fact, rg, rb, prep: _IpmPrep):
     p = jnp.zeros((Nn + 1, nxm), dt)
     k = jnp.zeros((Nn + 1, num), dt)
     wsum = jnp.zeros((Nn + 1, nz), dt)
+    if wsum0 is not None:
+        wsum = wsum.at[:Nn].set(wsum0.astype(dt))
     rgx = jnp.concatenate([rg, jnp.zeros((1, nz), dt)], axis=0)
 
     bxs = (jnp.asarray(prep.bwd_idx), jnp.asarray(prep.bwd_valid))
@@ -429,7 +439,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         l_hi0 = jnp.where(m_hi > 0, jnp.maximum(mu_fold, eps), 0.0)
 
     def iteration(carry, fdt=None):
-        z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4 = carry
+        z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4, hist = carry
         rg, rb, rd_lo, rd_hi, rm_lo, rm_hi = residuals(z, lam, l_lo, l_hi, s_lo, s_hi)
 
         # --- factor with current barrier weights
@@ -485,6 +495,12 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         # comparisons in `cond` are false and would exit the loop)
         ok = ~(jnp.isnan(alpha) | jnp.isnan(jnp.sum(dz)))
         alpha = jnp.where(ok, alpha, 0.0)
+        # sanitize the direction too: alpha = 0 alone still poisons the
+        # iterate (0 * NaN = NaN)
+        dz = jnp.where(ok, dz, 0.0)
+        dlam = jnp.where(ok, dlam, 0.0)
+        ds_lo, ds_hi = jnp.where(ok, ds_lo, 0.0), jnp.where(ok, ds_hi, 0.0)
+        dl_lo, dl_hi = jnp.where(ok, dl_lo, 0.0), jnp.where(ok, dl_hi, 0.0)
         z = z + alpha * dz
         lam = lam + alpha * dlam * nrxm
         s_lo = jnp.where(m_lo > 0, s_lo + alpha * ds_lo, 1.0)
@@ -501,14 +517,20 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
             jnp.maximum(jnp.max(jnp.abs(rd_lo2)), jnp.max(jnp.abs(rd_hi2))),
             jnp.maximum(jnp.max(jnp.abs(rm_lo2)), jnp.max(jnp.abs(rm_hi2))),
         ])
-        return z, lam, l_lo, l_hi, s_lo, s_hi, it + 1, status, res4
+        if opts.record_history:
+            hist = hist.at[it].set(jnp.concatenate(
+                [res4, jnp.stack([alpha, mu, sigma])]))
+        return z, lam, l_lo, l_hi, s_lo, s_hi, it + 1, status, res4, hist
 
     def cond(carry):
-        _, _, _, _, _, _, it, status, res4 = carry
+        _, _, _, _, _, _, it, status, res4, _ = carry
         return (jnp.max(res4) >= opts.tol) & (status == IPM_OPTIMAL) & (it < opts.max_iter)
 
+    hist0 = jnp.full((opts.max_iter if opts.record_history else 1, 7),
+                     jnp.nan, dt)
     init = (z0, lam0, l_lo0, l_hi0, s_lo0, s_hi0, jnp.zeros((), jnp.int32),
-            jnp.full((), IPM_OPTIMAL, jnp.int32), jnp.full((4,), jnp.inf, dt))
+            jnp.full((), IPM_OPTIMAL, jnp.int32), jnp.full((4,), jnp.inf, dt),
+            hist0)
     if opts.factor_dtype == "float32" and dt == jnp.float64:
         # --- two-phase mixed precision: f32 Riccati while the residuals
         # are above f32_until (inexact Newton — the exactly-recomputed
@@ -517,7 +539,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         switch = max(opts.tol, opts.f32_until)
 
         def cond_a(carry):
-            _, _, _, _, _, _, it, status, res4 = carry
+            _, _, _, _, _, _, it, status, res4, _ = carry
             return ((jnp.max(res4) >= switch) & (status == IPM_OPTIMAL)
                     & (it < opts.max_iter))
 
@@ -528,8 +550,8 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         # re-detects a true minimum step
         carry = carry[:7] + (jnp.full((), IPM_OPTIMAL, jnp.int32),) + carry[8:]
         init = carry
-    z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4 = jax.lax.while_loop(
-        cond, iteration, init)
+    z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4, hist = \
+        jax.lax.while_loop(cond, iteration, init)
     # NaN-safe: ~(max < tol) so a NaN residual can never read as OPTIMAL
     status = jnp.where((status == IPM_OPTIMAL) & ~(jnp.max(res4) < opts.tol),
                        IPM_MAX_ITER, status)
@@ -542,5 +564,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         x=z[:, :nxm] * xm, u=z[:, nxm:] * um, lam=lam * nrxm,
         mu_x=mu_all[:, :nxm] * xm, mu_u=mu_all[:, nxm:nz] * um,
         mu_d=mu_all[:, nz:] * jnp.asarray(topo.c_mask, dt),
-        info=dict(iter=it, status=status, res4=res4),
+        info=(dict(iter=it, status=status, res4=res4, hist=hist)
+              if opts.record_history else
+              dict(iter=it, status=status, res4=res4)),
     )

@@ -1,0 +1,477 @@
+"""Multistage (crown + chains) tree IPM — the TPU speed path of the
+HPIPM-capability engine.
+
+The generic tree IPM (solvers/ipm.py) factorizes per depth with a scan
+over ALL tree stages; on a multistage robust-MPC tree (md^Nr scenarios x
+length-L chains, the reference's setup_multistage_tree shape,
+tree.c:247-280) that serializes Nh scan steps of scattered [Nn,...]
+updates. This module reuses the crown+chains layout of the multistage
+dual-Newton solver (tdunes_multistage.MultistageQP): the chain Riccati
+sweeps are batched over all scenarios ([S, L, ...] arrays, scenarios on
+the leading axis -> one XLA/Pallas kernel per step instead of per node),
+and only the small crown runs the generic per-depth recursion (seeded with
+the chains' value-function Hessians through _riccati_factor's Wsum0).
+
+Scope: the clipping-class multistage instances (diagonal Q/R, S=0, box
+constraints only — spring_mass / linear_chain / quadcopter / crane). With
+box constraints the barrier matrix is diagonal (G = I), so the stage
+Hessians stay diagonal vectors end to end. General C/D rows stay on the
+generic ipm_solve.
+
+Mixed precision mirrors IpmOpts.factor_dtype: f32 Riccati sweeps while
+max res4 > f32_until, then a full-precision finish (residuals/steps are
+always recomputed in the data dtype, so f32 directions only perturb the
+path — inexact Newton).
+
+Reference parity: treeqp_hpmpc_solve / treeqp_hpipm_solve semantics
+(hpmpc_tree.c:316-455, hpipm_tree.c:307-562) — 4-residual termination,
+fraction-to-boundary steps, signed multiplier fold on export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut, TREEQP_INF
+from treeqp_tpu.solvers.ipm import (
+    IpmOpts, IPM_OPTIMAL, IPM_MAX_ITER, IPM_MIN_STEP, _INF_THRESH,
+    _get_ipm_prep, _riccati_factor, _riccati_solve, _tri_solve_mat)
+from treeqp_tpu.solvers.tdunes_multistage import MultistageQP, merge_output
+
+__all__ = ["ipm_ms_solve"]
+
+
+def _box_data(lo, hi, mask):
+    """Finite-side masks for a stacked bound pair (cf. ipm._constraint_data
+    with G = I)."""
+    m_lo = ((lo > -_INF_THRESH) & (mask > 0)).astype(lo.dtype)
+    m_hi = ((hi < _INF_THRESH) & (mask > 0)).astype(lo.dtype)
+    return m_lo, m_hi
+
+
+def _chain_riccati_factor(hbar, AB, opts: IpmOpts, fdt=None):
+    """Batched backward Riccati along all chains at once.
+
+    hbar [S, L, nz] diagonal stage Hessians (barrier included); AB
+    [S, L, nx, nz] edge dynamics INTO chain node j. Scan j = L-1 .. 0:
+        M_j = diag(hbar_j) + W_{j+1},  W_j = AB_j' P_j AB_j
+    Returns per-node (P, Luu, K, Mxu) stacked [S, L, ...] plus the crown
+    boundary term W_0 [S, nz, nz] (the Schur flowing into each chain's
+    crown parent). The tree-wide counterpart is ipm._riccati_factor.
+    """
+    if fdt is not None:
+        hbar = hbar.astype(fdt)
+    dt = hbar.dtype
+    AB = AB.astype(dt)
+    S, L, nx, nz = AB.shape
+    num = nz - nx
+
+    def step(W, inp):
+        hb, ABj = inp  # [S, nz], [S, nx, nz]
+        M = W + jnp.eye(nz, dtype=dt)[None] * hb[:, None, :]
+        Mxx = M[:, :nx, :nx]
+        Mxu = M[:, :nx, nx:]
+        Muu = M[:, nx:, nx:] + opts.reg_eps * jnp.eye(num, dtype=dt)
+        Lb = jnp.linalg.cholesky(Muu)
+        Kb = -_tri_solve_mat(Lb, _tri_solve_mat(Lb, M[:, nx:, :nx]),
+                             trans=True)
+        Pb = Mxx + Mxu @ Kb
+        Pb = 0.5 * (Pb + Pb.swapaxes(1, 2))
+        Wout = ABj.swapaxes(1, 2) @ (Pb @ ABj)
+        return Wout, (Pb, Lb, Kb, Mxu)
+
+    inps = (jnp.flip(hbar, 1).swapaxes(0, 1),
+            jnp.flip(AB, 1).swapaxes(0, 1))
+    W0, (P, Luu, K, Mxu) = jax.lax.scan(
+        step, jnp.zeros((S, nz, nz), dt), inps)
+    flip = lambda a: jnp.flip(a, 0).swapaxes(0, 1)  # -> [S, L, ...]
+    return dict(P=flip(P), Luu=flip(Luu), K=flip(K), Mxu=flip(Mxu),
+                AB=AB, W0=W0)
+
+
+def _chain_riccati_bwd(fact, rg, rb):
+    """Batched backward RHS sweep (cf. ipm._riccati_solve bwd half).
+
+    rg [S, L, nz], rb [S, L, nx]. Returns per-node (p, k) and the crown
+    boundary rhs w0 [S, nz]."""
+    P, Luu, Mxu, AB = fact["P"], fact["Luu"], fact["Mxu"], fact["AB"]
+    dt = P.dtype
+    rg, rb = rg.astype(dt), rb.astype(dt)
+    S, L, nx, nz = AB.shape
+
+    def step(w, inp):
+        rgj, rbj, Pj, Lj, Mxuj, ABj = inp
+        m = rgj + w
+        kb = -_tri_solve_mat(Lj, _tri_solve_mat(Lj, m[:, nx:, None]),
+                             trans=True)[..., 0]
+        pb = m[:, :nx] + jnp.einsum("bxu,bu->bx", Mxuj, kb)
+        v = jnp.einsum("bxy,by->bx", Pj, rbj) + pb
+        wout = jnp.einsum("bxz,bx->bz", ABj, v)
+        return wout, (pb, kb)
+
+    sw = lambda a: jnp.flip(a, 1).swapaxes(0, 1)
+    inps = (sw(rg), sw(rb), sw(P), sw(Luu), sw(fact["Mxu"]), sw(AB))
+    w0, (p, k) = jax.lax.scan(step, jnp.zeros((S, nz), dt), inps)
+    flip = lambda a: jnp.flip(a, 0).swapaxes(0, 1)
+    return flip(p), flip(k), w0
+
+
+def _chain_riccati_fwd(fact, p, k, rb, z_root):
+    """Batched forward substitution down the chains.
+
+    z_root [S, nz]: the crown solution at each chain's parent node.
+    Returns (dz [S, L, nz], dlam [S, L, nx])."""
+    P, K, AB = fact["P"], fact["K"], fact["AB"]
+    dt = P.dtype
+    rb, z_root = rb.astype(dt), z_root.astype(dt)
+    S, L, nx, nz = AB.shape
+
+    def step(zp, inp):
+        Pj, Kj, ABj, rbj, pj, kj = inp
+        dx = jnp.einsum("bxz,bz->bx", ABj, zp) + rbj
+        du = jnp.einsum("bux,bx->bu", Kj, dx) + kj
+        dlam = jnp.einsum("bxy,by->bx", Pj, dx) + pj
+        dz = jnp.concatenate([dx, du], axis=1)
+        return dz, (dz, dlam)
+
+    sw = lambda a: a.swapaxes(0, 1)
+    _, (dz, dlam) = jax.lax.scan(
+        step, z_root, (sw(P), sw(K), sw(AB), sw(rb), sw(p), sw(k)))
+    return dz.swapaxes(0, 1), dlam.swapaxes(0, 1)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
+    """Mehrotra predictor-corrector IPM in crown+chains layout.
+
+    Returns (crown_out dict, chain_out dict, info) like tdunes_ms_solve;
+    use tdunes_multistage.merge_output for a full-tree TreeQPOut.
+    ``ws``: optional (crown_out, chain_out) warm start pair — or a full
+    TreeQPOut-like on the crown topology is NOT accepted here (layout).
+    """
+    meta = ms.meta
+    qp = ms.crown
+    topo = qp.topo
+    prep = _get_ipm_prep(topo)
+    dt = ms.q.dtype
+    Nc, nxm, num = topo.Nn, topo.nxm, topo.num
+    nz = nxm + num
+    S, L = meta.S, meta.L
+    rid = np.asarray(meta.root_ids)
+
+    xm = jnp.asarray(topo.x_mask, dt)
+    um = jnp.asarray(topo.u_mask, dt)
+    nrxm = jnp.asarray(topo.nonroot_x_mask, dt)
+    zmask_cr = jnp.concatenate([xm, um], axis=1)
+    # chain masks come from the full topology (identity-padded weights
+    # cannot distinguish padding reliably)
+    xmask_ch = jnp.asarray(meta.full_topo.x_mask, dt)[
+        np.stack([np.arange(int(meta.full_topo.stage_start[meta.Nr + 1 + j]),
+                            int(meta.full_topo.stage_start[meta.Nr + 2 + j]))
+                  for j in range(L)], axis=1)]
+    umask_ch = jnp.asarray(meta.full_topo.u_mask, dt)[
+        np.stack([np.arange(int(meta.full_topo.stage_start[meta.Nr + 1 + j]),
+                            int(meta.full_topo.stage_start[meta.Nr + 2 + j]))
+                  for j in range(L)], axis=1)]
+    zmask_ch = jnp.concatenate([xmask_ch, umask_ch], axis=2)
+
+    # --- stacked diagonal Hessians / gradients / bounds ([.., nz])
+    Hd_cr = jnp.concatenate(
+        [jnp.diagonal(qp.Q, axis1=1, axis2=2) * xm + (1 - xm),
+         jnp.diagonal(qp.R, axis1=1, axis2=2) * um + (1 - um)], axis=1)
+    h_cr = jnp.concatenate([qp.q, qp.r], axis=1) * zmask_cr
+    lo_cr = jnp.concatenate([qp.xmin, qp.umin], axis=1)
+    hi_cr = jnp.concatenate([qp.xmax, qp.umax], axis=1)
+    mlo_cr, mhi_cr = _box_data(lo_cr, hi_cr, zmask_cr)
+
+    Hd_ch = jnp.concatenate([ms.Qd, ms.Rd], axis=2)
+    h_ch = jnp.concatenate([ms.q, ms.r], axis=2) * zmask_ch
+    lo_ch = jnp.concatenate([ms.xmin, ms.umin], axis=2)
+    hi_ch = jnp.concatenate([ms.xmax, ms.umax], axis=2)
+    mlo_ch, mhi_ch = _box_data(lo_ch, hi_ch, zmask_ch)
+
+    AB_cr = jnp.concatenate([qp.A, qp.B], axis=2)          # [Nc, nxm, nz]
+    AB_ch = jnp.concatenate([ms.A, ms.B], axis=3)          # [S, L, nxm, nz]
+    par = prep.par.copy()
+    par[0] = 0
+    n_ineq = jnp.maximum(jnp.sum(mlo_cr) + jnp.sum(mhi_cr)
+                         + jnp.sum(mlo_ch) + jnp.sum(mhi_ch), 1.0)
+
+    def residuals(st):
+        """res_g / res_b / res_d / res_m for crown + chains."""
+        z_cr, z_ch, lam_cr, lam_ch = st["z_cr"], st["z_ch"], st["lam_cr"], st["lam_ch"]
+        # crown res_g
+        rg_cr = Hd_cr * z_cr + h_cr \
+            + (st["lhi_cr"] - st["llo_cr"]) * zmask_cr
+        rg_cr = rg_cr.at[:, :nxm].add(-lam_cr * nrxm)
+        contrib = jnp.einsum("nxz,nx->nz", AB_cr, lam_cr * nrxm)
+        rg_cr = rg_cr + jax.ops.segment_sum(contrib[1:], par[1:],
+                                            num_segments=Nc)
+        # chain-root lambdas pull on their crown parents
+        c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], lam_ch[:, 0])
+        rg_cr = rg_cr.at[rid].add(c0)
+        rg_cr = rg_cr * zmask_cr
+        # chain res_g: -lam_j (x rows) + AB_{j+1}' lam_{j+1}
+        rg_ch = Hd_ch * z_ch + h_ch \
+            + (st["lhi_ch"] - st["llo_ch"]) * zmask_ch
+        rg_ch = rg_ch.at[:, :, :nxm].add(-lam_ch)
+        up = jnp.einsum("slxz,slx->slz", AB_ch[:, 1:], lam_ch[:, 1:])
+        rg_ch = rg_ch.at[:, :-1].add(up)
+        rg_ch = rg_ch * zmask_ch
+        # res_b
+        rb_cr = (jnp.einsum("nxz,nz->nx", AB_cr, z_cr[par]) + qp.b
+                 - z_cr[:, :nxm]) * nrxm
+        zp = jnp.concatenate([z_cr[rid][:, None], z_ch[:, :-1]], axis=1)
+        rb_ch = jnp.einsum("slxz,slz->slx", AB_ch, zp) + ms.b \
+            - z_ch[:, :, :nxm]
+        # res_d / res_m (t = z for box constraints)
+        rd = []
+        rm = []
+        for (s_lo, s_hi, l_lo, l_hi, z, lo, hi, mlo, mhi) in (
+                (st["slo_cr"], st["shi_cr"], st["llo_cr"], st["lhi_cr"],
+                 z_cr, lo_cr, hi_cr, mlo_cr, mhi_cr),
+                (st["slo_ch"], st["shi_ch"], st["llo_ch"], st["lhi_ch"],
+                 z_ch, lo_ch, hi_ch, mlo_ch, mhi_ch)):
+            rd.append(((s_lo - (z - lo)) * mlo, (s_hi - (hi - z)) * mhi))
+            rm.append((s_lo * l_lo * mlo, s_hi * l_hi * mhi))
+        return rg_cr, rg_ch, rb_cr, rb_ch, rd, rm
+
+    def res4_of(rg_cr, rg_ch, rb_cr, rb_ch, rd, rm):
+        mx = lambda *a: jnp.max(jnp.stack([jnp.max(jnp.abs(v)) for v in a]))
+        return jnp.stack([
+            mx(rg_cr, rg_ch), mx(rb_cr, rb_ch),
+            mx(*rd[0], *rd[1]), mx(*rm[0], *rm[1])])
+
+    def kkt_rhs(rg, rd_pair, rm_pair, s_lo, s_hi, l_lo, l_hi, mlo, mhi):
+        """Eliminate (ds, dl): G = I, so gamma / qx are elementwise."""
+        rd_lo, rd_hi = rd_pair
+        rm_lo, rm_hi = rm_pair
+        inv_slo = jnp.where(mlo > 0, 1.0 / s_lo, 0.0)
+        inv_shi = jnp.where(mhi > 0, 1.0 / s_hi, 0.0)
+        gamma = l_lo * inv_slo + l_hi * inv_shi
+        qx = ((rm_lo - l_lo * rd_lo) * inv_slo
+              - (rm_hi - l_hi * rd_hi) * inv_shi)
+        return rg + qx, gamma
+
+    def expand_step(dz, rd_pair, rm_pair, s_lo, s_hi, l_lo, l_hi, mlo, mhi):
+        rd_lo, rd_hi = rd_pair
+        rm_lo, rm_hi = rm_pair
+        ds_lo = (dz - rd_lo) * mlo
+        ds_hi = (-dz - rd_hi) * mhi
+        inv_slo = jnp.where(mlo > 0, 1.0 / s_lo, 0.0)
+        inv_shi = jnp.where(mhi > 0, 1.0 / s_hi, 0.0)
+        dl_lo = (-(rm_lo + l_lo * ds_lo) * inv_slo) * mlo
+        dl_hi = (-(rm_hi + l_hi * ds_hi) * inv_shi) * mhi
+        return ds_lo, ds_hi, dl_lo, dl_hi
+
+    def max_step(v, dv, mask, frac=1.0):
+        ratio = jnp.where((dv < 0) & (mask > 0),
+                          -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.minimum(1.0, frac * jnp.min(ratio))
+
+    def solve_kkt(fact_ch, fact_cr, rhs_cr, rhs_ch, rb_cr, rb_ch):
+        """Full-tree Riccati solve: chain bwd -> crown -> chain fwd."""
+        p_ch, k_ch, w0 = _chain_riccati_bwd(fact_ch, rhs_ch, rb_ch)
+        wsum0 = jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0)
+        dz_cr, dlam_cr = _riccati_solve(qp, fact_cr, rhs_cr, rb_cr, prep,
+                                        wsum0=wsum0)
+        dz_ch, dlam_ch = _chain_riccati_fwd(fact_ch, p_ch, k_ch, rb_ch,
+                                            dz_cr[rid])
+        out_dt = rhs_cr.dtype
+        return (dz_cr.astype(out_dt), dz_ch.astype(out_dt),
+                dlam_cr.astype(out_dt), dlam_ch.astype(out_dt))
+
+    # --- initial point (cf. ipm_solve cold/warm start)
+    if ws is None:
+        s_init = jnp.sqrt(jnp.asarray(opts.mu0, dt))
+        st0 = dict(
+            z_cr=jnp.zeros((Nc, nz), dt), z_ch=jnp.zeros((S, L, nz), dt),
+            lam_cr=jnp.zeros((Nc, nxm), dt),
+            lam_ch=jnp.zeros((S, L, nxm), dt))
+        for tag, lo, hi, mlo, mhi in (("cr", lo_cr, hi_cr, mlo_cr, mhi_cr),
+                                      ("ch", lo_ch, hi_ch, mlo_ch, mhi_ch)):
+            s_lo = jnp.where(mlo > 0, jnp.maximum(s_init, -lo), 1.0)
+            s_hi = jnp.where(mhi > 0, jnp.maximum(s_init, hi), 1.0)
+            st0["slo_" + tag] = s_lo
+            st0["shi_" + tag] = s_hi
+            st0["llo_" + tag] = jnp.where(mlo > 0, opts.mu0 / s_lo, 0.0)
+            st0["lhi_" + tag] = jnp.where(mhi > 0, opts.mu0 / s_hi, 0.0)
+    else:
+        crown_ws, chain_ws = ws
+        eps = jnp.asarray(opts.ws_eps, dt)
+        z_cr = jnp.concatenate([crown_ws["x"], crown_ws["u"]],
+                               axis=1).astype(dt) * zmask_cr
+        z_ch = jnp.concatenate([chain_ws["x"], chain_ws["u"]],
+                               axis=2).astype(dt) * zmask_ch
+        st0 = dict(z_cr=z_cr, z_ch=z_ch,
+                   lam_cr=crown_ws["lam"].astype(dt) * nrxm,
+                   lam_ch=chain_ws["lam"].astype(dt))
+        for tag, z, lo, hi, mlo, mhi, mu in (
+                ("cr", z_cr, lo_cr, hi_cr, mlo_cr, mhi_cr,
+                 jnp.concatenate([crown_ws["mu_x"], crown_ws["mu_u"]],
+                                 axis=1).astype(dt)),
+                ("ch", z_ch, lo_ch, hi_ch, mlo_ch, mhi_ch,
+                 jnp.concatenate([chain_ws["mu_x"], chain_ws["mu_u"]],
+                                 axis=2).astype(dt))):
+            st0["slo_" + tag] = jnp.where(mlo > 0,
+                                          jnp.maximum(z - lo, eps), 1.0)
+            st0["shi_" + tag] = jnp.where(mhi > 0,
+                                          jnp.maximum(hi - z, eps), 1.0)
+            st0["llo_" + tag] = jnp.where(mlo > 0, jnp.maximum(-mu, eps), 0.0)
+            st0["lhi_" + tag] = jnp.where(mhi > 0, jnp.maximum(mu, eps), 0.0)
+
+    def iteration(carry, fdt=None):
+        st, it, status, res4 = carry
+        rg_cr, rg_ch, rb_cr, rb_ch, rd, rm = residuals(st)
+
+        rhs_cr_a, gam_cr = kkt_rhs(rg_cr, rd[0], rm[0],
+                                   st["slo_cr"], st["shi_cr"],
+                                   st["llo_cr"], st["lhi_cr"], mlo_cr, mhi_cr)
+        rhs_ch_a, gam_ch = kkt_rhs(rg_ch, rd[1], rm[1],
+                                   st["slo_ch"], st["shi_ch"],
+                                   st["llo_ch"], st["lhi_ch"], mlo_ch, mhi_ch)
+        hbar_cr = Hd_cr + gam_cr
+        hbar_ch = Hd_ch + gam_ch
+        fact_ch = _chain_riccati_factor(hbar_ch, AB_ch, opts, fdt)
+        Hbar_cr_dense = jnp.eye(nz, dtype=hbar_cr.dtype)[None] \
+            * hbar_cr[:, None, :]
+        Wsum0 = jnp.zeros((Nc, nz, nz), fact_ch["W0"].dtype).at[rid].set(
+            fact_ch["W0"])
+        fact_cr = _riccati_factor(qp, Hbar_cr_dense, prep, opts, fdt,
+                                  Wsum0=Wsum0)
+
+        # predictor
+        dzc_a, dzh_a, dlc_a, dlh_a = solve_kkt(
+            fact_ch, fact_cr, rhs_cr_a, rhs_ch_a, rb_cr, rb_ch)
+        exp_cr_a = expand_step(dzc_a, rd[0], rm[0], st["slo_cr"],
+                               st["shi_cr"], st["llo_cr"], st["lhi_cr"],
+                               mlo_cr, mhi_cr)
+        exp_ch_a = expand_step(dzh_a, rd[1], rm[1], st["slo_ch"],
+                               st["shi_ch"], st["llo_ch"], st["lhi_ch"],
+                               mlo_ch, mhi_ch)
+        a_aff = jnp.minimum(
+            jnp.minimum(
+                jnp.minimum(max_step(st["slo_cr"], exp_cr_a[0], mlo_cr),
+                            max_step(st["shi_cr"], exp_cr_a[1], mhi_cr)),
+                jnp.minimum(max_step(st["llo_cr"], exp_cr_a[2], mlo_cr),
+                            max_step(st["lhi_cr"], exp_cr_a[3], mhi_cr))),
+            jnp.minimum(
+                jnp.minimum(max_step(st["slo_ch"], exp_ch_a[0], mlo_ch),
+                            max_step(st["shi_ch"], exp_ch_a[1], mhi_ch)),
+                jnp.minimum(max_step(st["llo_ch"], exp_ch_a[2], mlo_ch),
+                            max_step(st["lhi_ch"], exp_ch_a[3], mhi_ch))))
+        mu = (jnp.sum(st["slo_cr"] * st["llo_cr"] * mlo_cr)
+              + jnp.sum(st["shi_cr"] * st["lhi_cr"] * mhi_cr)
+              + jnp.sum(st["slo_ch"] * st["llo_ch"] * mlo_ch)
+              + jnp.sum(st["shi_ch"] * st["lhi_ch"] * mhi_ch)) / n_ineq
+        mu_aff = (
+            jnp.sum((st["slo_cr"] + a_aff * exp_cr_a[0])
+                    * (st["llo_cr"] + a_aff * exp_cr_a[2]) * mlo_cr)
+            + jnp.sum((st["shi_cr"] + a_aff * exp_cr_a[1])
+                      * (st["lhi_cr"] + a_aff * exp_cr_a[3]) * mhi_cr)
+            + jnp.sum((st["slo_ch"] + a_aff * exp_ch_a[0])
+                      * (st["llo_ch"] + a_aff * exp_ch_a[2]) * mlo_ch)
+            + jnp.sum((st["shi_ch"] + a_aff * exp_ch_a[1])
+                      * (st["lhi_ch"] + a_aff * exp_ch_a[3]) * mhi_ch)
+        ) / n_ineq
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
+
+        # corrector
+        rm_c = []
+        for (rm_pair, exp, mlo, mhi) in ((rm[0], exp_cr_a, mlo_cr, mhi_cr),
+                                         (rm[1], exp_ch_a, mlo_ch, mhi_ch)):
+            rm_c.append((rm_pair[0] + (exp[0] * exp[2] - sigma * mu) * mlo,
+                         rm_pair[1] + (exp[1] * exp[3] - sigma * mu) * mhi))
+        rhs_cr_c, _ = kkt_rhs(rg_cr, rd[0], rm_c[0], st["slo_cr"],
+                              st["shi_cr"], st["llo_cr"], st["lhi_cr"],
+                              mlo_cr, mhi_cr)
+        rhs_ch_c, _ = kkt_rhs(rg_ch, rd[1], rm_c[1], st["slo_ch"],
+                              st["shi_ch"], st["llo_ch"], st["lhi_ch"],
+                              mlo_ch, mhi_ch)
+        dzc, dzh, dlc, dlh = solve_kkt(
+            fact_ch, fact_cr, rhs_cr_c, rhs_ch_c, rb_cr, rb_ch)
+        exp_cr = expand_step(dzc, rd[0], rm_c[0], st["slo_cr"], st["shi_cr"],
+                             st["llo_cr"], st["lhi_cr"], mlo_cr, mhi_cr)
+        exp_ch = expand_step(dzh, rd[1], rm_c[1], st["slo_ch"], st["shi_ch"],
+                             st["llo_ch"], st["lhi_ch"], mlo_ch, mhi_ch)
+
+        tf = opts.tau_frac
+        alpha = jnp.minimum(
+            jnp.minimum(
+                jnp.minimum(max_step(st["slo_cr"], exp_cr[0], mlo_cr, tf),
+                            max_step(st["shi_cr"], exp_cr[1], mhi_cr, tf)),
+                jnp.minimum(max_step(st["llo_cr"], exp_cr[2], mlo_cr, tf),
+                            max_step(st["lhi_cr"], exp_cr[3], mhi_cr, tf))),
+            jnp.minimum(
+                jnp.minimum(max_step(st["slo_ch"], exp_ch[0], mlo_ch, tf),
+                            max_step(st["shi_ch"], exp_ch[1], mhi_ch, tf)),
+                jnp.minimum(max_step(st["llo_ch"], exp_ch[2], mlo_ch, tf),
+                            max_step(st["lhi_ch"], exp_ch[3], mhi_ch, tf))))
+
+        ok = ~(jnp.isnan(alpha) | jnp.isnan(jnp.sum(dzc)) |
+               jnp.isnan(jnp.sum(dzh)))
+        alpha = jnp.where(ok, alpha, 0.0)
+        st2 = dict(st)
+        st2["z_cr"] = st["z_cr"] + alpha * dzc
+        st2["z_ch"] = st["z_ch"] + alpha * dzh
+        st2["lam_cr"] = st["lam_cr"] + alpha * dlc * nrxm
+        st2["lam_ch"] = st["lam_ch"] + alpha * dlh
+        for tag, exp, mlo, mhi in (("cr", exp_cr, mlo_cr, mhi_cr),
+                                   ("ch", exp_ch, mlo_ch, mhi_ch)):
+            st2["slo_" + tag] = jnp.where(
+                mlo > 0, st["slo_" + tag] + alpha * exp[0], 1.0)
+            st2["shi_" + tag] = jnp.where(
+                mhi > 0, st["shi_" + tag] + alpha * exp[1], 1.0)
+            st2["llo_" + tag] = jnp.where(
+                mlo > 0, st["llo_" + tag] + alpha * exp[2], 0.0)
+            st2["lhi_" + tag] = jnp.where(
+                mhi > 0, st["lhi_" + tag] + alpha * exp[3], 0.0)
+
+        status = jnp.where((alpha < opts.alpha_min) | ~ok,
+                           IPM_MIN_STEP, status)
+        out = residuals(st2)
+        res4 = res4_of(*out)
+        return st2, it + 1, status, res4
+
+    def cond(carry):
+        _, it, status, res4 = carry
+        return ((jnp.max(res4) >= opts.tol) & (status == IPM_OPTIMAL)
+                & (it < opts.max_iter))
+
+    init = (st0, jnp.zeros((), jnp.int32),
+            jnp.full((), IPM_OPTIMAL, jnp.int32), jnp.full((4,), jnp.inf, dt))
+    if opts.factor_dtype == "float32" and dt == jnp.float64:
+        switch = max(opts.tol, opts.f32_until)
+
+        def cond_a(carry):
+            _, it, status, res4 = carry
+            return ((jnp.max(res4) >= switch) & (status == IPM_OPTIMAL)
+                    & (it < opts.max_iter))
+
+        st, it, status, res4 = jax.lax.while_loop(
+            cond_a, partial(iteration, fdt=jnp.float32), init)
+        init = (st, it, jnp.full((), IPM_OPTIMAL, jnp.int32), res4)
+    st, it, status, res4 = jax.lax.while_loop(cond, iteration, init)
+    status = jnp.where((status == IPM_OPTIMAL) & ~(jnp.max(res4) < opts.tol),
+                       IPM_MAX_ITER, status)
+
+    # --- export (signed fold mu = l_hi - l_lo, hpmpc_tree.c:405-433)
+    mu_cr = st["lhi_cr"] - st["llo_cr"]
+    mu_ch = st["lhi_ch"] - st["llo_ch"]
+    crown_out = dict(
+        x=st["z_cr"][:, :nxm] * xm, u=st["z_cr"][:, nxm:] * um,
+        lam=st["lam_cr"] * nrxm,
+        mu_x=mu_cr[:, :nxm] * xm, mu_u=mu_cr[:, nxm:] * um)
+    chain_out = dict(
+        x=st["z_ch"][:, :, :nxm] * xmask_ch,
+        u=st["z_ch"][:, :, nxm:] * umask_ch,
+        lam=st["lam_ch"],
+        mu_x=mu_ch[:, :, :nxm] * xmask_ch,
+        mu_u=mu_ch[:, :, nxm:] * umask_ch)
+    info = dict(iter=it, status=status, res4=res4)
+    return crown_out, chain_out, info
