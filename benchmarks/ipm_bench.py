@@ -29,12 +29,12 @@ NREP = 3
 
 MODES = {
     "f64": dict(),
-    "f32": dict(factor_dtype="float32"),
+    # refinement lowers the emulated-f64 res_g floor on TPU
+    "f64r": dict(refine_steps=1),
     "f32r": dict(factor_dtype="float32", refine_steps=1),
-    # static Riccati regularization: guards the emulated-f64 Cholesky
-    # against tiny negative pivots on late-barrier (gamma ~ 1/mu) systems
-    "f64_reg": dict(reg_eps=1e-8),
-    "f32r_reg": dict(factor_dtype="float32", refine_steps=1, reg_eps=1e-8),
+    # crown+chains layout (solvers/ipm_multistage.py)
+    "ms_f64": dict(_ms=True),
+    "ms_f32": dict(_ms=True, factor_dtype="float32"),
 }
 
 
@@ -45,25 +45,47 @@ def run_mode(mode):
 
     from treeqp_tpu.solvers.ipm import IpmOpts, ipm_solve
 
+    cfg = dict(MODES[mode])
+    use_ms = cfg.pop("_ms", False)
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         from benchmarks.models import spring_mass_chain
         qp, _ = spring_mass_chain(nm=NM, md=MD, Nr=NR, Nh=NH)
+        if use_ms:
+            from treeqp_tpu.solvers.tdunes_multistage import split_multistage
+            ms = split_multistage(qp)
     dev = jax.devices()[0]
     qp = jax.device_put(qp, dev)
-    opts = IpmOpts(tol=1e-8, max_iter=40, **MODES[mode])
+    opts = IpmOpts(tol=1e-8, max_iter=40, **cfg)
+    if use_ms:
+        from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
+        ms = jax.device_put(ms, dev)
 
-    @jax.jit
-    def run_chain(seed):
-        def body(carry, k):
-            eps = 1e-9 * (k + 1) + seed * 1e-12
-            qp2 = dataclasses.replace(qp, b=qp.b + eps)
-            out = ipm_solve(qp2, opts)
-            return carry + out.info["iter"], (out.info["res4"],
-                                              out.info["status"])
-        tot, (res4, status) = jax.lax.scan(
-            body, jnp.zeros((), jnp.int32), jnp.arange(CHAIN_R))
-        return tot, res4, status
+        @jax.jit
+        def run_chain(seed):
+            def body(carry, k):
+                eps = 1e-9 * (k + 1) + seed * 1e-12
+                ms2 = dataclasses.replace(
+                    ms, b=ms.b + eps,
+                    crown=dataclasses.replace(ms.crown, b=ms.crown.b + eps))
+                _, _, info = ipm_ms_solve(ms2, opts)
+                return carry + info["iter"], (info["res4"], info["status"])
+            tot, (res4, status) = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), jnp.arange(CHAIN_R))
+            return tot, res4, status
+    else:
+        @jax.jit
+        def run_chain(seed):
+            def body(carry, k):
+                eps = 1e-9 * (k + 1) + seed * 1e-12
+                qp2 = dataclasses.replace(qp, b=qp.b + eps)
+                out = ipm_solve(qp2, opts)
+                return carry + out.info["iter"], (out.info["res4"],
+                                                  out.info["status"])
+            tot, (res4, status) = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), jnp.arange(CHAIN_R))
+            return tot, res4, status
 
     tot, res4, status = jax.block_until_ready(run_chain(np.float64(0)))
     times = []

@@ -78,10 +78,17 @@ class IpmOpts:
     # to close the last digits.
     factor_dtype: str = "same"  # same | float32
     f32_until: float = 1e-5  # residual switch point of the f32 phase
-    # optional iterative refinement of each f32 Riccati solve against the
-    # exact data-dtype KKT operator (per-solve cost: one f64 KKT apply +
-    # one f32 re-solve per step)
+    # optional iterative refinement of each Riccati solve against the
+    # exact data-dtype KKT operator (per-solve cost: one KKT apply + one
+    # re-solve per step). Lowers the attainable res_g floor — on TPU the
+    # emulated-f64 Riccati floor can sit right at a tight tolerance.
     refine_steps: int = 0
+    # stall exit: if max(res4) has not improved by >=10% for this many
+    # consecutive iterations, stop and return the BEST iterate seen (0
+    # disables). Without it, an unattainable tolerance drives the barrier
+    # to its floor and the late-barrier systems (gamma ~ 1/mu) blow up the
+    # stationarity residual (measured on TPU, BENCH_NOTES.md).
+    stall_patience: int = 4
     # PROFILE>=2 analog: per-iteration [res_g res_b res_d res_m alpha mu
     # sigma] into info["hist"] ([max_iter, 7], NaN-padded)
     record_history: bool = False
@@ -439,7 +446,8 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         l_hi0 = jnp.where(m_hi > 0, jnp.maximum(mu_fold, eps), 0.0)
 
     def iteration(carry, fdt=None):
-        z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4, hist = carry
+        (z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4, hist,
+         bstate, best4, noimp) = carry
         rg, rb, rd_lo, rd_hi, rm_lo, rm_hi = residuals(z, lam, l_lo, l_hi, s_lo, s_hi)
 
         # --- factor with current barrier weights
@@ -450,7 +458,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
 
         def rsolve(rg_, rb_):
             dz_, dlam_ = _riccati_solve(qp, fact, rg_, rb_, prep)
-            if fdt is None or opts.refine_steps <= 0:
+            if opts.refine_steps <= 0:
                 return dz_, dlam_
             # iterative refinement against the exact data-dtype KKT
             # operator (cf. tdunes _newton_direction)
@@ -520,17 +528,33 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         if opts.record_history:
             hist = hist.at[it].set(jnp.concatenate(
                 [res4, jnp.stack([alpha, mu, sigma])]))
-        return z, lam, l_lo, l_hi, s_lo, s_hi, it + 1, status, res4, hist
+        # best-iterate tracking + stall detection
+        m4 = jnp.max(res4)
+        better = m4 < jnp.max(best4)
+        noimp = jnp.where(m4 < 0.9 * jnp.max(best4), 0, noimp + 1)
+        sel = lambda a, b: jnp.where(better, a, b)
+        bstate = jax.tree_util.tree_map(
+            sel, (z, lam, l_lo, l_hi, s_lo, s_hi), bstate)
+        best4 = jax.tree_util.tree_map(sel, res4, best4)
+        return (z, lam, l_lo, l_hi, s_lo, s_hi, it + 1, status, res4, hist,
+                bstate, best4, noimp)
 
     def cond(carry):
-        _, _, _, _, _, _, it, status, res4, _ = carry
-        return (jnp.max(res4) >= opts.tol) & (status == IPM_OPTIMAL) & (it < opts.max_iter)
+        _, _, _, _, _, _, it, status, res4, _, _, _, noimp = carry
+        ok = (jnp.max(res4) >= opts.tol) & (status == IPM_OPTIMAL) \
+            & (it < opts.max_iter)
+        if opts.stall_patience > 0:
+            ok = ok & (noimp < opts.stall_patience)
+        return ok
 
     hist0 = jnp.full((opts.max_iter if opts.record_history else 1, 7),
                      jnp.nan, dt)
-    init = (z0, lam0, l_lo0, l_hi0, s_lo0, s_hi0, jnp.zeros((), jnp.int32),
-            jnp.full((), IPM_OPTIMAL, jnp.int32), jnp.full((4,), jnp.inf, dt),
-            hist0)
+    state0 = (z0, lam0, l_lo0, l_hi0, s_lo0, s_hi0)
+    init = state0 + (jnp.zeros((), jnp.int32),
+                     jnp.full((), IPM_OPTIMAL, jnp.int32),
+                     jnp.full((4,), jnp.inf, dt),
+                     hist0, state0, jnp.full((4,), jnp.inf, dt),
+                     jnp.zeros((), jnp.int32))
     if opts.factor_dtype == "float32" and dt == jnp.float64:
         # --- two-phase mixed precision: f32 Riccati while the residuals
         # are above f32_until (inexact Newton — the exactly-recomputed
@@ -539,22 +563,36 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         switch = max(opts.tol, opts.f32_until)
 
         def cond_a(carry):
-            _, _, _, _, _, _, it, status, res4, _ = carry
-            return ((jnp.max(res4) >= switch) & (status == IPM_OPTIMAL)
-                    & (it < opts.max_iter))
+            _, _, _, _, _, _, it, status, res4, _, _, _, noimp = carry
+            ok = ((jnp.max(res4) >= switch) & (status == IPM_OPTIMAL)
+                  & (it < opts.max_iter))
+            if opts.stall_patience > 0:
+                ok = ok & (noimp < opts.stall_patience)
+            return ok
 
         carry = jax.lax.while_loop(
             cond_a, partial(iteration, fdt=jnp.float32), init)
-        # a MIN_STEP in the f32 phase is expected noise near its residual
-        # floor, not a failure: hand over to the exact phase, which
-        # re-detects a true minimum step
-        carry = carry[:7] + (jnp.full((), IPM_OPTIMAL, jnp.int32),) + carry[8:]
+        # a MIN_STEP / stall in the f32 phase is expected noise near its
+        # residual floor, not a failure: hand over to the exact phase,
+        # which re-detects a true minimum step / stall
+        carry = carry[:7] + (jnp.full((), IPM_OPTIMAL, jnp.int32),) \
+            + carry[8:12] + (jnp.zeros((), jnp.int32),)
         init = carry
-    z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4, hist = \
-        jax.lax.while_loop(cond, iteration, init)
+    (z, lam, l_lo, l_hi, s_lo, s_hi, it, status, res4, hist,
+     bstate, best4, _) = jax.lax.while_loop(cond, iteration, init)
+    # export the BEST iterate seen (== the final one unless the loop ran
+    # past its numerical floor and was stall-exited)
+    use_best = jnp.max(best4) < jnp.max(res4)
+    selb = lambda a, b: jnp.where(use_best, a, b)
+    (z, lam, l_lo, l_hi, s_lo, s_hi) = jax.tree_util.tree_map(
+        selb, bstate, (z, lam, l_lo, l_hi, s_lo, s_hi))
+    res4 = jax.tree_util.tree_map(selb, best4, res4)
     # NaN-safe: ~(max < tol) so a NaN residual can never read as OPTIMAL
     status = jnp.where((status == IPM_OPTIMAL) & ~(jnp.max(res4) < opts.tol),
                        IPM_MAX_ITER, status)
+    # a MIN_STEP whose best iterate still meets the tolerance is a success
+    status = jnp.where((status == IPM_MIN_STEP) & (jnp.max(res4) < opts.tol),
+                       IPM_OPTIMAL, status)
 
     # --- export with signed multiplier fold mu = l_hi - l_lo (hpmpc_tree.c:405-433)
     xm = jnp.asarray(topo.x_mask, dt)

@@ -274,17 +274,58 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                           -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(1.0, frac * jnp.min(ratio))
 
-    def solve_kkt(fact_ch, fact_cr, rhs_cr, rhs_ch, rb_cr, rb_ch):
-        """Full-tree Riccati solve: chain bwd -> crown -> chain fwd."""
-        p_ch, k_ch, w0 = _chain_riccati_bwd(fact_ch, rhs_ch, rb_ch)
-        wsum0 = jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0)
-        dz_cr, dlam_cr = _riccati_solve(qp, fact_cr, rhs_cr, rb_cr, prep,
-                                        wsum0=wsum0)
-        dz_ch, dlam_ch = _chain_riccati_fwd(fact_ch, p_ch, k_ch, rb_ch,
-                                            dz_cr[rid])
-        out_dt = rhs_cr.dtype
-        return (dz_cr.astype(out_dt), dz_ch.astype(out_dt),
-                dlam_cr.astype(out_dt), dlam_ch.astype(out_dt))
+    def kkt_apply(hbar_cr, hbar_ch, dzc, dzh, dlc, dlh):
+        """Exact data-dtype action of the KKT operator the Riccati solves
+        (cf. ipm._kkt_apply): L1 = Hbar dz - E'dlam + sum_kids AB'dlam_kid,
+        L2 = dx - AB dz_parent. Solutions satisfy L1 = -rhs_g, L2 = rb."""
+        r1_cr = hbar_cr * dzc
+        r1_cr = r1_cr.at[:, :nxm].add(-dlc * nrxm)
+        contrib = jnp.einsum("nxz,nx->nz", AB_cr, dlc * nrxm)
+        r1_cr = r1_cr + jax.ops.segment_sum(contrib[1:], par[1:],
+                                            num_segments=Nc)
+        c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], dlh[:, 0])
+        r1_cr = (r1_cr.at[rid].add(c0)) * zmask_cr
+        r1_ch = hbar_ch * dzh
+        r1_ch = r1_ch.at[:, :, :nxm].add(-dlh)
+        up = jnp.einsum("slxz,slx->slz", AB_ch[:, 1:], dlh[:, 1:])
+        r1_ch = (r1_ch.at[:, :-1].add(up)) * zmask_ch
+        r2_cr = (dzc[:, :nxm]
+                 - jnp.einsum("nxz,nz->nx", AB_cr, dzc[par])) * nrxm
+        zp = jnp.concatenate([dzc[rid][:, None], dzh[:, :-1]], axis=1)
+        r2_ch = dzh[:, :, :nxm] - jnp.einsum("slxz,slz->slx", AB_ch, zp)
+        return r1_cr, r1_ch, r2_cr, r2_ch
+
+    def solve_kkt(fact_ch, fact_cr, rhs_cr, rhs_ch, rb_cr, rb_ch,
+                  hbars=None):
+        """Full-tree Riccati solve: chain bwd -> crown -> chain fwd.
+        With ``hbars`` (data-dtype diagonal Hessians) and refine_steps > 0,
+        iteratively refine against the exact KKT operator."""
+        def one_solve(rhs_cr_, rhs_ch_, rb_cr_, rb_ch_):
+            p_ch, k_ch, w0 = _chain_riccati_bwd(fact_ch, rhs_ch_, rb_ch_)
+            wsum0 = jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0)
+            dz_cr, dlam_cr = _riccati_solve(qp, fact_cr, rhs_cr_, rb_cr_,
+                                            prep, wsum0=wsum0)
+            dz_ch, dlam_ch = _chain_riccati_fwd(fact_ch, p_ch, k_ch, rb_ch_,
+                                                dz_cr[rid])
+            out_dt = rhs_cr_.dtype
+            return (dz_cr.astype(out_dt), dz_ch.astype(out_dt),
+                    dlam_cr.astype(out_dt), dlam_ch.astype(out_dt))
+
+        sol = one_solve(rhs_cr, rhs_ch, rb_cr, rb_ch)
+        if opts.refine_steps <= 0 or hbars is None:
+            return sol
+        hbar_cr, hbar_ch = hbars
+        dzc, dzh, dlc, dlh = sol
+        for _ in range(opts.refine_steps):
+            r1c, r1h, r2c, r2h = kkt_apply(hbar_cr, hbar_ch,
+                                           dzc, dzh, dlc, dlh)
+            # K(corr) = (e1, e2), e1 = -rhs - L1(d), e2 = rb - L2(d);
+            # one_solve(rg', rb') gives L1 = -rg', L2 = rb' -> rg' = -e1
+            cc, ch_, lc, lh = one_solve(rhs_cr + r1c, rhs_ch + r1h,
+                                        rb_cr - r2c, rb_ch - r2h)
+            dzc, dzh = dzc + cc, dzh + ch_
+            dlc, dlh = dlc + lc, dlh + lh
+        return dzc, dzh, dlc, dlh
 
     # --- initial point (cf. ipm_solve cold/warm start)
     if ws is None:
@@ -326,7 +367,7 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             st0["lhi_" + tag] = jnp.where(mhi > 0, jnp.maximum(mu, eps), 0.0)
 
     def iteration(carry, fdt=None):
-        st, it, status, res4 = carry
+        st, it, status, res4, bst, best4, noimp = carry
         rg_cr, rg_ch, rb_cr, rb_ch, rd, rm = residuals(st)
 
         rhs_cr_a, gam_cr = kkt_rhs(rg_cr, rd[0], rm[0],
@@ -347,7 +388,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
 
         # predictor
         dzc_a, dzh_a, dlc_a, dlh_a = solve_kkt(
-            fact_ch, fact_cr, rhs_cr_a, rhs_ch_a, rb_cr, rb_ch)
+            fact_ch, fact_cr, rhs_cr_a, rhs_ch_a, rb_cr, rb_ch,
+            hbars=(hbar_cr, hbar_ch))
         exp_cr_a = expand_step(dzc_a, rd[0], rm[0], st["slo_cr"],
                                st["shi_cr"], st["llo_cr"], st["lhi_cr"],
                                mlo_cr, mhi_cr)
@@ -394,7 +436,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                               st["shi_ch"], st["llo_ch"], st["lhi_ch"],
                               mlo_ch, mhi_ch)
         dzc, dzh, dlc, dlh = solve_kkt(
-            fact_ch, fact_cr, rhs_cr_c, rhs_ch_c, rb_cr, rb_ch)
+            fact_ch, fact_cr, rhs_cr_c, rhs_ch_c, rb_cr, rb_ch,
+            hbars=(hbar_cr, hbar_ch))
         exp_cr = expand_step(dzc, rd[0], rm_c[0], st["slo_cr"], st["shi_cr"],
                              st["llo_cr"], st["lhi_cr"], mlo_cr, mhi_cr)
         exp_ch = expand_step(dzh, rd[1], rm_c[1], st["slo_ch"], st["shi_ch"],
@@ -436,29 +479,53 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                            IPM_MIN_STEP, status)
         out = residuals(st2)
         res4 = res4_of(*out)
-        return st2, it + 1, status, res4
+        # best-iterate tracking + stall detection (cf. ipm.py: on TPU the
+        # emulated-f64 residual floor can sit at the tolerance; iterating
+        # past it blows up the late-barrier systems)
+        m4 = jnp.max(res4)
+        better = m4 < jnp.max(best4)
+        noimp = jnp.where(m4 < 0.9 * jnp.max(best4), 0, noimp + 1)
+        sel = lambda a, b: jnp.where(better, a, b)
+        bst = jax.tree_util.tree_map(sel, st2, bst)
+        best4 = jax.tree_util.tree_map(sel, res4, best4)
+        return st2, it + 1, status, res4, bst, best4, noimp
 
     def cond(carry):
-        _, it, status, res4 = carry
-        return ((jnp.max(res4) >= opts.tol) & (status == IPM_OPTIMAL)
-                & (it < opts.max_iter))
+        _, it, status, res4, _, _, noimp = carry
+        ok = ((jnp.max(res4) >= opts.tol) & (status == IPM_OPTIMAL)
+              & (it < opts.max_iter))
+        if opts.stall_patience > 0:
+            ok = ok & (noimp < opts.stall_patience)
+        return ok
 
     init = (st0, jnp.zeros((), jnp.int32),
-            jnp.full((), IPM_OPTIMAL, jnp.int32), jnp.full((4,), jnp.inf, dt))
+            jnp.full((), IPM_OPTIMAL, jnp.int32), jnp.full((4,), jnp.inf, dt),
+            st0, jnp.full((4,), jnp.inf, dt), jnp.zeros((), jnp.int32))
     if opts.factor_dtype == "float32" and dt == jnp.float64:
         switch = max(opts.tol, opts.f32_until)
 
         def cond_a(carry):
-            _, it, status, res4 = carry
-            return ((jnp.max(res4) >= switch) & (status == IPM_OPTIMAL)
-                    & (it < opts.max_iter))
+            _, it, status, res4, _, _, noimp = carry
+            ok = ((jnp.max(res4) >= switch) & (status == IPM_OPTIMAL)
+                  & (it < opts.max_iter))
+            if opts.stall_patience > 0:
+                ok = ok & (noimp < opts.stall_patience)
+            return ok
 
-        st, it, status, res4 = jax.lax.while_loop(
+        st, it, status, res4, bst, best4, _ = jax.lax.while_loop(
             cond_a, partial(iteration, fdt=jnp.float32), init)
-        init = (st, it, jnp.full((), IPM_OPTIMAL, jnp.int32), res4)
-    st, it, status, res4 = jax.lax.while_loop(cond, iteration, init)
+        init = (st, it, jnp.full((), IPM_OPTIMAL, jnp.int32), res4,
+                bst, best4, jnp.zeros((), jnp.int32))
+    st, it, status, res4, bst, best4, _ = jax.lax.while_loop(
+        cond, iteration, init)
+    use_best = jnp.max(best4) < jnp.max(res4)
+    selb = lambda a, b: jnp.where(use_best, a, b)
+    st = jax.tree_util.tree_map(selb, bst, st)
+    res4 = jax.tree_util.tree_map(selb, best4, res4)
     status = jnp.where((status == IPM_OPTIMAL) & ~(jnp.max(res4) < opts.tol),
                        IPM_MAX_ITER, status)
+    status = jnp.where((status == IPM_MIN_STEP) & (jnp.max(res4) < opts.tol),
+                       IPM_OPTIMAL, status)
 
     # --- export (signed fold mu = l_hi - l_lo, hpmpc_tree.c:405-433)
     mu_cr = st["lhi_cr"] - st["llo_cr"]
