@@ -72,3 +72,19 @@ def test_warm_start_cuts_iterations(problem):
     out_w = merge_output(ms2, *warm)
     assert float(max_kkt_residual(qp2, out_w)) < 1e-8
     assert int(warm[2]["iter"]) < int(cold[2]["iter"])
+
+
+def test_pallas_riccati_kernels(problem):
+    """The lane-batched Pallas chain-Riccati path (interpret mode on CPU)
+    must agree with the XLA scan path and reach the tolerance with f32
+    factors + exact-KKT refinement."""
+    qp, ms = problem
+    ref = ipm_ms_solve(ms, IpmOpts(tol=1e-10, max_iter=40))
+    cro, cho, info = ipm_ms_solve(
+        ms, IpmOpts(tol=1e-8, max_iter=40, factor_dtype="float32",
+                    chain_backend="pallas", f32_until=1e-8, refine_steps=1))
+    out = merge_output(ms, cro, cho, info)
+    out_ref = merge_output(ms, *ref)
+    assert int(info["status"]) == 0
+    assert float(max_kkt_residual(qp, out)) < 1e-8
+    assert float(jnp.max(jnp.abs(out.x - out_ref.x))) < 1e-7

@@ -78,6 +78,10 @@ class IpmOpts:
     # to close the last digits.
     factor_dtype: str = "same"  # same | float32
     f32_until: float = 1e-5  # residual switch point of the f32 phase
+    # chain-sweep backend of the multistage IPM (ipm_multistage): "pallas"
+    # fuses each whole length-L Riccati sweep into one lane-batched TPU
+    # kernel (ops/riccati_kernels.py); applies to f32-factored iterations
+    chain_backend: str = "xla"  # xla | pallas
     # optional iterative refinement of each Riccati solve against the
     # exact data-dtype KKT operator (per-solve cost: one KKT apply + one
     # re-solve per step). Lowers the attainable res_g floor — on TPU the
