@@ -88,3 +88,25 @@ def test_pallas_riccati_kernels(problem):
     assert int(info["status"]) == 0
     assert float(max_kkt_residual(qp, out)) < 1e-8
     assert float(jnp.max(jnp.abs(out.x - out_ref.x))) < 1e-7
+
+
+def test_ipm_ms_sharded_matches_unsharded():
+    """The multistage IPM under a scenario-sharded mesh (GSPMD inserts the
+    chain<->crown collectives) must match the unsharded solve — the same
+    single-vs-sharded CI-matrix check the dual-Newton solver has."""
+    from treeqp_tpu.parallel.sharding import scenario_mesh, shard_multistage
+    from benchmarks.models import spring_mass_chain
+
+    qp, _ = spring_mass_chain(nm=2, md=2, Nr=3, Nh=8)
+    ms = split_multistage(qp)
+    assert ms.meta.S == 8
+    mesh = scenario_mesh()
+    mss = shard_multistage(ms, mesh)
+    opts = IpmOpts(tol=1e-10, max_iter=40)
+    out_s = ipm_ms_solve(mss, opts)
+    out = ipm_ms_solve(ms, opts)
+    assert int(out_s[2]["iter"]) == int(out[2]["iter"])
+    full_s = merge_output(mss, *out_s)
+    full = merge_output(ms, *out)
+    assert float(max_kkt_residual(qp, full_s)) < 1e-9
+    assert float(jnp.max(jnp.abs(full_s.x - full.x))) < 1e-11
