@@ -29,12 +29,16 @@ NREP = 3
 
 MODES = {
     "f64": dict(),
-    # refinement lowers the emulated-f64 res_g floor on TPU
-    "f64r": dict(refine_steps=1),
-    "f32r": dict(factor_dtype="float32", refine_steps=1),
     # crown+chains layout (solvers/ipm_multistage.py)
     "ms_f64": dict(_ms=True),
     "ms_f32": dict(_ms=True, factor_dtype="float32"),
+    # f32 factors throughout + exact-KKT refinement, Pallas chain sweeps
+    "ms_f32r_pallas": dict(_ms=True, factor_dtype="float32",
+                           f32_until=1e-8, refine_steps=1,
+                           chain_backend="pallas"),
+    # two-phase with Pallas f32 chains, f64 XLA finish
+    "ms_f32_pallas": dict(_ms=True, factor_dtype="float32",
+                          chain_backend="pallas"),
 }
 
 

@@ -532,10 +532,16 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         if opts.record_history:
             hist = hist.at[it].set(jnp.concatenate(
                 [res4, jnp.stack([alpha, mu, sigma])]))
-        # best-iterate tracking + stall detection
+        # best-iterate tracking + stall detection. The stall counter only
+        # arms in the late-barrier regime (mu < tol): the early Mehrotra
+        # phase is legitimately non-monotone in max(res4) (the
+        # complementarity residual spikes while the iterate centers).
         m4 = jnp.max(res4)
         better = m4 < jnp.max(best4)
-        noimp = jnp.where(m4 < 0.9 * jnp.max(best4), 0, noimp + 1)
+        mu2 = (jnp.sum(s_lo * l_lo * m_lo) + jnp.sum(s_hi * l_hi * m_hi)) \
+            / n_ineq
+        noimp = jnp.where(m4 < 0.9 * jnp.max(best4), 0,
+                          jnp.where(mu2 < opts.tol, noimp + 1, 0))
         sel = lambda a, b: jnp.where(better, a, b)
         bstate = jax.tree_util.tree_map(
             sel, (z, lam, l_lo, l_hi, s_lo, s_hi), bstate)

@@ -495,10 +495,17 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         res4 = res4_of(*out)
         # best-iterate tracking + stall detection (cf. ipm.py: on TPU the
         # emulated-f64 residual floor can sit at the tolerance; iterating
-        # past it blows up the late-barrier systems)
+        # past it blows up the late-barrier systems). Armed only in the
+        # late-barrier regime — the early Mehrotra phase is legitimately
+        # non-monotone in max(res4).
         m4 = jnp.max(res4)
         better = m4 < jnp.max(best4)
-        noimp = jnp.where(m4 < 0.9 * jnp.max(best4), 0, noimp + 1)
+        mu2 = (jnp.sum(st2["slo_cr"] * st2["llo_cr"] * mlo_cr)
+               + jnp.sum(st2["shi_cr"] * st2["lhi_cr"] * mhi_cr)
+               + jnp.sum(st2["slo_ch"] * st2["llo_ch"] * mlo_ch)
+               + jnp.sum(st2["shi_ch"] * st2["lhi_ch"] * mhi_ch)) / n_ineq
+        noimp = jnp.where(m4 < 0.9 * jnp.max(best4), 0,
+                          jnp.where(mu2 < opts.tol, noimp + 1, 0))
         sel = lambda a, b: jnp.where(better, a, b)
         bst = jax.tree_util.tree_map(sel, st2, bst)
         best4 = jax.tree_util.tree_map(sel, res4, best4)
