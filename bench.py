@@ -59,6 +59,10 @@ def build_problem():
 def bench_opts(on_tpu):
     from treeqp_tpu.solvers.tdunes import TdunesOpts
 
+    # protocol-experiment overrides (documented in BENCH_NOTES.md)
+    refine = int(os.environ.get("TREEQP_BENCH_REFINE", "1"))
+    ptol = float(os.environ.get("TREEQP_BENCH_PTOL", "1e-4"))
+
     return TdunesOpts(stage_solver="clipping", tol=1e-8, max_iter=120,
                       # TPU speed path: f32 factorization + pallas chain
                       # kernels + 1 refinement -> f64 accuracy. Single
@@ -66,7 +70,7 @@ def bench_opts(on_tpu):
                       # unit diagonal) instead of the 4-attempt on-the-fly
                       # cascade: ~25% faster, robust at 1e-6.
                       factor_dtype="float32" if on_tpu else "same",
-                      refine_steps=1 if on_tpu else 0,
+                      refine_steps=refine if on_tpu else 0,
                       # unsafeguarded refinement: 1 solve + 1 M-apply per
                       # direction (the safeguard's residual-norm compare
                       # costs an extra apply; equilibration makes the
@@ -79,7 +83,7 @@ def bench_opts(on_tpu):
                       # then high-precision + refinement to 1e-8 (emulated
                       # f64 is the dominant per-op cost; the final phase
                       # needs ~2 iters)
-                      f32_phase_tol=1e-4 if on_tpu else 0.0,
+                      f32_phase_tol=ptol if on_tpu else 0.0,
                       # run that final phase in df64 (two-f32 double-float)
                       # arithmetic instead of XLA-emulated f64: same Newton
                       # semantics at f32 op cost (solvers/ms_df64.py)

@@ -24,8 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MD, NR, NH, NM = 4, 4, 20, 4
-CHAIN_R = 3
-NREP = 3
+CHAIN_R = int(os.environ.get("TREEQP_IPM_CHAIN", "3"))
+NREP = int(os.environ.get("TREEQP_IPM_NREP", "3"))
 
 MODES = {
     "f64": dict(),
