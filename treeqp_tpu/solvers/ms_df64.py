@@ -317,11 +317,16 @@ def df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch):
 
 
 def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
-                      opts: TdunesOpts, it0):
+                      opts: TdunesOpts, it0, handover=None):
     """df64 mirror of _ms_newton_loop (f64-data semantics, f32 speed).
 
-    ``lam0_crown``/``lam0_chain`` may be f32 or f64; returns the same tuple
-    as _ms_newton_loop with f64 lam / stage solutions.
+    ``lam0_crown``/``lam0_chain`` may be f32 or f64; returns the same
+    solution tuple as _ms_newton_loop (without its trailing handover).
+    ``handover``: the coarse f32 phase's last (fact, sig) — when the
+    active-set PATTERN at the phase boundary is unchanged (it almost
+    always is: same lambda), the initial factorization is reused instead
+    of recomputed (the factors are f32 either way; refinement absorbs the
+    ulp-level differences between f32-data and df64-hi stage inverses).
     """
     meta_ms = ms.meta
     prep_cr = td._get_prep(meta_ms.crown_topo)
@@ -568,8 +573,13 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
     cr0, ch0, rc0, rh0 = compute_residuals(lam_cr0, lam_ch0)
     err0 = error_of(rc0, rh0)
     f0_init = df_dual_value(dd, lam_cr0, lam_ch0, cr0, ch0)
-    fact0 = factorize(cr0, ch0)
     sig0 = active_sig(cr0, ch0)
+    if handover is not None:
+        fact_h, sig_h = handover
+        fact0 = jax.lax.cond(tm._pattern_equal(sig0, sig_h),
+                             lambda: fact_h, lambda: factorize(cr0, ch0))
+    else:
+        fact0 = factorize(cr0, ch0)
     init = ((lam_cr0, lam_ch0, jnp.asarray(it0, jnp.int32), err0,
              jnp.full((), TDUNES_OPTIMAL, jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),

@@ -709,8 +709,21 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             (cr0, ch0, rc0, rh0), f0_init,
             (err0, jnp.zeros((), jnp.int32)), fact0, sig0)
     (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, res_cr, res_ch), \
-        _, _, _, _ = jax.lax.while_loop(cond, body, init)
-    return lam_cr, lam_ch, it, status, ls_it, cr, ch, err
+        _, _, fact_f, sig_f = jax.lax.while_loop(cond, body, init)
+    return (lam_cr, lam_ch, it, status, ls_it, cr, ch, err,
+            (fact_f, sig_f))
+
+
+def _pattern_equal(sig_a, sig_b):
+    """Active-set PATTERN equality across representations: the masked
+    inverses are value-or-0, so (x != 0) is the active-set pattern even
+    when the values were rounded through different paths (f32 stage data
+    vs the hi word of df64 data)."""
+    eqs = [jnp.all((a != 0) == (b != 0)) for a, b in zip(sig_a, sig_b)]
+    out = eqs[0]
+    for e in eqs[1:]:
+        out = out & e
+    return out
 
 
 def _cast_ms(ms: MultistageQP, dtype):
@@ -751,6 +764,7 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
     lam0_crown = lam0_crown * nrxm_cr
 
     it0 = jnp.zeros((), jnp.int32)
+    handover = None  # (fact, sig) of the coarse phase's last factorization
     use_coarse = (opts.f32_phase_tol > 0 and dt == jnp.float64
                   and opts.factor_dtype == "float32")
     if use_coarse:
@@ -758,7 +772,7 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         optsA = dataclasses.replace(
             opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol),
             ls_batch=opts.ls_batch if opts.ls_batch > 0 else 4)
-        lamA_cr, lamA_ch, it0, _, _, _, _, _ = _ms_newton_loop(
+        lamA_cr, lamA_ch, it0, _, _, _, _, _, handover = _ms_newton_loop(
             ms32, lam0_crown.astype(jnp.float32),
             lam0_chain.astype(jnp.float32), optsA, it0, patience=3)
         # f32-phase status is discarded: a not-descent there is expected
@@ -770,9 +784,9 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
             and opts.factor_dtype == "float32"):
         from treeqp_tpu.solvers.ms_df64 import ms_newton_loop_df
         lam_cr, lam_ch, it, status, ls_it, cr, ch, err = ms_newton_loop_df(
-            ms, lam0_crown, lam0_chain, opts, it0)
+            ms, lam0_crown, lam0_chain, opts, it0, handover=handover)
     else:
-        lam_cr, lam_ch, it, status, ls_it, cr, ch, err = _ms_newton_loop(
+        lam_cr, lam_ch, it, status, ls_it, cr, ch, err, _ = _ms_newton_loop(
             ms, lam0_crown, lam0_chain, opts, it0)
     status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
                        TDUNES_MAX_ITER, status)
