@@ -70,6 +70,10 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
     elif solver in ("ipm", "hpmpc", "hpipm"):
         solver = "ipm"
         opts = opts or IpmOpts(tol=1e-8, max_iter=30)
+    elif solver == "ipm_ms":
+        # crown+chains IPM (the engine's TPU speed layout) — exercised on
+        # the same closed loop for parity with the generic path
+        opts = opts or IpmOpts(tol=1e-8, max_iter=30)
     elif solver == "sdunes":
         opts = opts or SdunesOpts(tol=1e-8, max_iter=100)
     else:
@@ -77,6 +81,7 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
 
     lam = None
     prev_out = None  # IPM warm start (hpmpc_tree.h:56 analog)
+    ms_ws = None  # multistage-IPM (crown, chain) warm start
     sd_duals = None  # sdunes (lam, mu) persistence across steps
     logs = dict(cpu_time=[], iters=[], status=[], kkt=[])
     xs, us = [x.copy()], []
@@ -112,6 +117,16 @@ def closed_loop_mpc(model, solver: str = "tdunes", nsim: int = 30,
             out = scenario_output(sqp, sol, sd_lam, sd_mu, info)
             if warm_start:
                 sd_duals = (sd_lam, sd_mu)
+        elif solver == "ipm_ms":
+            from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
+            from treeqp_tpu.solvers.tdunes_multistage import (
+                split_multistage, merge_output)
+            msq = split_multistage(qp)
+            ws = ms_ws if warm_start else None
+            cro, cho, minfo = jax.block_until_ready(
+                ipm_ms_solve(msq, opts, ws=ws))
+            out = merge_output(msq, cro, cho, minfo)
+            ms_ws = (cro, cho)
         else:
             ws = prev_out if warm_start else None
             out = jax.block_until_ready(ipm_solve(qp, opts, ws=ws))

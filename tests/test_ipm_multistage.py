@@ -110,3 +110,16 @@ def test_ipm_ms_sharded_matches_unsharded():
     full = merge_output(ms, *out)
     assert float(max_kkt_residual(qp, full_s)) < 1e-9
     assert float(jnp.max(jnp.abs(full_s.x - full.x))) < 1e-11
+
+
+def test_closed_loop_ipm_ms():
+    """The multistage IPM in the closed-loop harness: warm-started steps
+    must converge in fewer iterations than the cold first step, with zero
+    KKT violations (treeqp_main.m:171-177 accuracy bar)."""
+    from benchmarks.closed_loop import closed_loop_mpc
+    from benchmarks.models import crane
+
+    log = closed_loop_mpc(crane(md=2, Nr=2, Nh=8), "ipm_ms", nsim=5)
+    assert log.kkt_violations == 0
+    assert all(s == 0 for s in log.status.tolist())
+    assert log.iters[1:].max() < log.iters[0]
