@@ -301,19 +301,24 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         With ``hbars`` (data-dtype diagonal Hessians) and refine_steps > 0,
         iteratively refine against the exact KKT operator."""
         def one_solve(rhs_cr_, rhs_ch_, rb_cr_, rb_ch_):
-            if "AB_t" in fact_ch:  # Pallas kernel-layout factors
+            if "AB_t" in fact_ch:  # Pallas kernel-layout chain factors
                 from treeqp_tpu.ops import riccati_kernels as rk
                 p_ch, k_ch, w0 = rk.ric_chain_bwd(fact_ch, rhs_ch_, rb_ch_)
-                wsum0 = jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0)
+            else:
+                p_ch, k_ch, w0 = _chain_riccati_bwd(fact_ch, rhs_ch_, rb_ch_)
+            wsum0 = jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0)
+            if "crown_shape" in fact_cr:  # Pallas crown factors
+                from treeqp_tpu.ops import crown_riccati as ck
+                dz_cr, dlam_cr = ck.crown_ric_solve(
+                    fact_cr, rhs_cr_, rb_cr_, wsum0, prep)
+            else:
                 dz_cr, dlam_cr = _riccati_solve(qp, fact_cr, rhs_cr_, rb_cr_,
                                                 prep, wsum0=wsum0)
+            if "AB_t" in fact_ch:
+                from treeqp_tpu.ops import riccati_kernels as rk
                 dz_ch, dlam_ch = rk.ric_chain_fwd(
                     fact_ch, p_ch, k_ch, rb_ch_, dz_cr[rid])
             else:
-                p_ch, k_ch, w0 = _chain_riccati_bwd(fact_ch, rhs_ch_, rb_ch_)
-                wsum0 = jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0)
-                dz_cr, dlam_cr = _riccati_solve(qp, fact_cr, rhs_cr_, rb_cr_,
-                                                prep, wsum0=wsum0)
                 dz_ch, dlam_ch = _chain_riccati_fwd(
                     fact_ch, p_ch, k_ch, rb_ch_, dz_cr[rid])
             out_dt = rhs_cr_.dtype
@@ -387,18 +392,25 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                                    st["llo_ch"], st["lhi_ch"], mlo_ch, mhi_ch)
         hbar_cr = Hd_cr + gam_cr
         hbar_ch = Hd_ch + gam_ch
-        if opts.chain_backend == "pallas" and fdt == jnp.float32:
+        pallas_f32 = opts.chain_backend == "pallas" and fdt == jnp.float32
+        if pallas_f32:
             from treeqp_tpu.ops import riccati_kernels as rk
             fact_ch, W0ch = rk.ric_chain_factor(
                 hbar_ch.astype(fdt), AB_ch.astype(fdt), reg=opts.reg_eps)
         else:
             fact_ch = _chain_riccati_factor(hbar_ch, AB_ch, opts, fdt)
             W0ch = fact_ch["W0"]
-        Hbar_cr_dense = jnp.eye(nz, dtype=hbar_cr.dtype)[None] \
-            * hbar_cr[:, None, :]
         Wsum0 = jnp.zeros((Nc, nz, nz), W0ch.dtype).at[rid].set(W0ch)
-        fact_cr = _riccati_factor(qp, Hbar_cr_dense, prep, opts, fdt,
-                                  Wsum0=Wsum0)
+        from treeqp_tpu.ops import crown_riccati as ck
+        if pallas_f32 and ck.crown_ric_supported(prep, nz):
+            fact_cr = ck.crown_ric_factor(
+                hbar_cr.astype(fdt), AB_cr.astype(fdt),
+                Wsum0.astype(fdt), prep, nx=nxm, reg=opts.reg_eps)
+        else:
+            Hbar_cr_dense = jnp.eye(nz, dtype=hbar_cr.dtype)[None] \
+                * hbar_cr[:, None, :]
+            fact_cr = _riccati_factor(qp, Hbar_cr_dense, prep, opts, fdt,
+                                      Wsum0=Wsum0)
 
         # predictor
         dzc_a, dzh_a, dlc_a, dlh_a = solve_kkt(
