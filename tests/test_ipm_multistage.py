@@ -123,3 +123,22 @@ def test_closed_loop_ipm_ms():
     assert log.kkt_violations == 0
     assert all(s == 0 for s in log.status.tolist())
     assert log.iters[1:].max() < log.iters[0]
+
+
+def test_pallas_riccati_multi_tile():
+    """S > 128 exercises the lane-tiled grid of the chain-Riccati kernels
+    (regression: per-tile scratch must be tile-width, not full-width)."""
+    from benchmarks.models import spring_mass_chain
+
+    qp, _ = spring_mass_chain(nm=1, md=12, Nr=2, Nh=5)
+    ms = split_multistage(qp)
+    assert ms.meta.S == 144  # two lane tiles
+    ref = ipm_ms_solve(ms, IpmOpts(tol=1e-9, max_iter=40))
+    cro, cho, info = ipm_ms_solve(
+        ms, IpmOpts(tol=1e-8, max_iter=40, factor_dtype="float32",
+                    chain_backend="pallas", f32_until=1e-8, refine_steps=1))
+    out = merge_output(ms, cro, cho, info)
+    out_ref = merge_output(ms, *ref)
+    assert int(info["status"]) == 0
+    assert float(max_kkt_residual(qp, out)) < 1e-8
+    assert float(jnp.max(jnp.abs(out.x - out_ref.x))) < 1e-4

@@ -98,7 +98,7 @@ def ric_chain_factor(hbar, AB, reg: float = 0.0):
     AB_t = _to_kernel(AB, SP)
 
     def kernel(hb_ref, AB_ref, P_ref, Lu_ref, K_ref, Mxu_ref, W0_ref):
-        W = jnp.zeros((nz, nz, SP), hb_ref.dtype)
+        W = jnp.zeros((nz, nz, _TS), hb_ref.dtype)
         rowi = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, 1), 0)
         coli = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, 1), 1)
         for j in range(L - 1, -1, -1):
@@ -154,7 +154,7 @@ def ric_chain_bwd(fact, rg, rb):
 
     def kernel(P_ref, Lu_ref, Mxu_ref, AB_ref, rg_ref, rb_ref,
                p_ref, k_ref, w0_ref):
-        w = jnp.zeros((nz, SP), P_ref.dtype)
+        w = jnp.zeros((nz, _TS), P_ref.dtype)
         for j in range(L - 1, -1, -1):
             m = rg_ref[j] + w
             mu = m[nx:]
