@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -29,9 +28,6 @@ from treeqp_tpu.ops.chain_kernels import _TS, _pad_s, _interpret
 from treeqp_tpu.ops.crown_kernels import _chol, _ltrsv, _uttrsv
 
 __all__ = ["ric_chain_factor", "ric_chain_bwd", "ric_chain_fwd"]
-
-_PIVOT_FLOOR = 1e-12
-
 
 def _ltrsm(L, B, n):
     """Solve L Y = B for Y; L lower [n, n, T], B [n, m, T]."""

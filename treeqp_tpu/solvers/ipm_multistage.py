@@ -30,18 +30,16 @@ fraction-to-boundary steps, signed multiplier fold on export.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut, TREEQP_INF
 from treeqp_tpu.solvers.ipm import (
     IpmOpts, IPM_OPTIMAL, IPM_MAX_ITER, IPM_MIN_STEP, _INF_THRESH,
-    _get_ipm_prep, _riccati_factor, _riccati_solve, _tri_solve_mat)
-from treeqp_tpu.solvers.tdunes_multistage import MultistageQP, merge_output
+    _get_ipm_prep, _riccati_factor, _riccati_solve, _tri_solve_mat)  # noqa: F401 (re-exported surface)
+from treeqp_tpu.solvers.tdunes_multistage import MultistageQP
 
 __all__ = ["ipm_ms_solve"]
 
