@@ -11,7 +11,7 @@ its own process (the remote session supports one large compiled program
 per process — BENCH_NOTES.md). Run:
 
     python -m benchmarks.ipm_bench            # orchestrates all modes
-    TREEQP_IPM_MODE=f32r python -m benchmarks.ipm_bench   # one mode
+    TREEQP_IPM_MODE=ms_f32 python -m benchmarks.ipm_bench # one mode
 """
 
 import dataclasses

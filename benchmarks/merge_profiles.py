@@ -35,9 +35,16 @@ def merge(paths):
     cells = {}
     for r in rows:
         t = r["min_time_s"] if r.get("ok") else np.inf
-        cells.setdefault(keyf(r), {})[r["solver"]] = t
-    keys = [k for k, v in cells.items() if len(v) == len(solvers)]
-    times = np.asarray([[cells[k][s] for s in solvers] for k in keys])
+        ck = keyf(r)
+        if r["solver"] in cells.get(ck, {}):
+            print(f"warning: duplicate cell {ck} solver={r['solver']} — "
+                  "keeping the later row", file=sys.stderr)
+        cells.setdefault(ck, {})[r["solver"]] = t
+    # a solver with NO row for a problem counts as a failure (inf) — same
+    # convention as recorded ok=false rows (perf.m treats missing as inf)
+    keys = sorted(cells, key=str)
+    times = np.asarray([[cells[k].get(s, np.inf) for s in solvers]
+                        for k in keys])
     taus, rho = performance_profile(times)
     return dict(solvers=solvers, n_problems=len(keys),
                 taus=taus.tolist(), rho=rho.tolist(),

@@ -72,8 +72,6 @@ def main():
 
     @jax.jit
     def run():
-        hist = jnp.zeros((MAXIT, 12), dt)
-
         def body(carry, it):
             z, lam, l_lo, l_hi, s_lo, s_hi = carry
             rg, rb, rd_lo, rd_hi, rm_lo, rm_hi = residuals(

@@ -233,10 +233,3 @@ def chain_forward(Lt, CUt, ys, droot):
         )(Lt, CUt, yt, dr)
     return jnp.transpose(dls[..., :S], (2, 0, 1))
 
-
-def kernel_layout_shapes(S, L, n, dtype=jnp.float32):
-    """ShapeDtypeStructs of chain_factor's kernel-layout factors (for
-    carry-structure bookkeeping)."""
-    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
-    f = jax.ShapeDtypeStruct((L, n, n, S_pad), dtype)
-    return f, f

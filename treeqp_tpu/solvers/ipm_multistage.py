@@ -167,15 +167,14 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     nrxm = jnp.asarray(topo.nonroot_x_mask, dt)
     zmask_cr = jnp.concatenate([xm, um], axis=1)
     # chain masks come from the full topology (identity-padded weights
-    # cannot distinguish padding reliably)
-    xmask_ch = jnp.asarray(meta.full_topo.x_mask, dt)[
-        np.stack([np.arange(int(meta.full_topo.stage_start[meta.Nr + 1 + j]),
-                            int(meta.full_topo.stage_start[meta.Nr + 2 + j]))
-                  for j in range(L)], axis=1)]
-    umask_ch = jnp.asarray(meta.full_topo.u_mask, dt)[
-        np.stack([np.arange(int(meta.full_topo.stage_start[meta.Nr + 1 + j]),
-                            int(meta.full_topo.stage_start[meta.Nr + 2 + j]))
-                  for j in range(L)], axis=1)]
+    # cannot distinguish padding reliably); ids = [S, L] chain node grid
+    # (same construction as tdunes_multistage.merge_output)
+    ss = meta.full_topo.stage_start
+    ids = np.stack([np.arange(int(ss[meta.Nr + 1 + j]),
+                              int(ss[meta.Nr + 2 + j]))
+                    for j in range(L)], axis=1)
+    xmask_ch = jnp.asarray(meta.full_topo.x_mask, dt)[ids]
+    umask_ch = jnp.asarray(meta.full_topo.u_mask, dt)[ids]
     zmask_ch = jnp.concatenate([xmask_ch, umask_ch], axis=2)
 
     # --- stacked diagonal Hessians / gradients / bounds ([.., nz])
@@ -483,6 +482,12 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         ok = ~(jnp.isnan(alpha) | jnp.isnan(jnp.sum(dzc)) |
                jnp.isnan(jnp.sum(dzh)))
         alpha = jnp.where(ok, alpha, 0.0)
+        # sanitize the directions too: alpha = 0 alone still poisons the
+        # iterate (0 * NaN = NaN) — cf. the same guard in ipm.py
+        san = lambda v: jnp.where(ok, v, 0.0)
+        dzc, dzh, dlc, dlh = san(dzc), san(dzh), san(dlc), san(dlh)
+        exp_cr = tuple(san(v) for v in exp_cr)
+        exp_ch = tuple(san(v) for v in exp_ch)
         st2 = dict(st)
         st2["z_cr"] = st["z_cr"] + alpha * dzc
         st2["z_ch"] = st["z_ch"] + alpha * dzh
