@@ -116,19 +116,27 @@ def check_main():
 
 
 def main():
-    # 1. correctness in a child process (its big program dies with it)
+    # 1. correctness in a child process (its big program dies with it);
+    # one retry — the remote tunnel's compile latency is wildly variable
+    # and occasionally drops a session (BENCH_NOTES.md)
     env = dict(os.environ, TREEQP_BENCH_MODE="check")
-    chk = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                         env=env, capture_output=True, text=True,
-                         timeout=1200)
     check = None
-    for line in chk.stdout.splitlines():
+    for attempt in range(2):
         try:
-            check = json.loads(line)
-        except json.JSONDecodeError:
+            chk = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=1500)
+        except subprocess.TimeoutExpired:
             continue
-    if check is None:
+        for line in chk.stdout.splitlines():
+            try:
+                check = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        if check is not None:
+            break
         sys.stderr.write(chk.stdout + chk.stderr)
+    if check is None:
         raise RuntimeError("correctness-check subprocess produced no JSON")
 
     # 2. timing in this process: ONE compiled program, called repeatedly
