@@ -39,7 +39,7 @@ MD, NR, NH, NM = 4, 4, 20, 4  # md^Nr = 256 scenarios, nx = 8, Nh = 20
 NREP = 5
 # solves chained inside one jit per timed dispatch (env-overridable for
 # protocol experiments)
-CHAIN_R = int(os.environ.get("TREEQP_BENCH_CHAIN", "48"))
+CHAIN_R = int(os.environ.get("TREEQP_BENCH_CHAIN", "96"))
 
 
 def build_problem():

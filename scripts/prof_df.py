@@ -13,8 +13,11 @@ from treeqp_tpu.ops import df64 as df
 from treeqp_tpu.solvers.tdunes import TdunesOpts
 
 MD, NR, NH, NM = 4, 4, 20, 4
-LOOP_N = 16
-NREP = 3
+# loop-difference timing: per-call cost = (t(LOOP_N) - t(1)) / (LOOP_N - 1).
+# On the remote-TPU tunnel the dispatch noise is ~ms-scale, so LOOP_N must
+# be large enough that LOOP_N * per-op-cost >> noise (ops here are ~0.1 ms).
+LOOP_N = int(os.environ.get("PROF_LOOP_N", "256"))
+NREP = int(os.environ.get("PROF_NREP", "5"))
 f32 = jnp.float32
 
 
