@@ -62,13 +62,18 @@ def _contract_f32(A: Df, x, axis: int) -> Df:
 
 
 def _sum_terms(terms) -> Df:
-    """df64 sum over every element of every term array. Two shapes, picked
-    by backend at trace time (numerically both are ~n*2^-95 error: nil):
+    """df64 sum over every element of every term array. Three shapes,
+    picked by backend/size at trace time (numerically all are ~log2(n)
+    df-ulp error: nil):
 
-    * TPU: radix-64 accumulation chains — a 63-long df.add chain is ONE
-      fused elementwise kernel; a binary two-sum tree would be ~17
-      reshape-separated tiny kernels whose launch overhead dominates the
-      whole phase-B iteration (measured, BENCH_NOTES.md).
+    * TPU, n <= df_reduce.MAX_ELEMS (every bench-scale problem): the
+      single-launch Pallas binary two-sum tree (ops/df_reduce.py). The
+      alternatives compile to O(100) tiny kernels whose launch overhead
+      dominated the phase-B iteration (0.22 ms/dual-value, profiled —
+      BENCH_NOTES.md).
+    * TPU, larger: radix-64 accumulation chains — a 63-long df.add chain
+      is ONE fused elementwise kernel; a binary two-sum tree in XLA would
+      be ~17 reshape-separated tiny kernels.
     * CPU: binary two-sum tree (df_sum) — the CPU XLA pipeline does not
       fuse the radix chains; the resulting >40k-op straight-line scalar
       dependency chain makes both compile time and thunk execution
@@ -77,6 +82,10 @@ def _sum_terms(terms) -> Df:
     """
     x = Df(jnp.concatenate([t.hi.reshape(-1) for t in terms]),
            jnp.concatenate([t.lo.reshape(-1) for t in terms]))
+    if jax.default_backend() in ("tpu", "axon"):
+        from treeqp_tpu.ops import df_reduce
+        if x.hi.size <= df_reduce.MAX_ELEMS:
+            return df_reduce.df_reduce_flat(x)
     if jax.default_backend() not in ("tpu", "axon"):
         n = x.hi.size
         m = 1 << max(n - 1, 0).bit_length()  # pad to a power of two
