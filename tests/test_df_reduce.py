@@ -49,8 +49,13 @@ def test_zero_padding_is_exact():
     assert float(got.lo) == float(got2.lo)
 
 
-def test_size_cap_assert():
-    x = Df(jnp.zeros((MAX_ELEMS + 1,), jnp.float32),
-           jnp.zeros((MAX_ELEMS + 1,), jnp.float32))
-    with pytest.raises(AssertionError):
-        df_reduce_flat(x)
+def test_oversize_chunked_fallback():
+    # above the single-block cap the reduction chunks internally and stays
+    # exact (two-sum of zero padding is error-free)
+    rng = np.random.default_rng(7)
+    n = MAX_ELEMS + 1234
+    v = rng.standard_normal(n) * 10.0**rng.integers(-3, 3, size=n)
+    x = df.from_f64(jnp.asarray(v, jnp.float64))
+    got = df_reduce_flat(Df(x.hi.reshape(-1), x.lo.reshape(-1)))
+    ref = float(np.sum(np.asarray(v, np.float64)))
+    assert abs(float(got.hi) + float(got.lo) - ref) <= 1e-9 * max(1.0, abs(ref))

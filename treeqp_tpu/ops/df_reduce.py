@@ -35,9 +35,12 @@ from treeqp_tpu.ops.df64 import Df
 __all__ = ["df_reduce_flat", "MAX_ELEMS"]
 
 _LANES = 128
-# single-block kernel: rows capped so hi+lo stay well inside VMEM
-# (8192 rows * 128 lanes * 4 B * 2 words = 8 MiB)
-_MAX_ROWS = 8192
+# single-block kernel: rows capped so the block plus the first fold's
+# live temporaries (full input + half-size result + two-sum scratch)
+# stay well inside the ~16 MiB VMEM: 4096 rows * 128 lanes * 4 B * 2
+# words = 4 MiB of input, ~<=3x that live at the first fold. Larger
+# inputs go through the chunked path in df_reduce_flat.
+_MAX_ROWS = 4096
 MAX_ELEMS = _MAX_ROWS * _LANES
 
 
@@ -69,12 +72,25 @@ def _fold_kernel(hi_ref, lo_ref, out_hi_ref, out_lo_ref):
 def df_reduce_flat(x: Df) -> Df:
     """Exact-ordered df64 sum of a flat Df vector -> scalar Df.
 
-    One fused TPU kernel (binary two-sum tree over a [rows, 128] layout).
-    Requires ``x.hi.size <= MAX_ELEMS`` (callers fall back to the XLA tree
-    above that; the bench-scale inputs are ~1.5e5 elements).
+    One fused TPU kernel (binary two-sum tree over a [rows, 128] layout)
+    for inputs up to ``MAX_ELEMS``; larger inputs run chunk-wise through
+    the same kernel (the bench-scale inputs are ~1.5e5 elements).
     """
     n = x.hi.size
-    assert n <= MAX_ELEMS, "df_reduce_flat: input exceeds single-block cap"
+    if n > MAX_ELEMS:
+        # chunked fallback: each MAX_ELEMS block through the kernel, the
+        # few partial scalars combined with exact two-sum. Keeps the API
+        # safe for any input size (and under python -O) instead of
+        # tripping a Mosaic VMEM failure at compile time.
+        n_chunks = -(-n // MAX_ELEMS)
+        pad = n_chunks * MAX_ELEMS - n
+        hi = jnp.concatenate([x.hi.reshape(-1), jnp.zeros((pad,), jnp.float32)])
+        lo = jnp.concatenate([x.lo.reshape(-1), jnp.zeros((pad,), jnp.float32)])
+        acc = df_reduce_flat(Df(hi[:MAX_ELEMS], lo[:MAX_ELEMS]))
+        for c in range(1, n_chunks):
+            sl = slice(c * MAX_ELEMS, (c + 1) * MAX_ELEMS)
+            acc = df.add(acc, df_reduce_flat(Df(hi[sl], lo[sl])))
+        return acc
     rows = max(8, -(-n // _LANES))
     rows = 1 << (rows - 1).bit_length()  # pow2 so halving folds are exact
     pad = rows * _LANES - n

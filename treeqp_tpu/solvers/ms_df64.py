@@ -62,21 +62,18 @@ def _contract_f32(A: Df, x, axis: int) -> Df:
 
 
 def _sum_terms(terms) -> Df:
-    """df64 sum over every element of every term array. Three shapes,
-    picked by backend/size at trace time (numerically all are ~log2(n)
+    """df64 sum over every element of every term array. Two shapes,
+    picked by backend at trace time (numerically both are ~log2(n)
     df-ulp error: nil):
 
-    * TPU, n <= df_reduce.MAX_ELEMS (every bench-scale problem): the
-      single-launch Pallas binary two-sum tree (ops/df_reduce.py). The
-      alternatives compile to O(100) tiny kernels whose launch overhead
-      dominated the phase-B iteration (0.22 ms/dual-value, profiled —
-      BENCH_NOTES.md).
-    * TPU, larger: radix-64 accumulation chains — a 63-long df.add chain
-      is ONE fused elementwise kernel; a binary two-sum tree in XLA would
-      be ~17 reshape-separated tiny kernels.
+    * TPU: the single-launch Pallas binary two-sum tree
+      (ops/df_reduce.py; chunked internally above its VMEM block cap).
+      The XLA alternatives compile to O(100) tiny kernels whose launch
+      overhead dominated the phase-B iteration (0.22 ms/dual-value,
+      profiled — BENCH_NOTES.md).
     * CPU: binary two-sum tree (df_sum) — the CPU XLA pipeline does not
-      fuse the radix chains; the resulting >40k-op straight-line scalar
-      dependency chain makes both compile time and thunk execution
+      fuse long accumulation chains; the resulting >40k-op straight-line
+      scalar dependency chain makes both compile time and thunk execution
       superlinear (minutes for one Newton step). log2(n) vectorized
       levels keep the test path tractable.
     """
@@ -84,27 +81,13 @@ def _sum_terms(terms) -> Df:
            jnp.concatenate([t.lo.reshape(-1) for t in terms]))
     if jax.default_backend() in ("tpu", "axon"):
         from treeqp_tpu.ops import df_reduce
-        if x.hi.size <= df_reduce.MAX_ELEMS:
-            return df_reduce.df_reduce_flat(x)
-    if jax.default_backend() not in ("tpu", "axon"):
-        n = x.hi.size
-        m = 1 << max(n - 1, 0).bit_length()  # pad to a power of two
-        z = jnp.zeros((m - n,), f32)
-        x = Df(jnp.concatenate([x.hi, z]), jnp.concatenate([x.lo, z]))
-        s = df.df_sum(Df(x.hi[None], x.lo[None]), axis=1)
-        return Df(s.hi.reshape(()), s.lo.reshape(()))
-    R = 64
-    while x.hi.size > 1:
-        n = x.hi.size
-        m = -(-n // R)
-        pad = m * R - n
-        hi = jnp.concatenate([x.hi, jnp.zeros((pad,), f32)]).reshape(m, R)
-        lo = jnp.concatenate([x.lo, jnp.zeros((pad,), f32)]).reshape(m, R)
-        acc = Df(hi[:, 0], lo[:, 0])
-        for k in range(1, R):
-            acc = df.add(acc, Df(hi[:, k], lo[:, k]))
-        x = acc
-    return Df(x.hi.reshape(()), x.lo.reshape(()))
+        return df_reduce.df_reduce_flat(x)
+    n = x.hi.size
+    m = 1 << max(n - 1, 0).bit_length()  # pad to a power of two
+    z = jnp.zeros((m - n,), f32)
+    x = Df(jnp.concatenate([x.hi, z]), jnp.concatenate([x.lo, z]))
+    s = df.df_sum(Df(x.hi[None], x.lo[None]), axis=1)
+    return Df(s.hi.reshape(()), s.lo.reshape(()))
 
 
 def _dfdot(a: Df, b) -> Df:
