@@ -20,7 +20,8 @@ import numpy as np
 from treeqp_tpu.core.qp_data import TreeQPIn
 from treeqp_tpu.utils.tree import TreeStructure
 
-__all__ = ["load_tree_qp_json", "load_tree_qp_file", "solution_to_json"]
+__all__ = ["load_tree_qp_json", "load_tree_qp_file", "solution_to_json",
+           "tree_qp_to_json"]
 
 
 def _vec(js, n) -> np.ndarray:
@@ -118,8 +119,61 @@ def load_tree_qp_file(path: str):
         return load_tree_qp_json(json.load(f))
 
 
+def tree_qp_to_json(qp_in: TreeQPIn, options: dict = None) -> dict:
+    """Serialize a TreeQPIn to the reference input schema (the inverse of
+    ``load_tree_qp_json``) — nodes[] with Q,R,S,q,r,lx,ux,lu,uu[,C,D,ld,ud],
+    edges[] with A,B,b,from,to, plus an optional ``options`` object."""
+    topo = qp_in.topo
+
+    def arr(a):
+        return np.asarray(a, dtype=np.float64)
+
+    def mat_js(M, m, n):
+        M = arr(M)[:m, :n]
+        if m == 0 or n == 0:
+            return []
+        if m == 1:
+            return M.reshape(-1).tolist()
+        if n == 1:
+            return M.reshape(-1).tolist()
+        return M.tolist()
+
+    nodes = []
+    for i in range(topo.Nn):
+        nx, nu, nc = topo.nx[i], topo.nu[i], topo.nc[i]
+        nd = dict(
+            Q=mat_js(qp_in.Q[i], nx, nx), R=mat_js(qp_in.R[i], nu, nu),
+            S=mat_js(qp_in.S[i], nu, nx),
+            q=arr(qp_in.q[i])[:nx].tolist(), r=arr(qp_in.r[i])[:nu].tolist(),
+            lx=arr(qp_in.xmin[i])[:nx].tolist(),
+            ux=arr(qp_in.xmax[i])[:nx].tolist(),
+            lu=arr(qp_in.umin[i])[:nu].tolist(),
+            uu=arr(qp_in.umax[i])[:nu].tolist(),
+        )
+        if nc > 0:
+            nd["C"] = mat_js(qp_in.C[i], nc, nx)
+            nd["D"] = mat_js(qp_in.D[i], nc, nu)
+            nd["ld"] = arr(qp_in.dmin[i])[:nc].tolist()
+            nd["ud"] = arr(qp_in.dmax[i])[:nc].tolist()
+        nodes.append(nd)
+
+    edges = []
+    for c in range(1, topo.Nn):
+        p = int(topo.parent[c])
+        edges.append({
+            "A": mat_js(qp_in.A[c], topo.nx[c], topo.nx[p]),
+            "B": mat_js(qp_in.B[c], topo.nx[c], topo.nu[p]),
+            "b": arr(qp_in.b[c])[: topo.nx[c]].tolist(),
+            "from": p, "to": c,
+        })
+    j = dict(nodes=nodes, edges=edges)
+    if options is not None:
+        j["options"] = options
+    return j
+
+
 def solution_to_json(qp_in: TreeQPIn, out, kkt=None, num_iter=None, cpu_time=None,
-                     status=None) -> dict:
+                     status=None, solver_time=None, interface_time=None) -> dict:
     """Serialize a solution the way ``qpSolutionToJson`` does
     (solve_qp_json.cpp:109-160): per-node x/u/mu lists + solver info."""
     topo = qp_in.topo
@@ -147,4 +201,9 @@ def solution_to_json(qp_in: TreeQPIn, out, kkt=None, num_iter=None, cpu_time=Non
         info["cpu_time"] = float(cpu_time)
     if status is not None:
         info["status"] = int(status)
+    # solver-vs-interface time split (treeqp_info_t, tree_qp_common.h:43-51)
+    if solver_time is not None:
+        info["solver_time"] = float(solver_time)
+    if interface_time is not None:
+        info["interface_time"] = float(interface_time)
     return dict(nodes=nodes, edges=edges, info=info)

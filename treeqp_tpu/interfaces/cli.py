@@ -12,6 +12,20 @@ lam0_scen, mu0_scen — solve_qp_json.cpp:210-213), dispatches on
 the built-in tree IPM), repeats the solve NREP times keeping the minimum
 time and asserting identical iteration counts, and writes the solution JSON
 with multipliers, KKT residual, timing and the updated warm start.
+
+Multistage dispatch (``options.multistage``, default "auto"): on a
+multistage scenario tree with clipping-class data, tdunes routes to the
+crown+chains solver (tdunes_ms) and hpmpc/hpipm/ipm to the multistage IPM
+(ipm_ms) — the only solvers with the TPU speed path — returning the merged
+full-tree output in the identical JSON schema. Set ``multistage: false``
+to force the generic solvers (the reference front-end has one solver per
+name; here the multistage engines are a dispatch of the same names,
+cf. solve_qp_json.cpp:330-430 option pass-through).
+
+The output ``info`` carries the solver-vs-interface time split
+(treeqp_info_t, tree_qp_common.h:43-51): ``solver_time`` = min-over-NREP
+solve wall time, ``interface_time`` = data marshalling (JSON parse, layout
+conversion, solution serialization), ``cpu_time`` = their sum.
 """
 
 from __future__ import annotations
@@ -70,6 +84,18 @@ def run(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from treeqp_tpu.utils.timing import Timer
+
+    t_iface = Timer().tic()  # interface time: parse + layout + serialize
+    iface_box = {"prep": 0.0}
+
+    def run_solve(fn, check):
+        # close the interface-prep window right before the timed solves:
+        # jit compilation (first rep) is excluded from BOTH sides, as the
+        # reference's min-over-NREP protocol excludes warmup
+        iface_box["prep"] = t_iface.toc()
+        return min_time_over(fn, nrep, check_deterministic=check)
+
     qp, extras = load_tree_qp_file(args.qp_in)
     topo = qp.topo
     options = extras.get("options", {})
@@ -92,6 +118,28 @@ def run(argv=None):
 
     j_out = {"init": {}}
 
+    # --- multistage dispatch (options.multistage: auto | true | false).
+    # "auto" routes to the crown+chains engines when the instance is a
+    # multistage clipping-class tree AND (for tdunes) clipping was asked
+    # for; "true" forces it (erroring when inapplicable); "false" keeps
+    # the generic solvers.
+    ms_mode = str(options.get("multistage", "auto")).lower()
+    from treeqp_tpu.solvers.tdunes_multistage import multistage_applicable
+
+    def ms_dispatch(auto_ok: bool) -> bool:
+        if ms_mode in ("false", "0", "no"):
+            return False
+        applicable = multistage_applicable(qp)
+        if ms_mode in ("true", "1", "yes"):
+            if not applicable:
+                raise SystemExit(
+                    "options.multistage=true but the instance is not a "
+                    "multistage clipping-class tree (diag Q/R, S=0, nc=0, "
+                    "setup_multistage_tree shape)")
+            return True
+        return auto_ok and applicable
+
+    dispatched = solver
     if solver == "tdunes":
         from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
 
@@ -110,8 +158,27 @@ def run(argv=None):
         if "lam0_tree" in init:
             lam0 = jax.numpy.asarray(_lam_tree_to_nodes(
                 np.asarray(init["lam0_tree"], dtype=np.float64), topo))
-        t, out = min_time_over(lambda: tdunes_solve(qp, lam0, opts), nrep,
-                               check_deterministic=lambda o: int(o.info["iter"]))
+        if ms_dispatch(auto_ok=opts.stage_solver == "clipping"):
+            import dataclasses
+
+            from treeqp_tpu.solvers.tdunes_multistage import (
+                split_multistage, tdunes_ms_solve, merge_output, split_duals)
+
+            dispatched = "tdunes_ms"
+            ms = split_multistage(qp)
+            opts = dataclasses.replace(opts, stage_solver="clipping")
+            lam0_cr = lam0_ch = None
+            if lam0 is not None:
+                lam0_cr, lam0_ch = split_duals(ms, lam0)
+
+            def do():
+                cro, cho, info = tdunes_ms_solve(ms, lam0_cr, lam0_ch, opts)
+                return merge_output(ms, cro, cho, info)
+
+            t, out = run_solve(do, lambda o: int(o.info["iter"]))
+        else:
+            t, out = run_solve(lambda: tdunes_solve(qp, lam0, opts),
+                               lambda o: int(o.info["iter"]))
         j_out["init"]["lam0_tree"] = _lam_nodes_to_tree(out.lam, topo)
 
     elif solver == "sdunes":
@@ -147,8 +214,7 @@ def run(argv=None):
             sol, lam, mu, info = sdunes_solve(sqp, lam0, mu0, opts)
             return scenario_output(sqp, sol, lam, mu, info)
 
-        t, out = min_time_over(do, nrep,
-                               check_deterministic=lambda o: int(o.info["iter"]))
+        t, out = run_solve(do, lambda o: int(o.info["iter"]))
 
     elif solver in ("hpmpc", "hpipm", "ipm"):
         from treeqp_tpu.solvers.ipm import IpmOpts, ipm_solve
@@ -157,19 +223,44 @@ def run(argv=None):
             max_iter=int(options.get("maxit", options.get("maxIter", 30))),
             tol=float(options.get("tol", options.get("mu_tol", 1e-10))),
         )
-        t, out = min_time_over(lambda: ipm_solve(qp, opts), nrep,
-                               check_deterministic=lambda o: int(o.info["iter"]))
+        if ms_dispatch(auto_ok=True):
+            from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
+            from treeqp_tpu.solvers.tdunes_multistage import (
+                split_multistage, merge_output)
+
+            dispatched = solver + "_ms"
+            ms = split_multistage(qp)
+
+            def do():
+                cro, cho, info = ipm_ms_solve(ms, opts)
+                return merge_output(ms, cro, cho, info)
+
+            t, out = run_solve(do, lambda o: int(o.info["iter"]))
+        else:
+            t, out = run_solve(lambda: ipm_solve(qp, opts),
+                               lambda o: int(o.info["iter"]))
     else:
         raise SystemExit(f"unknown solver '{solver}'")
 
     kkt = float(max_kkt_residual(qp, out))
+    tser = Timer().tic()
     j = solution_to_json(qp, out, kkt=kkt, num_iter=int(out.info["iter"]),
-                         cpu_time=t, status=int(out.info["status"]))
+                         status=int(out.info["status"]))
     j["init"] = j_out["init"]
+    iface = iface_box["prep"] + tser.toc()
+    # solver-vs-interface split (treeqp_info_t, tree_qp_common.h:43-51),
+    # in the info dict AND the output JSON
+    out.info["solver_time"] = t
+    out.info["interface_time"] = iface
+    j["info"]["cpu_time"] = t + iface
+    j["info"]["solver_time"] = t
+    j["info"]["interface_time"] = iface
+    j["info"]["solver"] = dispatched
     with open(args.output, "w") as f:
         json.dump(j, f, indent=1)
-    print(f"solver={solver} iter={int(out.info['iter'])} "
-          f"status={int(out.info['status'])} kkt={kkt:.2e} time={t*1e3:.2f}ms")
+    print(f"solver={dispatched} iter={int(out.info['iter'])} "
+          f"status={int(out.info['status'])} kkt={kkt:.2e} "
+          f"time={t*1e3:.2f}ms (+{iface*1e3:.1f}ms interface)")
     return 0
 
 

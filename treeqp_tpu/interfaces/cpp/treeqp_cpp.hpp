@@ -266,7 +266,11 @@ struct TreeQpOut {
   std::vector<NodeSolution> nodes;
   std::vector<std::vector<double>> lam;  // per edge (into node 1..Nn-1)
   double kkt = 0.0, cpu_time = 0.0;
+  // solver-vs-interface split (treeqp_info_t, tree_qp_common.h:43-51)
+  double solver_time = 0.0, interface_time = 0.0;
   int num_iter = -1, status = -1;
+  std::string solver;  // actual engine used (e.g. "tdunes_ms" after
+                       // multistage dispatch; see interfaces/cli.py)
 };
 
 class TreeQp {
@@ -573,6 +577,10 @@ class QpSolver {
     out->num_iter = (int)info.at("num_iter").num();
     out->status = (int)info.at("status").num();
     out->cpu_time = info.at("cpu_time").num();
+    if (info.has("solver_time")) out->solver_time = info.at("solver_time").num();
+    if (info.has("interface_time"))
+      out->interface_time = info.at("interface_time").num();
+    if (info.has("solver")) out->solver = info.at("solver").str();
   }
 
   Json opts_ = Json::Object();

@@ -42,7 +42,8 @@ from treeqp_tpu.solvers import tdunes as td
 from treeqp_tpu.solvers.tdunes import (
     TdunesOpts, TDUNES_OPTIMAL, TDUNES_MAX_ITER, TDUNES_NOT_DESCENT)
 
-__all__ = ["MultistageQP", "split_multistage", "tdunes_ms_solve", "merge_output"]
+__all__ = ["MultistageQP", "split_multistage", "tdunes_ms_solve", "merge_output",
+           "chain_node_ids", "split_duals", "multistage_applicable"]
 
 
 @jax.tree_util.register_dataclass
@@ -82,6 +83,37 @@ class _MsMeta:
 
     def __hash__(self):
         return hash((self.md, self.Nr, self.Nh, self.crown_topo, self.full_topo))
+
+
+def chain_node_ids(meta) -> np.ndarray:
+    """[S, L] grid of full-tree node ids of the chain nodes (scenario s,
+    chain position j = stage Nr+1+j). Stage-contiguous BFS numbering keeps
+    scenario order within each stage."""
+    ss = meta.full_topo.stage_start
+    return np.stack([np.arange(int(ss[meta.Nr + 1 + j]),
+                               int(ss[meta.Nr + 2 + j]))
+                     for j in range(meta.L)], axis=1).astype(np.int32)
+
+
+def split_duals(ms: MultistageQP, lam_nodes):
+    """Split a full-tree dual warm start [Nn, nxm] into the crown+chain
+    layout (lam0_crown [Ncrown, nxm_cr], lam0_chain [S, L, nx]) — the
+    multistage counterpart of treeqp_tdunes_set_dual_initialization."""
+    meta = ms.meta
+    ids = chain_node_ids(meta)
+    lam_cr = jnp.asarray(lam_nodes)[: meta.crown_topo.Nn,
+                                    : meta.crown_topo.nxm]
+    lam_ch = jnp.asarray(lam_nodes)[ids][:, :, : ms.q.shape[-1]]
+    return lam_cr, lam_ch
+
+
+def multistage_applicable(qp: TreeQPIn) -> bool:
+    """True when the crown+chains speed path applies: multistage scenario
+    tree (setup_multistage_tree shape) with clipping-class data."""
+    if qp.topo.multistage_params is None:
+        return False
+    from treeqp_tpu.solvers.tdunes import clipping_applicable
+    return clipping_applicable(qp)
 
 
 def split_multistage(qp: TreeQPIn) -> MultistageQP:
@@ -807,10 +839,7 @@ def merge_output(ms: MultistageQP, crown_out, chain_out, info) -> TreeQPOut:
     meta = ms.meta
     topo = meta.full_topo
     dt = ms.q.dtype
-    ss = topo.stage_start
-    L = meta.L
-    ids = np.stack([np.arange(ss[meta.Nr + 1 + j], ss[meta.Nr + 2 + j])
-                    for j in range(L)], axis=1)
+    ids = chain_node_ids(meta)
 
     def assemble(crown_v, chain_v, width):
         out = jnp.zeros((topo.Nn, width), dt)
