@@ -22,3 +22,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 REFERENCE_DIR = "/root/reference"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite accumulates hundreds of distinct XLA CPU programs;
+    past ~100 modules' worth the CPU client reproducibly crashes inside
+    backend_compile (segfault/abort in XLA, not an OOM — RSS stays ~5 GB).
+    Dropping the executable caches at module boundaries keeps the compile
+    arena bounded; within-module caching (the part that matters for test
+    speed) is unaffected."""
+    yield
+    jax.clear_caches()

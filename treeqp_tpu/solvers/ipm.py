@@ -62,6 +62,13 @@ class IpmOpts:
     mu0: float = 1e2  # initial slack/dual magnitude
     alpha_min: float = 1e-8  # minimum step -> TREEQP_IP_MIN_STEP (types.h:67)
     tau_frac: float = 0.995  # fraction-to-boundary
+    # fraction-to-boundary for instances WITH general C/D rows: the
+    # aggressive 0.995 drives slacks so close to the boundary that the
+    # dense late-barrier KKT systems exceed what TPU-emulated-f64 Riccati
+    # + refinement can solve (measured res_g floor ~2e-8 on the
+    # 256-scenario tree); the centered 0.95 converges to ~5e-10 in the
+    # same iteration count. Box-only instances keep tau_frac.
+    tau_frac_general: float = 0.95
     reg_eps: float = 0.0  # static regularization added to Muu diagonals
     # warm start (reference warm_start flag, hpmpc_tree.h:56 /
     # hpipm_tree.c:88): slack/dual floor when initializing from a previous
@@ -342,7 +349,6 @@ def _kkt_apply(qp: TreeQPIn, Hbar, dz, dlam, prep: _IpmPrep, nrxm, zmask):
     return r1, r2
 
 
-@partial(jax.jit, static_argnames=("opts",))
 def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
     """Solve the tree QP with a Mehrotra predictor-corrector IPM.
 
@@ -356,10 +362,30 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
     multipliers, floored at ``opts.ws_eps`` to stay strictly interior;
     consecutive MPC steps then converge in a fraction of the cold-start
     iterations.
+
+    On diagonal-Hessian box-only instances (the clipping class) with
+    ``opts.chain_backend="pallas"``, the f32-phase Riccati recursions run
+    as ONE fused Pallas launch over the whole tree (ops/crown_riccati.py)
+    — the generic-tree speed path, shape-agnostic like the reference's
+    BLASFEO substrate (dual_Newton_tree.c:668-775).
     """
+    diag_box = False
+    if (opts.chain_backend == "pallas" and qp.topo.ncm == 0
+            and not isinstance(qp.Q, jax.core.Tracer)):
+        from treeqp_tpu.solvers.tdunes import clipping_applicable
+        diag_box = clipping_applicable(qp)
+    return _ipm_solve_jit(qp, opts, ws, diag_box)
+
+
+@partial(jax.jit, static_argnames=("opts", "diag_box"))
+def _ipm_solve_jit(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None,
+                   diag_box: bool = False) -> TreeQPOut:
     topo = qp.topo
     prep = _get_ipm_prep(topo)
     dt = qp.dtype
+    from treeqp_tpu.solvers.tdunes import _tpu_const_barrier
+    qp = _tpu_const_barrier(qp)  # see tdunes._tpu_const_barrier
+    has_general = max(topo.nc) > 0  # static: general C/D rows present
     Nn, nxm, num = topo.Nn, topo.nxm, topo.num
     nz = nxm + num
 
@@ -458,10 +484,36 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         rhs_g_aff, gamma = kkt_rhs(rg, rb, rd_lo, rd_hi, rm_lo, rm_hi,
                                    s_lo, s_hi, l_lo, l_hi)
         Hbar = H + jnp.einsum("ngi,ng,ngj->nij", G, gamma, G)
-        fact = _riccati_factor(qp, Hbar, prep, opts, fdt)
+        # fused whole-tree Riccati Pallas kernel on the f32 phase of
+        # diagonal-Hessian box-only instances (G = [I; I], so the barrier
+        # matrix stays diagonal: hbar = diag(H) + gamma)
+        use_crown = diag_box and fdt == jnp.float32
+        if use_crown:
+            from treeqp_tpu.ops import crown_riccati as ck
+            use_crown = ck.crown_ric_supported(prep, nz)
+        if use_crown:
+            from treeqp_tpu.ops import crown_riccati as ck
+            hbar_diag = (jnp.diagonal(H, axis1=1, axis2=2)
+                         + gamma[:, :nz]).astype(jnp.float32)
+            AB = jnp.concatenate([qp.A, qp.B], axis=2).astype(jnp.float32)
+            wz = jnp.zeros((Nn, nz, nz), jnp.float32)
+            fact = ck.crown_ric_factor(hbar_diag, AB, wz, prep, nx=nxm,
+                                       reg=opts.reg_eps)
+            wv = jnp.zeros((Nn, nz), jnp.float32)
+
+            def one_solve(rg_, rb_):
+                dz_, dlam_ = ck.crown_ric_solve(
+                    fact, rg_.astype(jnp.float32), rb_.astype(jnp.float32),
+                    wv, prep)
+                return dz_.astype(rg_.dtype), dlam_.astype(rg_.dtype)
+        else:
+            fact = _riccati_factor(qp, Hbar, prep, opts, fdt)
+
+            def one_solve(rg_, rb_):
+                return _riccati_solve(qp, fact, rg_, rb_, prep)
 
         def rsolve(rg_, rb_):
-            dz_, dlam_ = _riccati_solve(qp, fact, rg_, rb_, prep)
+            dz_, dlam_ = one_solve(rg_, rb_)
             if opts.refine_steps <= 0:
                 return dz_, dlam_
             # iterative refinement against the exact data-dtype KKT
@@ -470,7 +522,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
                 r1, r2 = _kkt_apply(qp, Hbar, dz_, dlam_, prep, nrxm, zmask)
                 e1 = -rg_ - r1
                 e2 = rb_ - r2
-                cz, clam = _riccati_solve(qp, fact, -e1, e2, prep)
+                cz, clam = one_solve(-e1, e2)
                 dz_, dlam_ = dz_ + cz, dlam_ + clam
             return dz_, dlam_
 
@@ -495,7 +547,7 @@ def ipm_solve(qp: TreeQPIn, opts: IpmOpts = IpmOpts(), ws=None) -> TreeQPOut:
         ds_lo, ds_hi, dl_lo, dl_hi = expand_step(
             dz, rd_lo, rd_hi, rm_lo_c, rm_hi_c, s_lo, s_hi, l_lo, l_hi)
 
-        tf = opts.tau_frac
+        tf = opts.tau_frac_general if has_general else opts.tau_frac
         a_p = jnp.minimum(max_step(s_lo, ds_lo, m_lo, tf), max_step(s_hi, ds_hi, m_hi, tf))
         a_d = jnp.minimum(max_step(l_lo, dl_lo, m_lo, tf), max_step(l_hi, dl_hi, m_hi, tf))
         alpha = jnp.minimum(a_p, a_d)

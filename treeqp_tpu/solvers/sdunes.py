@@ -404,6 +404,8 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
     nu = sqp.r.shape[-1]
     nl = Nr * nu
     dt = sqp.b.dtype
+    from treeqp_tpu.solvers.tdunes import _tpu_const_barrier
+    sqp = _tpu_const_barrier(sqp)  # see tdunes._tpu_const_barrier
     topts = opts._as_tdunes()
     cmask = _coupling_masks(meta, dt)
 

@@ -936,9 +936,9 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
     return lam_new, ls_iter, descent_ok, restart
 
 
-def clipping_applicable(qp: TreeQPIn, atol: float = 0.0) -> bool:
-    """Clipping requires diagonal Q/R, zero S, no general constraints
-    (stage_qp_clipping_is_applicable, dual_Newton_tree_clipping.c:45-77).
+def diag_weights_applicable(qp: TreeQPIn, atol: float = 0.0) -> bool:
+    """Diagonal Q/R, zero S — the layout requirement of the crown+chains
+    solvers (general constraints allowed; cf. clipping_applicable).
     Host-side check on concrete data."""
     Q = np.asarray(qp.Q)
     R = np.asarray(qp.R)
@@ -946,7 +946,14 @@ def clipping_applicable(qp: TreeQPIn, atol: float = 0.0) -> bool:
     offq = Q - np.einsum("nii->ni", Q)[:, :, None] * np.eye(Q.shape[-1])
     offr = R - np.einsum("nii->ni", R)[:, :, None] * np.eye(R.shape[-1])
     return (np.max(np.abs(offq)) <= atol and np.max(np.abs(offr)) <= atol
-            and np.max(np.abs(S)) <= atol and max(qp.topo.nc) == 0)
+            and np.max(np.abs(S)) <= atol)
+
+
+def clipping_applicable(qp: TreeQPIn, atol: float = 0.0) -> bool:
+    """Clipping requires diagonal Q/R, zero S, no general constraints
+    (stage_qp_clipping_is_applicable, dual_Newton_tree_clipping.c:45-77).
+    Host-side check on concrete data."""
+    return diag_weights_applicable(qp, atol) and max(qp.topo.nc) == 0
 
 
 def clipping_applicable_nodes(qp: TreeQPIn, atol: float = 0.0) -> tuple:
@@ -986,17 +993,48 @@ def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> Tr
     return _tdunes_solve_jit(qp, lam0, opts)
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
-    topo = qp.topo
-    prep = _get_prep(topo)
+def _cast_qp(qp: TreeQPIn, dtype):
+    """Cast all float leaves of a TreeQPIn (topology metadata is static)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        qp)
+
+
+def _tpu_const_barrier(tree):
+    """Shield problem data from XLA's TPU constant folder.
+
+    XLA constant-folds f64-EMULATED arithmetic at reduced precision on
+    TPU: data reaching a solver as closure CONSTANTS (instead of jit
+    arguments) silently degrades derived f64 quantities (e.g. 1/Q, packed
+    transposes) to ~f32 accuracy — measured on v5e: the same instance
+    converges to 2e-14 when passed as an argument and stalls at 5e-8 when
+    closed over. The optimization barrier makes constants opaque to the
+    folder; runtime cost is nil (the ops run once per solve call).
+    No-op off TPU (CPU folding is true f64).
+
+    TREEQP_NO_CONST_BARRIER=1 disables it (diagnostic A/B only — unsafe
+    for closure-constant f64 data on TPU)."""
+    import os
+    if (jax.default_backend() not in ("tpu", "axon")
+            or os.environ.get("TREEQP_NO_CONST_BARRIER")):
+        return tree
+    return jax.lax.optimization_barrier(tree)
+
+
+def _td_newton_loop(qp: TreeQPIn, lam0, opts: TdunesOpts, it0, hist0,
+                    patience: int = 0):
+    """One dual-Newton while-loop at the dtype of ``qp``'s data — the
+    generic-tree counterpart of tdunes_multistage._ms_newton_loop.
+
+    ``patience > 0`` adds a stall exit (stop when the residual error has
+    not improved by >= 10% for `patience` consecutive iterations) — used
+    by the coarse f32 phase, whose Armijo decisions become noise-limited
+    near the f32 residual floor. Returns (lam, it, err, status, ls_it,
+    hist)."""
+    prep = _get_prep(qp.topo)
     dt = qp.dtype
     xm, um, nrxm = _masks(qp)
-
-    if lam0 is None:
-        lam0 = jnp.zeros((topo.Nn, topo.nxm), dt)
-    lam0 = lam0 * nrxm
-
     data = _stage_data(qp, opts)
 
     def newton_step(carry, sol, res):
@@ -1013,17 +1051,23 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         return lam_new, it + 1, err, status, restart, ls_it
 
     def cond(carry):
-        lam, it, err, status, restart, ls_it, hist = carry
-        return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+        lam, it, err, status, restart, ls_it, hist, best, noimp = carry
+        ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+        if patience > 0:
+            ok = ok & (noimp < patience)
+        return ok
 
     def body(carry):
-        lam, it, err, status, restart, ls_it, hist = carry
+        lam, it, err, status, restart, ls_it, hist, best, noimp = carry
         # residual/termination first (build_dual_problem:519-546), then
         # Newton — one stage solve per iteration, shared via closure
         sol = _stage_solve(qp, lam, data, opts, prep)
         res = _dual_residual(qp, sol, prep)
         err = _residual_error(res, opts)
         converged = err < opts.tol
+        improved = err < 0.9 * best
+        best = jnp.minimum(best, err)
+        noimp = jnp.where(improved, 0, noimp + 1)
         lam, it2, err, status, restart, ls_it = jax.lax.cond(
             converged,
             lambda c: (c[0], c[1], err, c[3], c[4], c[5]),
@@ -1031,14 +1075,56 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
             (lam, it, err, status, restart, ls_it))
         if opts.record_history:
             hist = (hist[0].at[it].set(err), hist[1].at[it].set(ls_it))
-        return lam, it2, err, status, restart, ls_it, hist
+        return lam, it2, err, status, restart, ls_it, hist, best, noimp
+
+    init = (lam0, jnp.asarray(it0, jnp.int32), jnp.full((), jnp.inf, dt),
+            jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), hist0,
+            jnp.full((), jnp.inf, dt), jnp.zeros((), jnp.int32))
+    lam, it, err, status, _, ls_it, hist, _, _ = jax.lax.while_loop(
+        cond, body, init)
+    return lam, it, err, status, ls_it, hist
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
+    topo = qp.topo
+    prep = _get_prep(topo)
+    dt = qp.dtype
+    qp = _tpu_const_barrier(qp)
+    xm, um, nrxm = _masks(qp)
+
+    if lam0 is None:
+        lam0 = jnp.zeros((topo.Nn, topo.nxm), dt)
+    lam0 = lam0 * nrxm
+
+    it0 = jnp.zeros((), jnp.int32)
+    # --- two-phase precision on GENERIC trees (asymmetric / pruned /
+    # general-constraint): a coarse phase with everything in f32 down to
+    # f32_phase_tol or stall, then the data-dtype phase with f32-factored
+    # iterative refinement to the final tolerance — the same schedule the
+    # multistage solver runs, minus the df64 arithmetic (the refined-f64
+    # phase needs only 1-3 iterations). Cf. dual_Newton_tree.c:668-775:
+    # the reference's speed substrate is shape-agnostic; this makes ours.
+    use_coarse = (opts.f32_phase_tol > 0 and dt == jnp.float64
+                  and opts.factor_dtype == "float32")
+    if use_coarse:
+        qp32 = _cast_qp(qp, jnp.float32)
+        optsA = dataclasses.replace(
+            opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol),
+            record_history=False)
+        histA = (jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.int32))
+        lamA, it0, _, _, _, _ = _td_newton_loop(
+            qp32, lam0.astype(jnp.float32), optsA, it0, histA, patience=3)
+        # f32-phase status is discarded: a not-descent there is expected
+        # noise near the f32 residual floor, not a failure
+        lam0 = lamA.astype(dt) * nrxm
 
     hist0 = (jnp.full((opts.max_iter,), jnp.nan, dt),
              jnp.full((opts.max_iter,), -1, jnp.int32))
-    init = (lam0, jnp.zeros((), jnp.int32), jnp.full((), jnp.inf, dt),
-            jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int32), hist0)
-    lam, it, err, status, _, ls_it, hist = jax.lax.while_loop(cond, body, init)
+    lam, it, err, status, ls_it, hist = _td_newton_loop(
+        qp, lam0, opts, it0, hist0)
+    data = _stage_data(qp, opts)
 
     # final stage solve + multiplier recovery (export, dual_Newton_tree.c:1235-1247)
     sol = _stage_solve(qp, lam, data, opts, prep)
