@@ -39,6 +39,12 @@ MODES = {
     # two-phase with Pallas f32 chains, f64 XLA finish
     "ms_f32_pallas": dict(_ms=True, factor_dtype="float32",
                           chain_backend="pallas"),
+    # general C/D rows (VERDICT r2 #3): dense barrier blocks -> dense
+    # batched chain Riccati; measured against the box (clipping-class)
+    # path's per-iteration time
+    "ms_general_f64": dict(_ms=True, _general=True),
+    "ms_general_f32r": dict(_ms=True, _general=True,
+                            factor_dtype="float32", refine_steps=1),
 }
 
 
@@ -51,11 +57,15 @@ def run_mode(mode):
 
     cfg = dict(MODES[mode])
     use_ms = cfg.pop("_ms", False)
+    use_general = cfg.pop("_general", False)
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         from benchmarks.models import spring_mass_chain
         qp, _ = spring_mass_chain(nm=NM, md=MD, Nr=NR, Nh=NH)
+        if use_general:
+            from benchmarks.models import with_general_rows
+            qp = with_general_rows(qp, cmax=0.3)
         if use_ms:
             from treeqp_tpu.solvers.tdunes_multistage import split_multistage
             ms = split_multistage(qp)

@@ -434,3 +434,32 @@ def spring_chain_rhs(nm, k):
         return jnp.concatenate([vel, acc])
 
     return rhs
+
+
+def with_general_rows(qp, cmax=0.3):
+    """Add one general constraint row per node:
+    -cmax <= sum_i x_i + 0.5 u_0 <= cmax (couples states and controls).
+
+    Turns a box-only instance into a general-constraint one (reference
+    C/D rows, tree_qp_common.h:103-108) for tests/benchmarks of the
+    general-row paths."""
+    import jax.numpy as jnp
+
+    from treeqp_tpu.core.qp_data import TreeQPIn
+    from treeqp_tpu.utils.tree import TreeStructure
+
+    topo = qp.topo
+    topo2 = TreeStructure.from_parent(topo.parent, topo.nx, topo.nu,
+                                      [1] * topo.Nn)
+    Nn, num = topo.Nn, topo.num
+    C = jnp.asarray(topo.x_mask, qp.dtype)[:, None, :]
+    D = jnp.zeros((Nn, 1, num), qp.dtype).at[:, 0, 0].set(
+        0.5 * jnp.asarray(topo.u_mask, qp.dtype)[:, 0])
+    return TreeQPIn(
+        **{f: getattr(qp, f) for f in
+           ("Q", "R", "S", "q", "r", "xmin", "xmax", "umin", "umax",
+            "A", "B", "b")},
+        C=C, D=D,
+        dmin=jnp.full((Nn, 1), -cmax, qp.dtype),
+        dmax=jnp.full((Nn, 1), cmax, qp.dtype),
+        topo=topo2)

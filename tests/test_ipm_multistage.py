@@ -142,3 +142,62 @@ def test_pallas_riccati_multi_tile():
     assert int(info["status"]) == 0
     assert float(max_kkt_residual(qp, out)) < 1e-8
     assert float(jnp.max(jnp.abs(out.x - out_ref.x))) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# general C/D rows on the multistage path (VERDICT r2 #3)
+
+
+def _with_general_rows(qp):
+    from benchmarks.models import with_general_rows
+    return with_general_rows(qp, cmax=0.3)
+
+
+@pytest.fixture(scope="module")
+def general_problem():
+    qp, _ = spring_mass_chain(nm=2, md=3, Nr=2, Nh=10)
+    qp_g = _with_general_rows(qp)
+    return qp_g, split_multistage(qp_g)
+
+
+def test_general_rows_match_generic_ipm(general_problem):
+    """ipm_ms with C/D rows == generic ipm_solve on the same instance
+    (dense barrier blocks, dense chain Riccati)."""
+    qp, ms = general_problem
+    assert ms.C is not None  # the split carried the rows
+    opts = IpmOpts(tol=1e-9, max_iter=40)
+    cro, cho, info = ipm_ms_solve(ms, opts)
+    out = merge_output(ms, cro, cho, info)
+    assert int(info["status"]) == 0
+    kkt = float(max_kkt_residual(qp, out))
+    assert kkt < 1e-8
+    ref = ipm_solve(qp, opts)
+    assert int(ref.info["status"]) == 0
+    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 1e-7
+    assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-7
+    assert float(jnp.max(jnp.abs(out.mu_d - ref.mu_d))) < 1e-5
+    # the rows actually bind somewhere (otherwise this tests nothing)
+    assert float(jnp.max(jnp.abs(out.mu_d))) > 1e-6
+
+
+def test_general_rows_mixed_precision(general_problem):
+    """The f32-phase + refinement speed path on the general-row instance
+    still meets the KKT bar (dense chain Riccati in f32)."""
+    qp, ms = general_problem
+    opts = IpmOpts(tol=1e-9, max_iter=40, factor_dtype="float32",
+                   refine_steps=1, chain_backend="pallas")
+    cro, cho, info = ipm_ms_solve(ms, opts)
+    out = merge_output(ms, cro, cho, info)
+    assert int(info["status"]) == 0
+    assert float(max_kkt_residual(qp, out)) < 1e-8
+
+
+def test_general_rows_warm_start(general_problem):
+    """Warm starting from a previous solution (incl. general-row duals)
+    cuts iterations."""
+    qp, ms = general_problem
+    opts = IpmOpts(tol=1e-9, max_iter=40)
+    cro, cho, info = ipm_ms_solve(ms, opts)
+    cro2, cho2, info2 = ipm_ms_solve(ms, opts, ws=(cro, cho))
+    assert int(info2["status"]) == 0
+    assert int(info2["iter"]) < int(info["iter"])

@@ -82,15 +82,22 @@ def _from_kernel(x, S):
 
 
 def ric_chain_factor(hbar, AB, reg: float = 0.0):
-    """hbar [S, L, nz] f32, AB [S, L, nx, nz] f32. Returns kernel-layout
-    factors dict + W0 [S, nz, nz]."""
+    """hbar [S, L, nz] (diagonal stage Hessians) or [S, L, nz, nz]
+    (dense — general C/D rows) f32, AB [S, L, nx, nz] f32. Returns
+    kernel-layout factors dict + W0 [S, nz, nz]."""
     S, L, nx, nz = AB.shape
     num = nz - nx
+    dense = hbar.ndim == 4
     SP = max(_TS, ((S + _TS - 1) // _TS) * _TS)
     hb_t = _to_kernel(hbar, SP)
     # identity hbar on padded lanes keeps the recursion finite
-    lane_pad = (jnp.arange(SP) >= S)[None, None, :]
-    hb_t = hb_t + jnp.where(lane_pad, 1.0, 0.0)
+    if dense:
+        lane_pad = (jnp.arange(SP) >= S)[None, None, None, :]
+        eye = jnp.eye(nz, dtype=hbar.dtype)[None, :, :, None]
+        hb_t = hb_t + jnp.where(lane_pad, eye, 0.0)
+    else:
+        lane_pad = (jnp.arange(SP) >= S)[None, None, :]
+        hb_t = hb_t + jnp.where(lane_pad, 1.0, 0.0)
     AB_t = _to_kernel(AB, SP)
 
     def kernel(hb_ref, AB_ref, P_ref, Lu_ref, K_ref, Mxu_ref, W0_ref):
@@ -99,7 +106,8 @@ def ric_chain_factor(hbar, AB, reg: float = 0.0):
         coli = jax.lax.broadcasted_iota(jnp.int32, (nz, nz, 1), 1)
         for j in range(L - 1, -1, -1):
             hb = hb_ref[j]
-            M = W + jnp.where(rowi == coli, 1.0, 0.0) * hb[None, :, :]
+            M = W + (hb if dense
+                     else jnp.where(rowi == coli, 1.0, 0.0) * hb[None, :, :])
             Muu = M[nx:, nx:]
             Lu = _chol(Muu, num, reg)
             Mux = M[nx:, :nx]
@@ -119,11 +127,12 @@ def ric_chain_factor(hbar, AB, reg: float = 0.0):
                  for i in range(nz)], axis=0)
         W0_ref[...] = W
 
+    hb_spec = _spec((L, nz, nz, _TS)) if dense else _spec((L, nz, _TS))
     with jax.enable_x64(False):
         P, Lu, K, Mxu, W0 = pl.pallas_call(
             kernel,
             grid=(SP // _TS,),
-            in_specs=[_spec((L, nz, _TS)), _spec((L, nx, nz, _TS))],
+            in_specs=[hb_spec, _spec((L, nx, nz, _TS))],
             out_specs=(_spec((L, nx, nx, _TS)), _spec((L, num, num, _TS)),
                        _spec((L, num, nx, _TS)), _spec((L, nx, num, _TS)),
                        _spec((nz, nz, _TS))),

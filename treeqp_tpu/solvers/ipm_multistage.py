@@ -12,11 +12,14 @@ the leading axis -> one XLA/Pallas kernel per step instead of per node),
 and only the small crown runs the generic per-depth recursion (seeded with
 the chains' value-function Hessians through _riccati_factor's Wsum0).
 
-Scope: the clipping-class multistage instances (diagonal Q/R, S=0, box
-constraints only — spring_mass / linear_chain / quadcopter / crane). With
-box constraints the barrier matrix is diagonal (G = I), so the stage
-Hessians stay diagonal vectors end to end. General C/D rows stay on the
-generic ipm_solve.
+Scope: multistage instances with diagonal Q/R and S=0 (the crown+chains
+layout requirement). Box constraints keep the barrier matrix diagonal
+(G = I), so the stage Hessians stay diagonal vectors end to end — the
+fast path (spring_mass / linear_chain / quadcopter / crane). General C/D
+rows are first-class (hpipm_tree.c:376-379): their barrier contribution
+G'Gamma G densifies the stage Hessians, so those instances run the dense
+batched chain Riccati (still one kernel per chain step over all S
+scenarios — not the generic per-node scan) and the dense crown recursion.
 
 Mixed precision mirrors IpmOpts.factor_dtype: f32 Riccati sweeps while
 max res4 > f32_until, then a full-precision finish (residuals/steps are
@@ -55,9 +58,11 @@ def _box_data(lo, hi, mask):
 def _chain_riccati_factor(hbar, AB, opts: IpmOpts, fdt=None):
     """Batched backward Riccati along all chains at once.
 
-    hbar [S, L, nz] diagonal stage Hessians (barrier included); AB
-    [S, L, nx, nz] edge dynamics INTO chain node j. Scan j = L-1 .. 0:
-        M_j = diag(hbar_j) + W_{j+1},  W_j = AB_j' P_j AB_j
+    hbar [S, L, nz] diagonal stage Hessians (barrier included) OR
+    [S, L, nz, nz] dense ones (general C/D rows densify the barrier
+    matrix); AB [S, L, nx, nz] edge dynamics INTO chain node j. Scan
+    j = L-1 .. 0:
+        M_j = Hbar_j + W_{j+1},  W_j = AB_j' P_j AB_j
     Returns per-node (P, Luu, K, Mxu) stacked [S, L, ...] plus the crown
     boundary term W_0 [S, nz, nz] (the Schur flowing into each chain's
     crown parent). The tree-wide counterpart is ipm._riccati_factor.
@@ -68,10 +73,12 @@ def _chain_riccati_factor(hbar, AB, opts: IpmOpts, fdt=None):
     AB = AB.astype(dt)
     S, L, nx, nz = AB.shape
     num = nz - nx
+    dense_h = hbar.ndim == 4
 
     def step(W, inp):
-        hb, ABj = inp  # [S, nz], [S, nx, nz]
-        M = W + jnp.eye(nz, dtype=dt)[None] * hb[:, None, :]
+        hb, ABj = inp  # [S, nz] or [S, nz, nz], [S, nx, nz]
+        M = W + (hb if dense_h
+                 else jnp.eye(nz, dtype=dt)[None] * hb[:, None, :])
         Mxx = M[:, :nx, :nx]
         Mxu = M[:, :nx, nx:]
         Muu = M[:, nx:, nx:] + opts.reg_eps * jnp.eye(num, dtype=dt)
@@ -151,8 +158,16 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     use tdunes_multistage.merge_output for a full-tree TreeQPOut.
     ``ws``: optional (crown_out, chain_out) warm start pair — or a full
     TreeQPOut-like on the crown topology is NOT accepted here (layout).
+
+    General C/D rows (ms.C is not None) are handled first-class
+    (hpipm_tree.c:376-379): their barrier fold G'Gamma G densifies the
+    stage Hessians, so the chain Riccati runs its dense batched variant
+    and the crown the dense recursion — still scenario-batched kernels,
+    not the generic per-node scan.
     """
     meta = ms.meta
+    from treeqp_tpu.solvers.tdunes import _tpu_const_barrier
+    ms = _tpu_const_barrier(ms)  # see tdunes._tpu_const_barrier
     qp = ms.crown
     topo = qp.topo
     prep = _get_ipm_prep(topo)
@@ -196,56 +211,98 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     AB_ch = jnp.concatenate([ms.A, ms.B], axis=3)          # [S, L, nxm, nz]
     par = prep.par.copy()
     par[0] = 0
-    n_ineq = jnp.maximum(jnp.sum(mlo_cr) + jnp.sum(mhi_cr)
-                         + jnp.sum(mlo_ch) + jnp.sum(mhi_ch), 1.0)
+
+    # --- general C/D rows (static: present iff split carried them)
+    HG = ms.C is not None
+    if HG:
+        cm_cr = jnp.asarray(meta.full_topo.c_mask, dt)[:Nc]
+        Gc_cr = jnp.concatenate([qp.C * cm_cr[:, :, None],
+                                 qp.D * cm_cr[:, :, None]], axis=2)
+        lo_crg, hi_crg = qp.dmin, qp.dmax
+        mlo_crg, mhi_crg = _box_data(lo_crg, hi_crg, cm_cr)
+        cm_ch = jnp.asarray(meta.full_topo.c_mask, dt)[ids]
+        Gc_ch = jnp.concatenate([ms.C * cm_ch[..., None],
+                                 ms.D * cm_ch[..., None]], axis=3)
+        lo_chg, hi_chg = ms.dmin, ms.dmax
+        mlo_chg, mhi_chg = _box_data(lo_chg, hi_chg, cm_ch)
+
+    # constraint-section registry: tag -> (lo, hi, m_lo, m_hi); per-section
+    # slack/dual state lives in st["slo_<tag>"] etc. Box sections project
+    # t = z; general sections t = [C D] z.
+    SEC = dict(cr=(lo_cr, hi_cr, mlo_cr, mhi_cr),
+               ch=(lo_ch, hi_ch, mlo_ch, mhi_ch))
+    if HG:
+        SEC["crg"] = (lo_crg, hi_crg, mlo_crg, mhi_crg)
+        SEC["chg"] = (lo_chg, hi_chg, mlo_chg, mhi_chg)
+    TAGS = tuple(SEC.keys())
+
+    def tproj(tag, zc, zh):
+        if tag == "cr":
+            return zc
+        if tag == "ch":
+            return zh
+        if tag == "crg":
+            return jnp.einsum("ncz,nz->nc", Gc_cr, zc)
+        return jnp.einsum("slcz,slz->slc", Gc_ch, zh)
+
+    n_ineq = 0.0
+    for tag in TAGS:
+        _, _, mlo, mhi = SEC[tag]
+        n_ineq = n_ineq + jnp.sum(mlo) + jnp.sum(mhi)
+    n_ineq = jnp.maximum(n_ineq, 1.0)
 
     def residuals(st):
-        """res_g / res_b / res_d / res_m for crown + chains."""
-        z_cr, z_ch, lam_cr, lam_ch = st["z_cr"], st["z_ch"], st["lam_cr"], st["lam_ch"]
+        """res_g / res_b and per-section res_d / res_m."""
+        z_cr, z_ch = st["z_cr"], st["z_ch"]
+        lam_cr, lam_ch = st["lam_cr"], st["lam_ch"]
         # crown res_g
         rg_cr = Hd_cr * z_cr + h_cr \
             + (st["lhi_cr"] - st["llo_cr"]) * zmask_cr
+        rg_ch = Hd_ch * z_ch + h_ch \
+            + (st["lhi_ch"] - st["llo_ch"]) * zmask_ch
+        if HG:
+            rg_cr = rg_cr + jnp.einsum("ncz,nc->nz", Gc_cr,
+                                       st["lhi_crg"] - st["llo_crg"])
+            rg_ch = rg_ch + jnp.einsum("slcz,slc->slz", Gc_ch,
+                                       st["lhi_chg"] - st["llo_chg"])
         rg_cr = rg_cr.at[:, :nxm].add(-lam_cr * nrxm)
         contrib = jnp.einsum("nxz,nx->nz", AB_cr, lam_cr * nrxm)
         rg_cr = rg_cr + jax.ops.segment_sum(contrib[1:], par[1:],
                                             num_segments=Nc)
         # chain-root lambdas pull on their crown parents
         c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], lam_ch[:, 0])
-        rg_cr = rg_cr.at[rid].add(c0)
-        rg_cr = rg_cr * zmask_cr
+        rg_cr = (rg_cr.at[rid].add(c0)) * zmask_cr
         # chain res_g: -lam_j (x rows) + AB_{j+1}' lam_{j+1}
-        rg_ch = Hd_ch * z_ch + h_ch \
-            + (st["lhi_ch"] - st["llo_ch"]) * zmask_ch
         rg_ch = rg_ch.at[:, :, :nxm].add(-lam_ch)
         up = jnp.einsum("slxz,slx->slz", AB_ch[:, 1:], lam_ch[:, 1:])
-        rg_ch = rg_ch.at[:, :-1].add(up)
-        rg_ch = rg_ch * zmask_ch
+        rg_ch = (rg_ch.at[:, :-1].add(up)) * zmask_ch
         # res_b
         rb_cr = (jnp.einsum("nxz,nz->nx", AB_cr, z_cr[par]) + qp.b
                  - z_cr[:, :nxm]) * nrxm
         zp = jnp.concatenate([z_cr[rid][:, None], z_ch[:, :-1]], axis=1)
         rb_ch = jnp.einsum("slxz,slz->slx", AB_ch, zp) + ms.b \
             - z_ch[:, :, :nxm]
-        # res_d / res_m (t = z for box constraints)
-        rd = []
-        rm = []
-        for (s_lo, s_hi, l_lo, l_hi, z, lo, hi, mlo, mhi) in (
-                (st["slo_cr"], st["shi_cr"], st["llo_cr"], st["lhi_cr"],
-                 z_cr, lo_cr, hi_cr, mlo_cr, mhi_cr),
-                (st["slo_ch"], st["shi_ch"], st["llo_ch"], st["lhi_ch"],
-                 z_ch, lo_ch, hi_ch, mlo_ch, mhi_ch)):
-            rd.append(((s_lo - (z - lo)) * mlo, (s_hi - (hi - z)) * mhi))
-            rm.append((s_lo * l_lo * mlo, s_hi * l_hi * mhi))
+        # per-section res_d / res_m
+        rd, rm = {}, {}
+        for tag in TAGS:
+            lo, hi, mlo, mhi = SEC[tag]
+            t = tproj(tag, z_cr, z_ch)
+            s_lo, s_hi = st["slo_" + tag], st["shi_" + tag]
+            l_lo, l_hi = st["llo_" + tag], st["lhi_" + tag]
+            rd[tag] = ((s_lo - (t - lo)) * mlo, (s_hi - (hi - t)) * mhi)
+            rm[tag] = (s_lo * l_lo * mlo, s_hi * l_hi * mhi)
         return rg_cr, rg_ch, rb_cr, rb_ch, rd, rm
 
     def res4_of(rg_cr, rg_ch, rb_cr, rb_ch, rd, rm):
         mx = lambda *a: jnp.max(jnp.stack([jnp.max(jnp.abs(v)) for v in a]))
+        d_all = [v for tag in TAGS for v in rd[tag]]
+        m_all = [v for tag in TAGS for v in rm[tag]]
         return jnp.stack([
-            mx(rg_cr, rg_ch), mx(rb_cr, rb_ch),
-            mx(*rd[0], *rd[1]), mx(*rm[0], *rm[1])])
+            mx(rg_cr, rg_ch), mx(rb_cr, rb_ch), mx(*d_all), mx(*m_all)])
 
     def kkt_rhs(rg, rd_pair, rm_pair, s_lo, s_hi, l_lo, l_hi, mlo, mhi):
-        """Eliminate (ds, dl): G = I, so gamma / qx are elementwise."""
+        """Eliminate (ds, dl) per section (elementwise in the section's
+        row space; general sections fold through G' outside)."""
         rd_lo, rd_hi = rd_pair
         rm_lo, rm_hi = rm_pair
         inv_slo = jnp.where(mlo > 0, 1.0 / s_lo, 0.0)
@@ -273,16 +330,17 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
 
     def kkt_apply(hbar_cr, hbar_ch, dzc, dzh, dlc, dlh):
         """Exact data-dtype action of the KKT operator the Riccati solves
-        (cf. ipm._kkt_apply): L1 = Hbar dz - E'dlam + sum_kids AB'dlam_kid,
-        L2 = dx - AB dz_parent. Solutions satisfy L1 = -rhs_g, L2 = rb."""
-        r1_cr = hbar_cr * dzc
+        (cf. ipm._kkt_apply); hbars may be diagonal vectors or dense."""
+        r1_cr = (hbar_cr * dzc if hbar_cr.ndim == 2
+                 else jnp.einsum("nij,nj->ni", hbar_cr, dzc))
         r1_cr = r1_cr.at[:, :nxm].add(-dlc * nrxm)
         contrib = jnp.einsum("nxz,nx->nz", AB_cr, dlc * nrxm)
         r1_cr = r1_cr + jax.ops.segment_sum(contrib[1:], par[1:],
                                             num_segments=Nc)
         c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], dlh[:, 0])
         r1_cr = (r1_cr.at[rid].add(c0)) * zmask_cr
-        r1_ch = hbar_ch * dzh
+        r1_ch = (hbar_ch * dzh if hbar_ch.ndim == 3
+                 else jnp.einsum("slij,slj->sli", hbar_ch, dzh))
         r1_ch = r1_ch.at[:, :, :nxm].add(-dlh)
         up = jnp.einsum("slxz,slx->slz", AB_ch[:, 1:], dlh[:, 1:])
         r1_ch = (r1_ch.at[:, :-1].add(up)) * zmask_ch
@@ -295,8 +353,9 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     def solve_kkt(fact_ch, fact_cr, rhs_cr, rhs_ch, rb_cr, rb_ch,
                   hbars=None):
         """Full-tree Riccati solve: chain bwd -> crown -> chain fwd.
-        With ``hbars`` (data-dtype diagonal Hessians) and refine_steps > 0,
-        iteratively refine against the exact KKT operator."""
+        With ``hbars`` (data-dtype stage Hessians, diag or dense) and
+        refine_steps > 0, iteratively refine against the exact KKT
+        operator."""
         def one_solve(rhs_cr_, rhs_ch_, rb_cr_, rb_ch_):
             if "AB_t" in fact_ch:  # Pallas kernel-layout chain factors
                 from treeqp_tpu.ops import riccati_kernels as rk
@@ -345,8 +404,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             z_cr=jnp.zeros((Nc, nz), dt), z_ch=jnp.zeros((S, L, nz), dt),
             lam_cr=jnp.zeros((Nc, nxm), dt),
             lam_ch=jnp.zeros((S, L, nxm), dt))
-        for tag, lo, hi, mlo, mhi in (("cr", lo_cr, hi_cr, mlo_cr, mhi_cr),
-                                      ("ch", lo_ch, hi_ch, mlo_ch, mhi_ch)):
+        for tag in TAGS:
+            lo, hi, mlo, mhi = SEC[tag]
             s_lo = jnp.where(mlo > 0, jnp.maximum(s_init, -lo), 1.0)
             s_hi = jnp.where(mhi > 0, jnp.maximum(s_init, hi), 1.0)
             st0["slo_" + tag] = s_lo
@@ -363,17 +422,26 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         st0 = dict(z_cr=z_cr, z_ch=z_ch,
                    lam_cr=crown_ws["lam"].astype(dt) * nrxm,
                    lam_ch=chain_ws["lam"].astype(dt))
-        for tag, z, lo, hi, mlo, mhi, mu in (
-                ("cr", z_cr, lo_cr, hi_cr, mlo_cr, mhi_cr,
-                 jnp.concatenate([crown_ws["mu_x"], crown_ws["mu_u"]],
-                                 axis=1).astype(dt)),
-                ("ch", z_ch, lo_ch, hi_ch, mlo_ch, mhi_ch,
-                 jnp.concatenate([chain_ws["mu_x"], chain_ws["mu_u"]],
-                                 axis=2).astype(dt))):
+        mu_ws = dict(
+            cr=jnp.concatenate([crown_ws["mu_x"], crown_ws["mu_u"]],
+                               axis=1).astype(dt),
+            ch=jnp.concatenate([chain_ws["mu_x"], chain_ws["mu_u"]],
+                               axis=2).astype(dt))
+        if HG:
+            mu_ws["crg"] = (crown_ws["mu_d"].astype(dt)
+                            if "mu_d" in crown_ws
+                            else jnp.zeros_like(lo_crg))
+            mu_ws["chg"] = (chain_ws["mu_d"].astype(dt)
+                            if "mu_d" in chain_ws
+                            else jnp.zeros_like(lo_chg))
+        for tag in TAGS:
+            lo, hi, mlo, mhi = SEC[tag]
+            t = tproj(tag, z_cr, z_ch)
+            mu = mu_ws[tag]
             st0["slo_" + tag] = jnp.where(mlo > 0,
-                                          jnp.maximum(z - lo, eps), 1.0)
+                                          jnp.maximum(t - lo, eps), 1.0)
             st0["shi_" + tag] = jnp.where(mhi > 0,
-                                          jnp.maximum(hi - z, eps), 1.0)
+                                          jnp.maximum(hi - t, eps), 1.0)
             st0["llo_" + tag] = jnp.where(mlo > 0, jnp.maximum(-mu, eps), 0.0)
             st0["lhi_" + tag] = jnp.where(mhi > 0, jnp.maximum(mu, eps), 0.0)
 
@@ -381,16 +449,41 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         st, it, status, res4, bst, best4, noimp = carry
         rg_cr, rg_ch, rb_cr, rb_ch, rd, rm = residuals(st)
 
-        rhs_cr_a, gam_cr = kkt_rhs(rg_cr, rd[0], rm[0],
-                                   st["slo_cr"], st["shi_cr"],
-                                   st["llo_cr"], st["lhi_cr"], mlo_cr, mhi_cr)
-        rhs_ch_a, gam_ch = kkt_rhs(rg_ch, rd[1], rm[1],
-                                   st["slo_ch"], st["shi_ch"],
-                                   st["llo_ch"], st["lhi_ch"], mlo_ch, mhi_ch)
-        hbar_cr = Hd_cr + gam_cr
-        hbar_ch = Hd_ch + gam_ch
+        def sec_args(tag):
+            lo, hi, mlo, mhi = SEC[tag]
+            return (st["slo_" + tag], st["shi_" + tag],
+                    st["llo_" + tag], st["lhi_" + tag], mlo, mhi)
+
+        def make_rhs(rm_use):
+            rhs_cr, gam_cr = kkt_rhs(rg_cr, rd["cr"], rm_use["cr"],
+                                     *sec_args("cr"))
+            rhs_ch, gam_ch = kkt_rhs(rg_ch, rd["ch"], rm_use["ch"],
+                                     *sec_args("ch"))
+            gams = dict(cr=gam_cr, ch=gam_ch)
+            if HG:
+                qx_crg, gam_crg = kkt_rhs(jnp.zeros_like(lo_crg), rd["crg"],
+                                          rm_use["crg"], *sec_args("crg"))
+                qx_chg, gam_chg = kkt_rhs(jnp.zeros_like(lo_chg), rd["chg"],
+                                          rm_use["chg"], *sec_args("chg"))
+                rhs_cr = rhs_cr + jnp.einsum("ncz,nc->nz", Gc_cr, qx_crg)
+                rhs_ch = rhs_ch + jnp.einsum("slcz,slc->slz", Gc_ch, qx_chg)
+                gams["crg"], gams["chg"] = gam_crg, gam_chg
+            return rhs_cr, rhs_ch, gams
+
+        rhs_cr_a, rhs_ch_a, gams = make_rhs(rm)
+        hbar_cr = Hd_cr + gams["cr"]
+        hbar_ch = Hd_ch + gams["ch"]
+        if HG:
+            # general rows densify the barrier matrix: Hbar = diag + G'Gamma G
+            hbar_cr = jnp.eye(nz, dtype=dt)[None] * hbar_cr[:, None, :] \
+                + jnp.einsum("nci,nc,ncj->nij", Gc_cr, gams["crg"], Gc_cr)
+            hbar_ch = (jnp.eye(nz, dtype=dt)[None, None]
+                       * hbar_ch[..., None, :]
+                       + jnp.einsum("slci,slc,slcj->slij", Gc_ch,
+                                    gams["chg"], Gc_ch))
         pallas_f32 = opts.chain_backend == "pallas" and fdt == jnp.float32
         if pallas_f32:
+            # the chain kernel takes diagonal OR dense (general-row) hbar
             from treeqp_tpu.ops import riccati_kernels as rk
             fact_ch, W0ch = rk.ric_chain_factor(
                 hbar_ch.astype(fdt), AB_ch.astype(fdt), reg=opts.reg_eps)
@@ -399,85 +492,78 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             W0ch = fact_ch["W0"]
         Wsum0 = jnp.zeros((Nc, nz, nz), W0ch.dtype).at[rid].set(W0ch)
         from treeqp_tpu.ops import crown_riccati as ck
-        if pallas_f32 and ck.crown_ric_supported(prep, nz):
+        if pallas_f32 and not HG and ck.crown_ric_supported(prep, nz):
             fact_cr = ck.crown_ric_factor(
                 hbar_cr.astype(fdt), AB_cr.astype(fdt),
                 Wsum0.astype(fdt), prep, nx=nxm, reg=opts.reg_eps)
         else:
-            Hbar_cr_dense = jnp.eye(nz, dtype=hbar_cr.dtype)[None] \
-                * hbar_cr[:, None, :]
+            Hbar_cr_dense = (hbar_cr if hbar_cr.ndim == 3 else
+                             jnp.eye(nz, dtype=hbar_cr.dtype)[None]
+                             * hbar_cr[:, None, :])
             fact_cr = _riccati_factor(qp, Hbar_cr_dense, prep, opts, fdt,
                                       Wsum0=Wsum0)
+
+        def expand_all(dzc, dzh, rm_use):
+            return {tag: expand_step(tproj(tag, dzc, dzh), rd[tag],
+                                     rm_use[tag], *sec_args(tag))
+                    for tag in TAGS}
+
+        def alpha_of(exp, frac=1.0):
+            a = None
+            for tag in TAGS:
+                _, _, mlo, mhi = SEC[tag]
+                for v, dv, m in ((st["slo_" + tag], exp[tag][0], mlo),
+                                 (st["shi_" + tag], exp[tag][1], mhi),
+                                 (st["llo_" + tag], exp[tag][2], mlo),
+                                 (st["lhi_" + tag], exp[tag][3], mhi)):
+                    step = max_step(v, dv, m, frac)
+                    a = step if a is None else jnp.minimum(a, step)
+            return a
+
+        def mu_of(stx):
+            tot = 0.0
+            for tag in TAGS:
+                _, _, mlo, mhi = SEC[tag]
+                tot = (tot
+                       + jnp.sum(stx["slo_" + tag] * stx["llo_" + tag] * mlo)
+                       + jnp.sum(stx["shi_" + tag] * stx["lhi_" + tag] * mhi))
+            return tot / n_ineq
+
+        def mu_shifted(exp, a):
+            tot = 0.0
+            for tag in TAGS:
+                _, _, mlo, mhi = SEC[tag]
+                tot = tot + jnp.sum(
+                    (st["slo_" + tag] + a * exp[tag][0])
+                    * (st["llo_" + tag] + a * exp[tag][2]) * mlo) + jnp.sum(
+                    (st["shi_" + tag] + a * exp[tag][1])
+                    * (st["lhi_" + tag] + a * exp[tag][3]) * mhi)
+            return tot / n_ineq
 
         # predictor
         dzc_a, dzh_a, dlc_a, dlh_a = solve_kkt(
             fact_ch, fact_cr, rhs_cr_a, rhs_ch_a, rb_cr, rb_ch,
             hbars=(hbar_cr, hbar_ch))
-        exp_cr_a = expand_step(dzc_a, rd[0], rm[0], st["slo_cr"],
-                               st["shi_cr"], st["llo_cr"], st["lhi_cr"],
-                               mlo_cr, mhi_cr)
-        exp_ch_a = expand_step(dzh_a, rd[1], rm[1], st["slo_ch"],
-                               st["shi_ch"], st["llo_ch"], st["lhi_ch"],
-                               mlo_ch, mhi_ch)
-        a_aff = jnp.minimum(
-            jnp.minimum(
-                jnp.minimum(max_step(st["slo_cr"], exp_cr_a[0], mlo_cr),
-                            max_step(st["shi_cr"], exp_cr_a[1], mhi_cr)),
-                jnp.minimum(max_step(st["llo_cr"], exp_cr_a[2], mlo_cr),
-                            max_step(st["lhi_cr"], exp_cr_a[3], mhi_cr))),
-            jnp.minimum(
-                jnp.minimum(max_step(st["slo_ch"], exp_ch_a[0], mlo_ch),
-                            max_step(st["shi_ch"], exp_ch_a[1], mhi_ch)),
-                jnp.minimum(max_step(st["llo_ch"], exp_ch_a[2], mlo_ch),
-                            max_step(st["lhi_ch"], exp_ch_a[3], mhi_ch))))
-        mu = (jnp.sum(st["slo_cr"] * st["llo_cr"] * mlo_cr)
-              + jnp.sum(st["shi_cr"] * st["lhi_cr"] * mhi_cr)
-              + jnp.sum(st["slo_ch"] * st["llo_ch"] * mlo_ch)
-              + jnp.sum(st["shi_ch"] * st["lhi_ch"] * mhi_ch)) / n_ineq
-        mu_aff = (
-            jnp.sum((st["slo_cr"] + a_aff * exp_cr_a[0])
-                    * (st["llo_cr"] + a_aff * exp_cr_a[2]) * mlo_cr)
-            + jnp.sum((st["shi_cr"] + a_aff * exp_cr_a[1])
-                      * (st["lhi_cr"] + a_aff * exp_cr_a[3]) * mhi_cr)
-            + jnp.sum((st["slo_ch"] + a_aff * exp_ch_a[0])
-                      * (st["llo_ch"] + a_aff * exp_ch_a[2]) * mlo_ch)
-            + jnp.sum((st["shi_ch"] + a_aff * exp_ch_a[1])
-                      * (st["lhi_ch"] + a_aff * exp_ch_a[3]) * mhi_ch)
-        ) / n_ineq
+        exp_a = expand_all(dzc_a, dzh_a, rm)
+        a_aff = alpha_of(exp_a)
+        mu = mu_of(st)
+        mu_aff = mu_shifted(exp_a, a_aff)
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
 
         # corrector
-        rm_c = []
-        for (rm_pair, exp, mlo, mhi) in ((rm[0], exp_cr_a, mlo_cr, mhi_cr),
-                                         (rm[1], exp_ch_a, mlo_ch, mhi_ch)):
-            rm_c.append((rm_pair[0] + (exp[0] * exp[2] - sigma * mu) * mlo,
-                         rm_pair[1] + (exp[1] * exp[3] - sigma * mu) * mhi))
-        rhs_cr_c, _ = kkt_rhs(rg_cr, rd[0], rm_c[0], st["slo_cr"],
-                              st["shi_cr"], st["llo_cr"], st["lhi_cr"],
-                              mlo_cr, mhi_cr)
-        rhs_ch_c, _ = kkt_rhs(rg_ch, rd[1], rm_c[1], st["slo_ch"],
-                              st["shi_ch"], st["llo_ch"], st["lhi_ch"],
-                              mlo_ch, mhi_ch)
+        rm_c = {}
+        for tag in TAGS:
+            _, _, mlo, mhi = SEC[tag]
+            rm_c[tag] = (
+                rm[tag][0] + (exp_a[tag][0] * exp_a[tag][2] - sigma * mu) * mlo,
+                rm[tag][1] + (exp_a[tag][1] * exp_a[tag][3] - sigma * mu) * mhi)
+        rhs_cr_c, rhs_ch_c, _ = make_rhs(rm_c)
         dzc, dzh, dlc, dlh = solve_kkt(
             fact_ch, fact_cr, rhs_cr_c, rhs_ch_c, rb_cr, rb_ch,
             hbars=(hbar_cr, hbar_ch))
-        exp_cr = expand_step(dzc, rd[0], rm_c[0], st["slo_cr"], st["shi_cr"],
-                             st["llo_cr"], st["lhi_cr"], mlo_cr, mhi_cr)
-        exp_ch = expand_step(dzh, rd[1], rm_c[1], st["slo_ch"], st["shi_ch"],
-                             st["llo_ch"], st["lhi_ch"], mlo_ch, mhi_ch)
-
-        tf = opts.tau_frac
-        alpha = jnp.minimum(
-            jnp.minimum(
-                jnp.minimum(max_step(st["slo_cr"], exp_cr[0], mlo_cr, tf),
-                            max_step(st["shi_cr"], exp_cr[1], mhi_cr, tf)),
-                jnp.minimum(max_step(st["llo_cr"], exp_cr[2], mlo_cr, tf),
-                            max_step(st["lhi_cr"], exp_cr[3], mhi_cr, tf))),
-            jnp.minimum(
-                jnp.minimum(max_step(st["slo_ch"], exp_ch[0], mlo_ch, tf),
-                            max_step(st["shi_ch"], exp_ch[1], mhi_ch, tf)),
-                jnp.minimum(max_step(st["llo_ch"], exp_ch[2], mlo_ch, tf),
-                            max_step(st["lhi_ch"], exp_ch[3], mhi_ch, tf))))
+        exp = expand_all(dzc, dzh, rm_c)
+        alpha = alpha_of(exp, opts.tau_frac_general if HG
+                         else opts.tau_frac)
 
         ok = ~(jnp.isnan(alpha) | jnp.isnan(jnp.sum(dzc)) |
                jnp.isnan(jnp.sum(dzh)))
@@ -486,23 +572,22 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         # iterate (0 * NaN = NaN) — cf. the same guard in ipm.py
         san = lambda v: jnp.where(ok, v, 0.0)
         dzc, dzh, dlc, dlh = san(dzc), san(dzh), san(dlc), san(dlh)
-        exp_cr = tuple(san(v) for v in exp_cr)
-        exp_ch = tuple(san(v) for v in exp_ch)
+        exp = {tag: tuple(san(v) for v in exp[tag]) for tag in TAGS}
         st2 = dict(st)
         st2["z_cr"] = st["z_cr"] + alpha * dzc
         st2["z_ch"] = st["z_ch"] + alpha * dzh
         st2["lam_cr"] = st["lam_cr"] + alpha * dlc * nrxm
         st2["lam_ch"] = st["lam_ch"] + alpha * dlh
-        for tag, exp, mlo, mhi in (("cr", exp_cr, mlo_cr, mhi_cr),
-                                   ("ch", exp_ch, mlo_ch, mhi_ch)):
+        for tag in TAGS:
+            _, _, mlo, mhi = SEC[tag]
             st2["slo_" + tag] = jnp.where(
-                mlo > 0, st["slo_" + tag] + alpha * exp[0], 1.0)
+                mlo > 0, st["slo_" + tag] + alpha * exp[tag][0], 1.0)
             st2["shi_" + tag] = jnp.where(
-                mhi > 0, st["shi_" + tag] + alpha * exp[1], 1.0)
+                mhi > 0, st["shi_" + tag] + alpha * exp[tag][1], 1.0)
             st2["llo_" + tag] = jnp.where(
-                mlo > 0, st["llo_" + tag] + alpha * exp[2], 0.0)
+                mlo > 0, st["llo_" + tag] + alpha * exp[tag][2], 0.0)
             st2["lhi_" + tag] = jnp.where(
-                mhi > 0, st["lhi_" + tag] + alpha * exp[3], 0.0)
+                mhi > 0, st["lhi_" + tag] + alpha * exp[tag][3], 0.0)
 
         status = jnp.where((alpha < opts.alpha_min) | ~ok,
                            IPM_MIN_STEP, status)
@@ -515,10 +600,7 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         # non-monotone in max(res4).
         m4 = jnp.max(res4)
         better = m4 < jnp.max(best4)
-        mu2 = (jnp.sum(st2["slo_cr"] * st2["llo_cr"] * mlo_cr)
-               + jnp.sum(st2["shi_cr"] * st2["lhi_cr"] * mhi_cr)
-               + jnp.sum(st2["slo_ch"] * st2["llo_ch"] * mlo_ch)
-               + jnp.sum(st2["shi_ch"] * st2["lhi_ch"] * mhi_ch)) / n_ineq
+        mu2 = mu_of(st2)
         noimp = jnp.where(m4 < 0.9 * jnp.max(best4), 0,
                           jnp.where(mu2 < opts.tol, noimp + 1, 0))
         sel = lambda a, b: jnp.where(better, a, b)
@@ -576,5 +658,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         lam=st["lam_ch"],
         mu_x=mu_ch[:, :, :nxm] * xmask_ch,
         mu_u=mu_ch[:, :, nxm:] * umask_ch)
+    if HG:
+        crown_out["mu_d"] = (st["lhi_crg"] - st["llo_crg"]) * cm_cr
+        chain_out["mu_d"] = (st["lhi_chg"] - st["llo_chg"]) * cm_ch
     info = dict(iter=it, status=status, res4=res4)
     return crown_out, chain_out, info

@@ -64,7 +64,15 @@ class MultistageQP:
     A: Any  # [S, L, nx, nx] edge into chain node j (j=0: from crown node)
     B: Any  # [S, L, nx, nu]
     b: Any  # [S, L, nx]
-    meta: Any = dataclasses.field(metadata=dict(static=True))  # _MsMeta
+    # general C/D constraint rows on chain nodes ([S, L, ncm, nx/nu]; None
+    # when the tree has none). Consumed by the multistage IPM; the
+    # multistage dual Newton requires clipping-class data (no C/D).
+    C: Any = None
+    D: Any = None
+    dmin: Any = None
+    dmax: Any = None
+    meta: Any = dataclasses.field(default=None,
+                                  metadata=dict(static=True))  # _MsMeta
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,11 +125,16 @@ def multistage_applicable(qp: TreeQPIn) -> bool:
 
 
 def split_multistage(qp: TreeQPIn) -> MultistageQP:
-    """Split a multistage TreeQPIn into crown + stacked chains."""
+    """Split a multistage TreeQPIn into crown + stacked chains.
+
+    Layout requirement: diagonal Q/R, zero S. General C/D rows are
+    allowed and carried in stacked chain arrays — the multistage IPM
+    handles them (dense barrier blocks); the multistage dual Newton
+    (tdunes_ms_solve) additionally requires nc = 0 (clipping)."""
     topo = qp.topo
-    if not isinstance(qp.Q, jax.core.Tracer) and not td.clipping_applicable(qp):
-        raise ValueError("multistage solver requires clipping-applicable data "
-                         "(diagonal Q/R, zero S, nc=0)")
+    if not isinstance(qp.Q, jax.core.Tracer) and not td.diag_weights_applicable(qp):
+        raise ValueError("multistage solver requires diagonal Q/R and zero S "
+                         "(general C/D rows are allowed for the IPM)")
     params = topo.multistage_params
     assert params is not None, "not a multistage scenario tree"
     md, Nr, Nh = params
@@ -163,13 +176,17 @@ def split_multistage(qp: TreeQPIn) -> MultistageQP:
 
     meta = _MsMeta(md=md, Nr=Nr, Nh=Nh, S=S, L=L, nx=nx, nu=nu,
                    crown_topo=crown_topo, full_topo=topo, root_ids=root_ids)
+    general = {}
+    if max(topo.nc) > 0:  # ncm is padded to >= 1 even without C/D rows
+        general = dict(C=qp.C[ids], D=qp.D[ids],
+                       dmin=qp.dmin[ids], dmax=qp.dmax[ids])
     return MultistageQP(
         crown=crown, Qd=Qd, Rd=Rd,
         q=qp.q[ids], r=qp.r[ids],
         xmin=qp.xmin[ids], xmax=qp.xmax[ids],
         umin=qp.umin[ids], umax=qp.umax[ids],
         A=qp.A[ids], B=qp.B[ids], b=qp.b[ids],
-        meta=meta)
+        meta=meta, **general)
 
 
 # ---------------------------------------------------------------------------
@@ -783,9 +800,12 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
     final accuracy; the f64 phase typically needs only 1-3 iterations.
     """
     assert opts.stage_solver == "clipping", "multistage solver: clipping only"
+    assert ms.C is None, \
+        "multistage dual Newton requires nc = 0 (general C/D rows: use ipm_ms)"
     meta = ms.meta
     prep_cr = td._get_prep(meta.crown_topo)
     dt = ms.q.dtype
+    ms = td._tpu_const_barrier(ms)  # see tdunes._tpu_const_barrier
     crown_data = td._stage_data(ms.crown, opts)
     xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
 
@@ -853,5 +873,9 @@ def merge_output(ms: MultistageQP, crown_out, chain_out, info) -> TreeQPOut:
     lam = assemble(crown_out["lam"], chain_out["lam"], topo.nxm) * xm
     mu_x = assemble(crown_out["mu_x"], chain_out["mu_x"], topo.nxm) * xm
     mu_u = assemble(crown_out["mu_u"], chain_out["mu_u"], topo.num) * um
+    mu_d = jnp.zeros((topo.Nn, topo.ncm), dt)
+    if "mu_d" in crown_out and topo.ncm > 0:
+        mu_d = assemble(crown_out["mu_d"], chain_out["mu_d"], topo.ncm) \
+            * jnp.asarray(topo.c_mask, dt)
     return TreeQPOut(x=x, u=u, lam=lam, mu_x=mu_x, mu_u=mu_u,
-                     mu_d=jnp.zeros((topo.Nn, topo.ncm), dt), info=info)
+                     mu_d=mu_d, info=info)
