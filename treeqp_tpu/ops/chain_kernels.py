@@ -233,3 +233,166 @@ def chain_forward(Lt, CUt, ys, droot):
         )(Lt, CUt, yt, dr)
     return jnp.transpose(dls[..., :S], (2, 0, 1))
 
+
+
+def _ltrsv_mat(L, R, n, m):
+    """Solve L Y = R, R [n, m, T] (m static small columns)."""
+    ys = []
+    for i in range(n):
+        acc = R[i]  # [m, T]
+        for k in range(i):
+            acc = acc - L[i:i + 1, k] * ys[k]
+        ys.append(acc / L[i:i + 1, i])
+    return jnp.stack(ys, axis=0)  # [n, m, T]
+
+
+def _uttrsv_mat(L, D, n, m):
+    """Solve L' Z = D, D [n, m, T]."""
+    zs = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = D[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k:k + 1, i] * zs[k]
+        zs[i] = acc / L[i:i + 1, i]
+    return jnp.stack(zs, axis=0)
+
+
+def chain_full_solve_mat(Lt, CUt, rhs):
+    """Fused multi-RHS FULL solve of self-contained chains (Ut_0 = 0):
+    backward sweep y_j = L_j^-1 (r_j - CU_{j+1} y_{j+1}) then forward
+    z_j = L_j^-T (y_j - CU_j' z_{j-1}), both inside ONE kernel.
+
+    Lt/CUt: chain_factor's kernel-layout factors [L, n, n, S_pad] of a
+    chain whose node 0 has NO parent coupling (CU_0 must be zero — the
+    sdunes per-scenario banded systems, dual_Newton_scenarios.c:590-689,
+    mapped in reversed stage order). rhs [S, L, n, m] -> z [S, L, n, m].
+    """
+    L, n, _, S_pad = Lt.shape
+    S, _, _, m = rhs.shape
+    rt = _pad_s(jnp.transpose(rhs, (1, 2, 3, 0)), S_pad)  # [L, n, m, S_pad]
+
+    def kernel(L_ref, CU_ref, r_ref, z_ref, y_ref):
+        acc = jnp.zeros((n, m, _TS), L_ref.dtype)
+        for j in range(L - 1, -1, -1):
+            y = _ltrsv_mat(L_ref[j], r_ref[j] - acc, n, m)
+            y_ref[j] = y
+            CU = CU_ref[j]
+            # acc_{j-1} = CU_j y_j : [n, m, T]
+            acc = sum(CU[:, k][:, None, :] * y[k][None, :, :]
+                      for k in range(n))
+        zp = jnp.zeros((n, m, _TS), L_ref.dtype)
+        for j in range(L):
+            CU = CU_ref[j]
+            # d = y_j - CU_j' z_{j-1}: d[i] = y[i] - sum_k CU[k, i] zp[k]
+            d = y_ref[j] - sum(CU[k][:, None, :] * zp[k][None, :, :]
+                               for k in range(n))
+            z = _uttrsv_mat(L_ref[j], d, n, m)
+            z_ref[j] = z
+            zp = z
+
+    def _spec_m(Lh):
+        return pl.BlockSpec((Lh, n, m, _TS), lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        z, _ = pl.pallas_call(
+            kernel,
+            grid=(S_pad // _TS,),
+            in_specs=[_spec4(L, n), _spec4(L, n), _spec_m(L)],
+            out_specs=(_spec_m(L), _spec_m(L)),
+            out_shape=(jax.ShapeDtypeStruct((L, n, m, S_pad), Lt.dtype),
+                       jax.ShapeDtypeStruct((L, n, m, S_pad), Lt.dtype)),
+            interpret=_interpret(),
+        )(Lt, CUt, rt)
+    return jnp.transpose(z[..., :S], (3, 0, 1, 2))
+
+
+def chain_blocks_factor(ABt, ztp, qtc, s_root):
+    """Fused chain-side factorize: dual-Hessian block build + Jacobi
+    equilibration + banded backward factorization in ONE launch.
+
+    Per chain node j (tdunes_multistage._chain_blocks math):
+        Wc_j  = AB_j diag(ztp_j) AB_j' + diag(qtc_j)
+        Utc_j = -(ztp_j[:nx]) * A_j'          (A = AB[:, :nx])
+    then the Jacobi scales sc_j = rsqrt(diag Wc_j), the scaled system
+    S M S, and the backward factorization of chain_factor.
+
+    ABt [S, L, nx, nz] edge dynamics INTO node j; ztp [S, L, nz] parent
+    masked inverses (crown root at j=0); qtc [S, L, nx] child x masked
+    inverses; s_root [S, nx] crown-side row scale of each chain's crown
+    parent (rows of Ut_0 / schur0 live in the crown's scale).
+
+    Returns (Ls, CUs kernel-layout factors, schur0 [S, nx, nx] in crown
+    scale, sc [S, L, nx]).
+    """
+    S, L, nx, nz = ABt.shape
+    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
+    AB_k = _pad_s(jnp.transpose(ABt, (1, 2, 3, 0)), S_pad)   # [L,nx,nz,SP]
+    ztp_k = _pad_s(jnp.transpose(ztp, (1, 2, 0)), S_pad)     # [L,nz,SP]
+    qtc_k = _pad_s(jnp.transpose(qtc, (1, 2, 0)), S_pad, fill=1.0)
+    sr_k = _pad_s(jnp.transpose(s_root, (1, 0)), S_pad, fill=1.0)
+
+    def kernel(AB_ref, ztp_ref, qtc_ref, sr_ref, L_ref, CU_ref, schur_ref,
+               sc_ref, W_s, Ut_s):
+        # pass 1 (forward): build blocks + scales into scratch
+        for j in range(L):
+            AB = AB_ref[j]                      # [nx, nz, T]
+            zt = ztp_ref[j]                     # [nz, T]
+            W = sum((AB[:, n] * zt[n:n + 1])[:, None, :] * AB[:, n][None]
+                    for n in range(nz))         # [nx, nx, T]
+            qc = qtc_ref[j]                     # [nx, T]
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1), 0)
+            coli = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1), 1)
+            diag = jnp.where(rowi == coli, 1.0, 0.0)
+            W = W + diag * qc[:, None, :]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (nx, 1), 0)
+            d = sum((W[i, i])[None] * jnp.where(idx == i, 1.0, 0.0)
+                    for i in range(nx))         # diag extract [nx, T]
+            sc = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+            sc_ref[j] = sc
+            W = W * sc[:, None, :] * sc[None, :, :]
+            W_s[j] = W
+            # Ut[i, c] = -zt[i] * AB[c, i] (A part), scaled rows by parent
+            # scale, cols by sc
+            Ut = -jnp.stack([zt[i] * AB[:, i] for i in range(nx)], axis=0)
+            scp = sr_ref[...] if j == 0 else sc_ref[j - 1]
+            Ut_s[j] = Ut * scp[:, None, :] * sc[None, :, :]
+        # pass 2 (backward): factorization, as chain_factor (padded lanes
+        # hold identity blocks by construction: qtc pads with 1, data with 0)
+        schur = jnp.zeros((nx, nx, _TS), jnp.float32)
+        for j in range(L - 1, -1, -1):
+            Lf = _chol(W_s[j] - schur, nx)
+            CU = _rtrsm_t(Lf, Ut_s[j], nx)
+            L_ref[j] = Lf
+            CU_ref[j] = CU
+            schur = sum(CU[:, k][:, None, :] * CU[:, k][None, :, :]
+                        for k in range(nx))
+        schur_ref[...] = schur
+
+    def _spec_ab(Lh):
+        return pl.BlockSpec((Lh, nx, nz, _TS), lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def _spec_z(Lh):
+        return pl.BlockSpec((Lh, nz, _TS), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        Ls, CUs, schur0, sc = pl.pallas_call(
+            kernel,
+            grid=(S_pad // _TS,),
+            in_specs=[_spec_ab(L), _spec_z(L), _spec3(L, nx), _spec_v(nx)],
+            out_specs=(_spec4(L, nx), _spec4(L, nx), _spec_s(nx),
+                       _spec3(L, nx)),
+            out_shape=(jax.ShapeDtypeStruct((L, nx, nx, S_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((L, nx, nx, S_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((nx, nx, S_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((L, nx, S_pad), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((L, nx, nx, _TS), jnp.float32),
+                            pltpu.VMEM((L, nx, nx, _TS), jnp.float32)],
+            interpret=_interpret(),
+        )(AB_k.astype(jnp.float32), ztp_k.astype(jnp.float32),
+          qtc_k.astype(jnp.float32), sr_k.astype(jnp.float32))
+    schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
+    sc = jnp.transpose(sc[..., :S], (2, 0, 1))
+    return Ls, CUs, schur0, sc

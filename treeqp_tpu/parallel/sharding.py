@@ -42,3 +42,20 @@ def shard_multistage(ms: MultistageQP, mesh: Mesh) -> MultistageQP:
         return jax.device_put(x, chain_sh)
 
     return jax.tree_util.tree_map_with_path(place, ms)
+
+
+def shard_scenarios(sqp, mesh: Mesh):
+    """Place ScenarioQP arrays sharded over "scen" (dim 0 = scenarios).
+
+    sdunes' per-scenario work (stage solves, banded factorizations/sweeps)
+    then fans out across devices; GSPMD inserts the adjacent-scenario
+    boundary exchanges (non-anticipativity residuals, Jay couplings) and
+    the termination-norm reductions — the distributed translation of the
+    reference's `omp parallel for` over scenarios
+    (dual_Newton_scenarios.c:332-345).
+    """
+    n = mesh.devices.size
+    assert sqp.meta.Ns % n == 0, \
+        f"Ns={sqp.meta.Ns} not divisible by {n} devices"
+    sh = NamedSharding(mesh, P("scen"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), sqp)

@@ -22,9 +22,13 @@ Architectural translation:
 * the dual Hessian is eliminated in the same order as the reference
   (mu first — banded block-bidiagonal Cholesky per scenario — then the
   Schur complement "Jay" on lambda), but Jay's block-tridiagonal structure
-  over adjacent scenario pairs is factorized with a scan, replacing the
-  "NOTE: Cannot be parallelized" sequential loop (:815-817); a cyclic-
-  reduction variant can drop in for very large Ns.
+  over adjacent scenario pairs is solved by BATCHED cyclic reduction
+  (ops/tridiag.py) — ceil(log2 Ns) parallel levels replacing the
+  "NOTE: Cannot be parallelized" sequential loop (:815-817);
+* the TPU speed path (SdunesOpts.factor_dtype/f32_phase_tol/chain_backend)
+  runs the two-phase f32 -> refined-f64 schedule of the tdunes solvers and
+  puts the banded sweeps on the lane-batched multistage chain kernels
+  (scenario lanes — chain_kernels.chain_full_solve_mat).
 """
 
 from __future__ import annotations
@@ -65,10 +69,25 @@ class SdunesOpts:
     # the direction is not descent, fall back to a curvature-scaled
     # gradient-ascent step on the dual (guaranteed descent on f = -g).
     grad_fallback: bool = True
+    # --- TPU speed path (mirrors TdunesOpts; see tdunes.py docs) ---
+    # factorization/solve dtype for the banded per-scenario systems and the
+    # coupling ("Jay") system; "float32" + refine_steps>0 restores
+    # f64-quality directions at f32 factorization cost.
+    factor_dtype: str = "same"  # same | float32
+    refine_steps: int = 0
+    # coarse all-f32 phase down to this stationarity error (or stall),
+    # then the data-dtype phase with refinement; 0 disables.
+    f32_phase_tol: float = 0.0
+    # "pallas" fuses each banded sweep into one lane-batched TPU kernel
+    # (scenarios on the lane dimension — the identical layout to the
+    # multistage chains); "xla" is the portable scan path.
+    chain_backend: str = "xla"  # xla | pallas
 
     def _as_tdunes(self) -> TdunesOpts:
         return TdunesOpts(reg_type=self.reg_type, reg_tol=self.reg_tol,
-                          reg_value=self.reg_value)
+                          reg_value=self.reg_value,
+                          factor_dtype=self.factor_dtype,
+                          chain_backend=self.chain_backend)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -310,22 +329,21 @@ def _coupling_columns(sqp: ScenarioQP, sol, cmask):
     return U.swapaxes(2, 3).reshape(Ns, Nh, nx, Nr * nu)
 
 
-def _assemble_jay(sqp, sol, L, C, Uown, cmask, opts: TdunesOpts):
+def _jay_blocks(sqp, sol, Gram, cmask):
     """Jay = Mll - Mlm Mmm^-1 Mml, block-tridiagonal over scenario pairs.
 
     Mll: diag(s) = rt[s] + rt[s+1] on matching (k,k) nu-blocks;
          off(s,s+1) = -rt[s+1].
-    Mlm Mmm^-1 Mml: scenario t contributes Y_t'Y_t with Y_t = L_t^-1 U_t to
-    the pairs touching t (t-1 and t), with signs (+ for own pair t, - for
+    Mlm Mmm^-1 Mml: scenario t contributes Gram_t = U_t' Mmm^-1 U_t to the
+    pairs touching t (t-1 and t), with signs (+ for own pair t, - for
     pair t-1). (form_K / form_and_factorize_Jay,
     dual_Newton_scenarios.c:692-868, parallelized-by-construction here.)
+    Returns (diag, off, rt_l, dm).
     """
     Ns, Nr = sqp.meta.Ns, sqp.meta.Nr
     nu = sqp.r.shape[-1]
     nl = Nr * nu
-    dt = Uown.dtype
-    Y = _banded_forward(L, C, Uown)  # [Ns, Nh, nx, nl]
-    Gram = jnp.einsum("skxi,skxj->sij", Y, Y)  # [Ns, nl, nl] = Y_t'Y_t
+    dt = Gram.dtype
 
     rt_l = sol["rt"][:, :Nr].reshape(Ns, nl)  # diag of rt at coupling stages
     dmask = cmask[..., None].repeat(nu, axis=-1).reshape(Ns - 1, nl) if Ns > 1 \
@@ -345,74 +363,158 @@ def _assemble_jay(sqp, sol, L, C, Uown, cmask, opts: TdunesOpts):
         jnp.eye(nl, dtype=dt) * (1.0 - dm)[:, None, :]
     if Ns > 2:
         off = off * dm[1:, :, None] * dm[:-1, None, :]
-    return diag, off, Y
+    return diag, off, rt_l, dm
 
 
-def _tridiag_solve(diag, off, rhs, opts: TdunesOpts):
-    """Block-tridiagonal Cholesky solve over scenario pairs (scan).
+def _jay_solve(diag, off, rhs, opts: SdunesOpts):
+    """Solve the Jay system by Jacobi-equilibrated block cyclic reduction
+    (ops/tridiag.py) at the factor dtype — ceil(log2 P) BATCHED levels
+    replacing the reference's sequential factorization
+    ("Cannot be parallelized", dual_Newton_scenarios.c:815-817)."""
+    from treeqp_tpu.ops.tridiag import tridiag_cr_solve
+    out_dt = rhs.dtype
+    fdt = jnp.float32 if opts.factor_dtype == "float32" else out_dt
+    scJ = jax.lax.rsqrt(jnp.maximum(
+        jnp.diagonal(diag, axis1=1, axis2=2), 1e-12))
+    dg = (diag * scJ[:, :, None] * scJ[:, None, :]).astype(fdt)
+    of = (off * scJ[1:, :, None] * scJ[:-1, None, :]).astype(fdt)
+    r = (rhs * scJ).astype(fdt)
+    # regularized Cholesky per block (dual_Newton_common.c:81-123): the
+    # Jay system is exactly singular on the clipping active-set boundary.
+    # The LM shift must act at the ORIGINAL scale (reg_value * scJ^2 after
+    # equilibration): an equilibrated-scale shift amplifies the null-space
+    # direction components by 1/diag relative to the reference semantics
+    # and the resulting huge steps strand the line search.
+    shift = (opts.reg_value * scJ * scJ).astype(fdt) \
+        if opts.reg_type != "none" else None
+    reg_tol = opts.reg_tol if opts.reg_type == "on_the_fly" else -1.0
+    x = tridiag_cr_solve(dg, of, r, shift=shift, reg_tol=reg_tol)
+    return x.astype(out_dt) * scJ
 
-    diag [P, nl, nl], off [P-1, nl, nl] (block (s+1, s)), rhs [P, nl].
+
+def _sd_factor(D, Ssub, topts: TdunesOpts):
+    """Equilibrate the per-scenario banded mu-systems and factor them with
+    the multistage chain machinery (scenario lanes): reversed stage order
+    maps the FORWARD banded Cholesky onto the chains' backward one, with
+    no crown coupling (Ut_0 = 0). Returns an opaque factor dict."""
+    from treeqp_tpu.solvers import tdunes_multistage as tm
+    dg = jnp.diagonal(D, axis1=2, axis2=3)  # [Ns, Nh, nx]
+    if topts.reg_type != "none":
+        # Zero-curvature rows (fully clipped coordinates) make the banded
+        # blocks exactly singular; the LM shift must act at the ORIGINAL
+        # scale (dual_Newton_common.c:81-123) — adding it after Jacobi
+        # equilibration would amplify the null-space direction components
+        # by 1/diag. Per-row conditional shift on the raw diagonal.
+        rows = jnp.arange(D.shape[-1])
+        shift = jnp.where(dg < topts.reg_tol, topts.reg_value, 0.0)
+        D = D.at[..., rows, rows].add(shift)
+        dg = dg + shift
+    sc = jax.lax.rsqrt(jnp.maximum(dg, 1e-12))
+    Ds = D * sc[..., :, None] * sc[..., None, :]
+    # Ssub[s,k] = M[k+1, k]: rows scale with stage k+1, cols with stage k
+    Ss = Ssub * sc[:, 1:, :, None] * sc[:, :-1, None, :]
+    Wc = jnp.flip(Ds, 1)
+    Ut = jnp.concatenate([jnp.zeros_like(Ss[:, :1]), jnp.flip(Ss, 1)], axis=1)
+    Ls, CUs, _ = tm._chain_factor(Wc, Ut, topts)
+    return dict(Ls=Ls, CUs=CUs, sc=sc)
+
+
+def _sd_full_solve(fact, rhs, topts: TdunesOpts):
+    """Multi-RHS FULL solve of the banded mu-systems: rhs [Ns, Nh, nx, m]
+    (data dtype) -> Mmm^-1 rhs (data dtype). Pallas backend: ONE fused
+    kernel for the whole backward+forward sweep over all scenarios."""
+    out_dt = rhs.dtype
+    sc = fact["sc"]
+    Ls, CUs = fact["Ls"], fact["CUs"]
+    r = (rhs * sc[..., None]).astype(Ls.dtype)
+    rr = jnp.flip(r, 1)
+    if topts.chain_backend == "pallas":
+        from treeqp_tpu.ops import chain_kernels as ck
+        z = ck.chain_full_solve_mat(Ls, CUs, rr)
+    else:
+        def bwd(acc, inp):
+            Lj, CUj, rj = inp
+            y = jax.lax.linalg.triangular_solve(
+                Lj, rj - acc, left_side=True, lower=True)
+            return CUj @ y, y
+        _, ys = jax.lax.scan(
+            bwd, jnp.zeros_like(rr[:, 0]),
+            (jnp.flip(Ls, 1).swapaxes(0, 1), jnp.flip(CUs, 1).swapaxes(0, 1),
+             jnp.flip(rr, 1).swapaxes(0, 1)))
+        ys = jnp.flip(ys.swapaxes(0, 1), 1)
+
+        def fwd(zprev, inp):
+            Lj, CUj, yj = inp
+            z = jax.lax.linalg.triangular_solve(
+                Lj, yj - CUj.swapaxes(-1, -2) @ zprev, left_side=True,
+                lower=True, transpose_a=True)
+            return z, z
+        _, z = jax.lax.scan(fwd, jnp.zeros_like(rr[:, 0]),
+                            (Ls.swapaxes(0, 1), CUs.swapaxes(0, 1),
+                             ys.swapaxes(0, 1)))
+        z = z.swapaxes(0, 1)
+    return jnp.flip(z, 1).astype(out_dt) * sc[..., None]
+
+
+def _sd_apply_M(D, Ssub, Uown, rt_l, dm, dmu, dlam_flat):
+    """Exact data-dtype action of the full dual Hessian on (dmu, dlam) —
+    the iterative-refinement operator for f32-factored solves.
+
+    Mmm dmu (banded) + Mml dlam (coupling columns, own pair +, prev -);
+    Mlm dmu (per-pair kv differences) + Mll dlam (tridiag of rt diagonals).
     """
-    P, nl, _ = diag.shape
-    dt = diag.dtype
-
-    def fstep(carry, inp):
-        prevL, first = carry
-        Dk, Ok, rk = inp
-        Ck = jax.lax.linalg.triangular_solve(
-            prevL, Ok, left_side=False, lower=True, transpose_a=True)
-        Ck = jnp.where(first, jnp.zeros_like(Ck), Ck)
-        Lk = _reg_cholesky(Dk - Ck @ Ck.T, opts)
-        return (Lk, jnp.zeros((), bool)), (Lk, Ck)
-
-    O_ext = jnp.concatenate([jnp.zeros((1, nl, nl), dt), off], axis=0)
-    (_, _), (L, C) = jax.lax.scan(
-        fstep, (jnp.eye(nl, dtype=dt), jnp.ones((), bool)), (diag, O_ext, rhs))
-
-    def ystep(yprev, inp):
-        Lk, Ck, rk = inp
-        y = jax.lax.linalg.triangular_solve(
-            Lk, (rk - Ck @ yprev)[:, None], left_side=True, lower=True)[:, 0]
-        return y, y
-
-    _, ys = jax.lax.scan(ystep, jnp.zeros((nl,), dt), (L, C, rhs))
-
-    def zstep(znext, inp):
-        Lk, Cnext, yk = inp
-        z = jax.lax.linalg.triangular_solve(
-            Lk, (yk - Cnext.T @ znext)[:, None], left_side=True, lower=True,
-            transpose_a=True)[:, 0]
-        return z, z
-
-    C_ext = jnp.concatenate([C[1:], jnp.zeros((1, nl, nl), dt)], axis=0)
-    _, zs = jax.lax.scan(zstep, jnp.zeros((nl,), dt),
-                         (jnp.flip(L, 0), jnp.flip(C_ext, 0), jnp.flip(ys, 0)))
-    return jnp.flip(zs, 0)
+    A = jnp.einsum("skij,skj->ski", D, dmu)
+    A = A.at[:, 1:].add(jnp.einsum("skij,skj->ski", Ssub, dmu[:, :-1]))
+    A = A.at[:, :-1].add(jnp.einsum("skji,skj->ski", Ssub, dmu[:, 1:]))
+    Ns = D.shape[0]
+    nl = rt_l.shape[-1]
+    if Ns > 1:
+        dl = dlam_flat * dm
+        coef = jnp.zeros((Ns, nl), D.dtype)
+        coef = coef.at[:-1].add(dl)
+        coef = coef.at[1:].add(-dl)
+        A = A + jnp.einsum("skxl,sl->skx", Uown, coef)
+        kv = jnp.einsum("skxl,skx->sl", Uown, dmu)
+        Al = (rt_l[:-1] + rt_l[1:]) * dl
+        if Ns > 2:
+            Al = Al.at[1:].add(-rt_l[1:-1] * dl[:-1])
+            Al = Al.at[:-1].add(-rt_l[1:-1] * dl[1:])
+        Al = (Al + kv[:-1] - kv[1:]) * dm
+    else:
+        Al = jnp.zeros_like(dlam_flat)
+    return A, Al
 
 
-@partial(jax.jit, static_argnames=("opts",))
-def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
-                 opts: SdunesOpts = SdunesOpts()):
-    """Dual Newton on the scenario decomposition
-    (treeqp_sdunes_solve, dual_Newton_scenarios.c:1850-2091).
+def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
+                    patience: int = 0):
+    """One sdunes dual-Newton while-loop at the dtype of ``sqp``'s data.
 
-    Returns (sol dict with [Ns, Nh+1] trajectories, lam, mu, info).
+    The per-iteration linear algebra is restructured around ONE multi-RHS
+    full solve of the banded per-scenario systems, Z = Mmm^-1 [r_mu, U]
+    (one fused Pallas launch on the speed path):
+      Gram_t = U_t' Z_u,t  (the Jay Schur blocks),
+      Kv_t   = U_t' z_mu,t (the Jay RHS fold),
+      dmu    = z_mu - Z_u coef(dlam) (the back-substitution)
+    — algebraically identical to the reference's half-solve sequence
+    (form_K / form_RHS_non_anticipaticity / calculate_delta_mu,
+    dual_Newton_scenarios.c:692-1205) with no extra banded sweeps. The
+    Jay system solves by batched cyclic reduction (ops/tridiag.py).
+
+    With ``opts.refine_steps > 0`` each direction is iteratively refined
+    against the exact data-dtype dual Hessian (_sd_apply_M) — restoring
+    f64 quality from f32-factored solves. ``patience > 0`` adds the
+    coarse-phase stall exit (see tdunes._td_newton_loop).
+    Returns (lam, mu, it, err, status, ls_it).
     """
     meta = sqp.meta
     Ns, Nh, Nr = meta.Ns, meta.Nh, meta.Nr
-    nx = sqp.b.shape[-1]
     nu = sqp.r.shape[-1]
     nl = Nr * nu
     dt = sqp.b.dtype
-    from treeqp_tpu.solvers.tdunes import _tpu_const_barrier
-    sqp = _tpu_const_barrier(sqp)  # see tdunes._tpu_const_barrier
     topts = opts._as_tdunes()
     cmask = _coupling_masks(meta, dt)
-
-    if mu0 is None:
-        mu0 = jnp.zeros((Ns, Nh, nx), dt)
-    if lam0 is None:
-        lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), dt)
+    dm = (cmask[..., None].repeat(nu, axis=-1).reshape(Ns - 1, nl)
+          if Ns > 1 else jnp.zeros((1, nl), dt))
 
     def error_of(r_mu, r_lam):
         # pure-chain trees (Ns == 1 or Nr == 0) have no non-anticipativity
@@ -426,39 +528,53 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
         sq = jnp.sum(r_mu**2) + (jnp.sum(r_lam**2) if r_lam.size else 0.0)
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
-    def newton_step(carry):
+    def coef_of(dlam_flat):
+        coef = jnp.zeros((Ns, nl), dt)
+        if Ns > 1:
+            coef = coef.at[:-1].add(dlam_flat)
+            coef = coef.at[1:].add(-dlam_flat)
+        return coef
+
+    def newton_step(carry, sol, r_mu, r_lam):
         lam, mu, it, err, status, ls_it = carry
-        sol = _stage_solve(sqp, mu, lam, cmask)
-        r_mu, r_lam = _residuals(sqp, sol, cmask)
 
         D, Ssub = _banded_blocks(sqp, sol)
-        L, C = _banded_cholesky(D, Ssub, topts)
         Uown = _coupling_columns(sqp, sol, cmask)
-        diag, off, Y = _assemble_jay(sqp, sol, L, C, Uown, cmask, topts)
+        fact = _sd_factor(D, Ssub, topts)
+        # ONE multi-RHS full solve: [r_mu | U] -> [z_mu | Z_u]
+        Z = _sd_full_solve(
+            fact, jnp.concatenate([r_mu[..., None], Uown], axis=-1), topts)
+        z_mu, Zu = Z[..., 0], Z[..., 1:]
+        Gram = jnp.einsum("skxl,skxm->slm", Uown, Zu)
+        diag, off, rt_l, _ = _jay_blocks(sqp, sol, Gram, cmask)
+        Kv = jnp.einsum("skxl,skx->sl", Uown, z_mu)
 
-        # rhs for lambda: r_lam - Mlm Mmm^-1 r_mu = r_lam - [Y'y]-combination
-        y_mu = _banded_forward(L, C, r_mu[..., None])  # [Ns, Nh, nx, 1]
-        Kv = jnp.einsum("skxl,skx->sl", Y, y_mu[..., 0])  # [Ns, nl] = Y_t' y_t
-        if Ns > 1:
-            dm = cmask[..., None].repeat(nu, axis=-1).reshape(Ns - 1, nl)
-            rl = (r_lam.reshape(Ns - 1, nl) - (Kv[:-1] - Kv[1:])) * dm
-            dlam_flat = _tridiag_solve(diag, off, rl, topts)
-            dlam = (dlam_flat.reshape(Ns - 1, Nr, nu)) * cmask[..., None]
-        else:
-            dlam = jnp.zeros_like(lam)
+        rl_full = (r_lam.reshape(Ns - 1, nl) * dm if Ns > 1
+                   else jnp.zeros((1, nl), dt))
 
-        # back-substitute mu: Mmm dmu = r_mu - Mml dlam
-        if Ns > 1:
-            dl_flat = dlam.reshape(Ns - 1, nl)
-            # columns: own pair (+), previous pair (-)
-            coef = jnp.zeros((Ns, nl), dt)
-            coef = coef.at[:-1].add(dl_flat)
-            coef = coef.at[1:].add(-dl_flat)
-        else:
-            coef = jnp.zeros((Ns, nl), dt)
-        rhs_mu = r_mu - jnp.einsum("skxl,sl->skx", Uown, coef)
-        ymu2 = _banded_forward(L, C, rhs_mu[..., None])
-        dmu = _banded_backward(L, C, ymu2)[..., 0]
+        def schur_solve(e_mu_z, e_l, z_mu_):
+            """Direction from a mu-space solve z_mu_ = Mmm^-1 e_mu."""
+            if Ns > 1:
+                Kv_ = jnp.einsum("skxl,skx->sl", Uown, z_mu_)
+                rl = (e_l - (Kv_[:-1] - Kv_[1:])) * dm
+                dl = _jay_solve(diag, off, rl, opts) * dm
+            else:
+                dl = jnp.zeros((1, nl), dt)
+            dmu_ = z_mu_ - jnp.einsum("skxl,sl->skx", Zu, coef_of(dl))
+            return dmu_, dl
+
+        dmu, dlam_flat = schur_solve(r_mu, rl_full, z_mu)
+        for _ in range(max(opts.refine_steps, 0)
+                       if opts.factor_dtype == "float32" else 0):
+            # refinement against the exact data-dtype dual Hessian
+            Amu, Al = _sd_apply_M(D, Ssub, Uown, rt_l, dm, dmu, dlam_flat)
+            e_mu = r_mu - Amu
+            e_l = rl_full - Al
+            z2 = _sd_full_solve(fact, e_mu[..., None], topts)[..., 0]
+            cmu, cl = schur_solve(e_mu, e_l, z2)
+            dmu = dmu + cmu
+            dlam_flat = dlam_flat + cl
+        dlam = dlam_flat.reshape(max(Ns - 1, 1), Nr, nu) * cmask[..., None]
 
         # Armijo line search on f = -g over (lambda, mu) jointly
         dot = -(jnp.sum(r_mu * dmu) + jnp.sum(r_lam * dlam))
@@ -532,27 +648,99 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
         return lam2, mu2, it + 1, err, status, ls_it
 
     def cond(carry):
-        _, _, it, err, status, _ = carry
-        return (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+        _, _, it, err, status, _, best, noimp = carry
+        ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
+        if patience > 0:
+            ok = ok & (noimp < patience)
+        return ok
 
     def body(carry):
-        lam, mu, it, err, status, ls_it = carry
+        lam, mu, it, err, status, ls_it, best, noimp = carry
         sol = _stage_solve(sqp, mu, lam, cmask)
         r_mu, r_lam = _residuals(sqp, sol, cmask)
         err = error_of(r_mu, r_lam)
-        return jax.lax.cond(
+        improved = err < 0.9 * best
+        best = jnp.minimum(best, err)
+        noimp = jnp.where(improved, 0, noimp + 1)
+        out = jax.lax.cond(
             err < opts.tol,
             lambda c: (c[0], c[1], c[2], err, c[4], c[5]),
-            lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5])),
-            carry)
+            lambda c: newton_step((c[0], c[1], c[2], err, c[4], c[5]),
+                                  sol, r_mu, r_lam),
+            (lam, mu, it, err, status, ls_it))
+        return out + (best, noimp)
 
-    init = (lam0, mu0, jnp.zeros((), jnp.int32), jnp.full((), jnp.inf, dt),
-            jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32))
-    lam, mu, it, err, status, ls_it = jax.lax.while_loop(cond, body, init)
+    init = (lam0, mu0, jnp.asarray(it0, jnp.int32), jnp.full((), jnp.inf, dt),
+            jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.full((), jnp.inf, dt), jnp.zeros((), jnp.int32))
+    lam, mu, it, err, status, ls_it, _, _ = jax.lax.while_loop(cond, body, init)
+    return lam, mu, it, err, status, ls_it
+
+
+def _cast_sqp(sqp: ScenarioQP, dtype):
+    """Cast all float leaves of a ScenarioQP (meta is static)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        sqp)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
+                 opts: SdunesOpts = SdunesOpts()):
+    """Dual Newton on the scenario decomposition
+    (treeqp_sdunes_solve, dual_Newton_scenarios.c:1850-2091).
+
+    Returns (sol dict with [Ns, Nh+1] trajectories, lam, mu, info).
+
+    With ``opts.f32_phase_tol > 0`` (f64 data, factor_dtype=float32) the
+    solve runs the two-phase precision schedule of the tdunes solvers: a
+    coarse all-f32 phase to f32_phase_tol or stall, then the f64 phase
+    with f32-factored iterative refinement — the sdunes TPU speed path
+    (chain_backend="pallas" puts the banded per-scenario sweeps on the
+    lane-batched multistage chain kernels).
+    """
+    meta = sqp.meta
+    Ns, Nh, Nr = meta.Ns, meta.Nh, meta.Nr
+    nx = sqp.b.shape[-1]
+    nu = sqp.r.shape[-1]
+    dt = sqp.b.dtype
+    from treeqp_tpu.solvers.tdunes import _tpu_const_barrier
+    sqp = _tpu_const_barrier(sqp)  # see tdunes._tpu_const_barrier
+    cmask = _coupling_masks(meta, dt)
+
+    if mu0 is None:
+        mu0 = jnp.zeros((Ns, Nh, nx), dt)
+    if lam0 is None:
+        lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), dt)
+
+    it0 = jnp.zeros((), jnp.int32)
+    use_coarse = (opts.f32_phase_tol > 0 and dt == jnp.float64
+                  and opts.factor_dtype == "float32")
+    if use_coarse:
+        sqp32 = _cast_sqp(sqp, jnp.float32)
+        optsA = dataclasses.replace(
+            opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol))
+        lamA, muA, it0, _, _, _ = _sd_newton_loop(
+            sqp32, lam0.astype(jnp.float32), mu0.astype(jnp.float32),
+            optsA, it0, patience=3)
+        # f32-phase status is discarded: a not-descent there is expected
+        # noise near the f32 residual floor, not a failure
+        lam0 = lamA.astype(dt)
+        mu0 = muA.astype(dt)
+
+    lam, mu, it, err, status, ls_it = _sd_newton_loop(
+        sqp, lam0, mu0, opts, it0)
 
     sol = _stage_solve(sqp, mu, lam, cmask)
     r_mu, r_lam = _residuals(sqp, sol, cmask)
-    err = error_of(r_mu, r_lam)
+    if opts.termination == "infnorm":
+        err = jnp.max(jnp.abs(r_mu))
+        if r_lam.size:
+            err = jnp.maximum(err, jnp.max(jnp.abs(r_lam)))
+    else:
+        sq = jnp.sum(r_mu**2) + (jnp.sum(r_lam**2) if r_lam.size else 0.0)
+        err = jnp.sqrt(sq) if opts.termination == "twonorm" else sq
     status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
                        TDUNES_MAX_ITER, status)
     info = dict(iter=it, status=status, error=err, ls_iter=ls_it)
