@@ -355,35 +355,10 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
     def factorize(cr, ch):
-        W, Ut = td._build_dual_hessian(
-            ms.crown, {"qtilde": cr["qtilde"].hi, "rtilde": cr["rtilde"].hi},
-            None, opts, prep_cr, dtype=f32)
-        Wc, Utc = tm._chain_blocks(
-            ms, {"qt": ch["qt"].hi, "rt": ch["rt"].hi},
-            cr["qtilde"].hi, cr["rtilde"].hi, dtype=f32)
-
-        sW = 1.0 / jnp.sqrt(jnp.maximum(
-            jnp.diagonal(W, axis1=1, axis2=2), 1e-12))
-        sc = 1.0 / jnp.sqrt(jnp.maximum(
-            jnp.diagonal(Wc, axis1=2, axis2=3), 1e-12))
-        ar = np.arange(nxm)
-        rows_all = prep_cr.gslot[:, None] * nxm + ar[None, :]
-        dad_safe = np.maximum(prep_cr.gdad, 0)
-        sUt_rows = sW[dad_safe[:, None], rows_all]
-        W = W * sW[:, :, None] * sW[:, None, :]
-        Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
-        s_root = sW[g_of[:, None], rows]
-        scp = jnp.concatenate([s_root[:, None], sc[:, :-1]], axis=1)
-        Wc = Wc * sc[..., :, None] * sc[..., None, :]
-        Utc = Utc * scp[..., :, None] * sc[..., None, :]
-        s_node = td._group_to_nodes(sW, prep_cr, f32) * nrxm
-
-        Ls, CUs, schur0 = tm._chain_factor(Wc, Utc, opts)
-        W = W.at[g_of[:, None, None], rows[:, :, None],
-                 rows[:, None, :]].add(-schur0)
-        crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
-        return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
-                    CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
+        # shared with the f64 loop; fused chain kernel on the Pallas path
+        return tm._ms_factorize(ms, cr["qtilde"].hi, cr["rtilde"].hi,
+                                ch["qt"].hi, ch["rt"].hi, opts, prep_cr,
+                                g_of, rows, nrxm, f32)
 
     crown_kind, fused = tm._solve_backends(prep_cr, meta_ms, opts)
 

@@ -427,6 +427,66 @@ def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts):
     return f_cr + _chain_dual_terms(ms, ch, lam_ch)
 
 
+
+def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
+                  g_of, rows, nrxm_cr, s_node_dt):
+    """Shared factorize of the crown+chains dual Hessian (f64 and df64
+    loops): blocks + Jacobi equilibration + chain/crown factorization.
+
+    On the Pallas clipping path the ENTIRE chain side — block build,
+    equilibration, backward factorization — runs as ONE kernel launch
+    (chain_kernels.chain_blocks_factor); the XLA path mirrors it
+    op-by-op. The launch-count reduction is the point: the per-iteration
+    factorize was ~47 XLA fusions and launch latency dominates the TPU
+    Newton iteration (BENCH_NOTES.md round 3)."""
+    meta = ms.meta
+    f32 = jnp.float32
+    fdt = f32 if opts.factor_dtype == "float32" else None
+    W, Ut = td._build_dual_hessian(
+        ms.crown, {"qtilde": qtilde_cr, "rtilde": rtilde_cr}, None, opts,
+        prep_cr, dtype=fdt)
+    nxm = meta.crown_topo.nxm
+    sW = 1.0 / jnp.sqrt(jnp.maximum(
+        jnp.diagonal(W, axis1=1, axis2=2), 1e-12))
+    ar = np.arange(nxm)
+    rows_all = prep_cr.gslot[:, None] * nxm + ar[None, :]
+    dad_safe = np.maximum(prep_cr.gdad, 0)
+    sUt_rows = sW[dad_safe[:, None], rows_all]
+    W = W * sW[:, :, None] * sW[:, None, :]
+    Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
+    s_root = sW[g_of[:, None], rows]
+    s_node = td._group_to_nodes(sW, prep_cr, s_node_dt) * nrxm_cr
+    rid = np.asarray(meta.root_ids)
+
+    fused_chain = (opts.chain_backend == "pallas"
+                   and opts.factor_dtype == "float32"
+                   and opts.stage_solver == "clipping")
+    if fused_chain:
+        from treeqp_tpu.ops import chain_kernels as ck
+        ABt = jnp.concatenate([ms.A, ms.B], axis=3).astype(f32)
+        ztp_root = jnp.concatenate([qtilde_cr[rid], rtilde_cr[rid]],
+                                   axis=-1).astype(f32)
+        ztp_ch = jnp.concatenate([qt_ch, rt_ch], axis=-1).astype(f32)
+        ztp = jnp.concatenate([ztp_root[:, None], ztp_ch[:, :-1]], axis=1)
+        Ls, CUs, schur0, sc = ck.chain_blocks_factor(
+            ABt, ztp, qt_ch.astype(f32), s_root.astype(f32))
+    else:
+        Wc, Utc = _chain_blocks(ms, {"qt": qt_ch, "rt": rt_ch},
+                                qtilde_cr, rtilde_cr, dtype=fdt)
+        sc = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.diagonal(Wc, axis1=2, axis2=3), 1e-12))
+        scp = jnp.concatenate([s_root[:, None].astype(sc.dtype),
+                               sc[:, :-1]], axis=1)
+        Wc = Wc * sc[..., :, None] * sc[..., None, :]
+        Utc = Utc * scp[..., :, None] * sc[..., None, :]
+        Ls, CUs, schur0 = _chain_factor(Wc, Utc, opts)
+    W = W.at[g_of[:, None, None], rows[:, :, None],
+             rows[:, None, :]].add(-schur0.astype(W.dtype))
+    crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
+    return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
+                CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
+
+
 def _solve_backends(prep_cr, meta, opts):
     """(crown_kind, fused): which kernel paths the Newton solve uses."""
     crown_kind, fused = None, False
@@ -525,41 +585,10 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
     def factorize(cr, ch):
-        # --- dual Hessian (crown + chain blocks straight in f32 on the
-        # mixed path: they feed only the f32 factorization; the exact f64
-        # Hessian action for refinement goes through _ms_apply_M)
-        fdt = jnp.float32 if opts.factor_dtype == "float32" else None
-        W, Ut = td._build_dual_hessian(ms.crown, cr, crown_data, opts, prep_cr,
-                                       dtype=fdt)
-        Wc, Utc = _chain_blocks(ms, ch, cr["qtilde"], cr["rtilde"], dtype=fdt)
-
-        # --- Jacobi equilibration of the full lambda system: M~ = S M S with
-        # S = 1/sqrt(diag M). Essential for the f32 factorization path (node
-        # weights span orders of magnitude from probability scaling) and
-        # harmless in f64.
-        sW = 1.0 / jnp.sqrt(jnp.maximum(
-            jnp.diagonal(W, axis1=1, axis2=2), 1e-12))       # [NpG, G]
-        sc = 1.0 / jnp.sqrt(jnp.maximum(
-            jnp.diagonal(Wc, axis1=2, axis2=3), 1e-12))      # [S, L, nx]
-        nxm_cr = meta.crown_topo.nxm
-        ar = np.arange(nxm_cr)
-        rows_all = prep_cr.gslot[:, None] * nxm_cr + ar[None, :]  # [NpG, nxm]
-        dad_safe = np.maximum(prep_cr.gdad, 0)
-        sUt_rows = sW[dad_safe[:, None], rows_all]            # [NpG, nxm]
-        W = W * sW[:, :, None] * sW[:, None, :]
-        Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
-        s_root = sW[g_of[:, None], rows].astype(sc.dtype)     # [S, nxm]
-        scp = jnp.concatenate([s_root[:, None], sc[:, :-1]], axis=1)
-        Wc = Wc * sc[..., :, None] * sc[..., None, :]
-        Utc = Utc * scp[..., :, None] * sc[..., None, :]
-        s_node = td._group_to_nodes(sW, prep_cr, dt) * nrxm_cr  # crown scale, node layout
-
-        # --- factorize (scaled): chains first, Schur into the crown
-        Ls, CUs, schur0 = _chain_factor(Wc, Utc, opts)
-        W = W.at[g_of[:, None, None], rows[:, :, None], rows[:, None, :]].add(-schur0)
-        crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
-        return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
-                    CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
+        # blocks + equilibration + chain/crown factorization (fused chain
+        # kernel on the Pallas clipping path) — see _ms_factorize
+        return _ms_factorize(ms, cr["qtilde"], cr["rtilde"], ch["qt"],
+                             ch["rt"], opts, prep_cr, g_of, rows, nrxm_cr, dt)
 
     crown_kind, fused = _solve_backends(prep_cr, meta, opts)
 
