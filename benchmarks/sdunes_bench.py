@@ -1,10 +1,23 @@
 """sdunes TPU speed-path benchmark (VERDICT r2 #5 done-criterion).
 
-Measures sdunes per-iteration cost on the 256-scenario quadcopter-class
-workload (the headline tree) against the multistage dual Newton
-(tdunes_ms) on the same instance. Chain protocol as bench.py: CHAIN_R
-per-solve-perturbed instances inside one jit, per-solve status/error
-asserted.
+Measures sdunes on the 256-scenario quadcopter-class workload (the
+headline tree) against the multistage dual Newton (tdunes_ms) on the same
+instance. Three measurements:
+
+* ``sdunes_boot`` — convergence: a chain of per-solve-perturbed instances,
+  each bootstrapped in-jit by a coarse ipm_ms solve mapped to scenario
+  duals (scenario_duals_from_tree) — the TPU translation of the
+  reference's warm-start-file usage (spring_mass.c:69-83; sdunes
+  cold-starts hit the known piecewise-singular plateau on ~15% of
+  perturbed instances, reference and ours alike). Asserts every solve
+  OPTIMAL at 1e-8 and certifies the base instance with the KKT oracle.
+* ``sdunes_it{N}`` — per-iteration cost: tol=0 forces exactly N Newton
+  iterations of the refined-f64 phase (the expensive one); the slope
+  (t28 - t8)/20 is the per-iteration cost, free of setup/convergence
+  effects. ``tdunes_ms_it{N}`` is measured identically for the
+  apples-to-apples comparison.
+* ``tdunes_ms`` — the headline solver's convergent chain on the same
+  instances (cold start; it needs no bootstrap).
 
 Axon constraint: ONE big program per process — each mode runs in a child
 process (TREEQP_SDUNES_MODE), the parent aggregates JSON lines.
@@ -23,7 +36,8 @@ CHAIN_R = int(os.environ.get("TREEQP_SDUNES_CHAIN", "48"))
 NREP = 3
 TOL = 1e-8
 
-MODES = ("sdunes", "tdunes_ms")
+MODES = ("sdunes_boot", "sdunes_it8", "sdunes_it28",
+         "tdunes_ms", "tdunes_ms_it8", "tdunes_ms_it28")
 
 
 def build():
@@ -36,114 +50,192 @@ def build():
     return qp
 
 
-def run_mode(mode):
+def _sdunes_opts(on_tpu, **kw):
+    from treeqp_tpu.solvers.sdunes import SdunesOpts
+    base = dict(tol=TOL, max_iter=150,
+                factor_dtype="float32" if on_tpu else "same",
+                refine_steps=2 if on_tpu else 0,
+                f32_phase_tol=1e-4 if on_tpu else 0.0,
+                chain_backend="pallas" if on_tpu else "xla",
+                reg_type="always", reg_value=1e-6)
+    base.update(kw)
+    return SdunesOpts(**base)
+
+
+def _tdunes_opts(on_tpu, **kw):
+    from treeqp_tpu.solvers.tdunes import TdunesOpts
+    base = dict(stage_solver="clipping", tol=TOL, max_iter=120,
+                factor_dtype="float32" if on_tpu else "same",
+                refine_steps=2 if on_tpu else 0,
+                refine_safeguard=False,
+                chain_backend="pallas" if on_tpu else "xla",
+                reg_type="always", reg_value=1e-6,
+                f32_phase_tol=1e-4 if on_tpu else 0.0,
+                df64_phase=on_tpu)
+    base.update(kw)
+    return TdunesOpts(**base)
+
+
+def _timed_chain(solve):
     import jax
     import jax.numpy as jnp
+
+    @jax.jit
+    def timed(seed):
+        def body(carry, k):
+            fac = 1.0 + 0.02 * jnp.sin(seed + 1.7 * (k + 1.0))
+            return carry, solve(fac)
+        _, outs = jax.lax.scan(body, 0.0,
+                               jnp.arange(CHAIN_R, dtype=jnp.float64))
+        return outs
+
+    return timed
+
+
+def run_mode(mode):
+    import dataclasses as dc
+
+    import jax
     import numpy as np
 
     qp = build()
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    cpu = jax.devices("cpu")[0]
+    nodes = qp.topo.Nn
+    extra = {}
 
-    if mode == "sdunes":
+    if mode.startswith("sdunes"):
         from treeqp_tpu.solvers.sdunes import (
-            scenario_data, sdunes_solve, SdunesOpts)
-        cpu = jax.devices("cpu")[0]
+            scenario_data, sdunes_solve, scenario_duals_from_tree,
+            scenario_output)
         with jax.default_device(cpu):
             sqp = scenario_data(qp)
         sqp = jax.device_put(sqp, dev)
-        opts = SdunesOpts(tol=TOL, max_iter=150,
-                          factor_dtype="float32" if on_tpu else "same",
-                          refine_steps=1 if on_tpu else 0,
-                          f32_phase_tol=1e-4 if on_tpu else 0.0,
-                          chain_backend="pallas" if on_tpu else "xla",
-                          reg_type="always", reg_value=1e-6)
 
-        import dataclasses as dc
+        def perturb_sqp(fac):
+            return dc.replace(sqp, xmin=sqp.xmin.at[:, 0].multiply(fac),
+                              xmax=sqp.xmax.at[:, 0].multiply(fac))
 
-        def solve(fac, lam0, mu0):
-            s2 = dc.replace(sqp, xmin=sqp.xmin.at[:, 0].multiply(fac),
-                            xmax=sqp.xmax.at[:, 0].multiply(fac))
-            sol, lam, mu, info = sdunes_solve(s2, lam0, mu0, opts)
-            return (lam, mu), (info["iter"], info["error"], info["status"])
+        if mode == "sdunes_boot":
+            import jax.numpy as jnp
+            from treeqp_tpu.solvers.ipm import IpmOpts
+            from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
+            from treeqp_tpu.solvers.tdunes_multistage import (
+                split_multistage, merge_output)
+            from treeqp_tpu.core.kkt import max_kkt_residual
+            with jax.default_device(cpu):
+                ms = split_multistage(qp)
+            ms = jax.device_put(ms, dev)
+            opts = _sdunes_opts(on_tpu)
+            iopts = IpmOpts(tol=1e-4, max_iter=25,
+                            factor_dtype="float32" if on_tpu else "same",
+                            refine_steps=1 if on_tpu else 0,
+                            chain_backend="pallas" if on_tpu else "xla")
 
+            def boot_solve(fac):
+                s2 = perturb_sqp(fac)
+                cr2 = ms.crown
+                ms2 = dc.replace(ms, crown=cr2.replace(
+                    xmin=cr2.xmin.at[0].multiply(fac),
+                    xmax=cr2.xmax.at[0].multiply(fac)))
+                cro, cho, iinf = ipm_ms_solve(ms2, iopts)
+                boot = merge_output(ms2, cro, cho, iinf)
+                lam0, mu0 = scenario_duals_from_tree(s2, None, boot)
+                sol, lam, mu, info = sdunes_solve(s2, lam0, mu0, opts)
+                return (info["iter"], info["error"], info["status"],
+                        iinf["iter"], sol, lam, mu, s2)
 
-        lam00 = jnp.zeros((sqp.meta.Ns - 1, sqp.meta.Nr, 1), sqp.b.dtype)
-        mu00 = jnp.zeros((sqp.meta.Ns, sqp.meta.Nh, 2 * NM), sqp.b.dtype)
-        carry0 = (lam00, mu00)
-        nodes = qp.topo.Nn
+            def solve(fac):
+                it, err, st, bit, *_ = boot_solve(fac)
+                return it, err, st, bit
+
+            # certification: base instance through the full KKT oracle,
+            # inside the SAME compiled program (axon one-program limit)
+            @jax.jit
+            def timed(seed):
+                def body(carry, k):
+                    fac = 1.0 + 0.02 * jnp.sin(seed + 1.7 * (k + 1.0))
+                    return carry, solve(fac)
+                _, outs = jax.lax.scan(
+                    body, 0.0, jnp.arange(CHAIN_R, dtype=jnp.float64))
+                it, err, st, bit, sol, lam, mu, s2 = boot_solve(
+                    jnp.float64(1.0))
+                out = scenario_output(s2, sol, lam, mu,
+                                      dict(iter=it, status=st, error=err))
+                kkt = max_kkt_residual(qp, out)
+                return outs, (kkt, st)
+
+            out0, (kkt, st) = jax.block_until_ready(timed(np.float64(0)))
+            assert int(st) == 0 and float(kkt) < TOL, (float(kkt), int(st))
+            extra["certified_kkt"] = float(kkt)
+
+            def run(seed):
+                outs, _ = timed(seed)
+                return outs
+            timed_fn = run
+        else:  # slope modes: exactly N iterations of the refined-f64 phase
+            n_it = int(mode.rsplit("it", 1)[1])
+            opts = _sdunes_opts(on_tpu, tol=0.0, max_iter=n_it,
+                                f32_phase_tol=0.0, grad_fallback=False)
+
+            def solve(fac):
+                sol, lam, mu, info = sdunes_solve(perturb_sqp(fac),
+                                                  None, None, opts)
+                return (info["iter"], info["error"], info["status"],
+                        info["iter"] * 0)
+
+            timed_fn = _timed_chain(solve)
     else:
-        from treeqp_tpu.solvers.tdunes import TdunesOpts
         from treeqp_tpu.solvers.tdunes_multistage import (
             split_multistage, tdunes_ms_solve)
-        import dataclasses as dc
-        cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             ms = split_multistage(qp)
         ms = jax.device_put(ms, dev)
-        opts = TdunesOpts(stage_solver="clipping", tol=TOL, max_iter=120,
-                          factor_dtype="float32" if on_tpu else "same",
-                          refine_steps=2 if on_tpu else 0,
-                          refine_safeguard=False,
-                          chain_backend="pallas" if on_tpu else "xla",
-                          reg_type="always", reg_value=1e-6,
-                          f32_phase_tol=1e-4 if on_tpu else 0.0,
-                          df64_phase=on_tpu)
+        if mode == "tdunes_ms":
+            opts = _tdunes_opts(on_tpu)
+        else:
+            n_it = int(mode.rsplit("it", 1)[1])
+            opts = _tdunes_opts(on_tpu, tol=0.0, max_iter=n_it,
+                                f32_phase_tol=0.0, df64_phase=False)
 
-        def solve(fac, lamc, lamh):
+        def solve(fac):
             cr = ms.crown
             ms2 = dc.replace(ms, crown=cr.replace(
                 xmin=cr.xmin.at[0].multiply(fac),
                 xmax=cr.xmax.at[0].multiply(fac)))
-            cro, cho, info = tdunes_ms_solve(ms2, lamc, lamh, opts)
-            return (cro["lam"], cho["lam"]), \
-                (info["iter"], info["error"], info["status"])
+            cro, cho, info = tdunes_ms_solve(ms2, None, None, opts)
+            return (info["iter"], info["error"], info["status"],
+                    info["iter"] * 0)
 
-        meta = ms.meta
-        carry0 = (jnp.zeros((meta.crown_topo.Nn, meta.crown_topo.nxm),
-                            ms.q.dtype), jnp.zeros_like(ms.q))
-        nodes = qp.topo.Nn
+        timed_fn = _timed_chain(solve)
 
-    # WARM chain protocol: each solve warm-starts from the previous
-    # solve's multipliers — the reference's own sdunes usage (it ships
-    # warm-start files, spring_mass.c:69-83, and the MATLAB harness
-    # persists multipliers across MPC steps, treeqp_solve.m:6-8); sdunes
-    # cold-starts hit the known piecewise-singular plateau on ~15% of
-    # perturbed instances (both here and in the reference). Both modes
-    # run the same protocol, so the per-iteration cost comparison is
-    # like-for-like.
-    @jax.jit
-    def run_chain(seed):
-        def body(carry, k):
-            fac = 1.0 + 0.02 * jnp.sin(seed + 1.7 * (k + 1.0))
-            carry2, out = solve(fac, *carry)
-            return carry2, out
-        _, outs = jax.lax.scan(body, carry0,
-                               jnp.arange(CHAIN_R, dtype=jnp.float64))
-        return outs
-
-    out = jax.block_until_ready(run_chain(np.float64(0)))
+    out = jax.block_until_ready(timed_fn(np.float64(0)))
     times = []
     for k in range(NREP):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(run_chain(np.float64(k + 1)))
+        out = jax.block_until_ready(timed_fn(np.float64(k + 1)))
         times.append(time.perf_counter() - t0)
-    iters, errs, stats = (np.asarray(v) for v in out)
-    assert np.all(stats == 0), f"{mode}: bad statuses {stats}"
-    assert np.all(errs < TOL), f"{mode}: errors above tol {errs.max()}"
+    iters, errs, stats, boot_iters = (np.asarray(v) for v in out)
+    if mode in ("sdunes_boot", "tdunes_ms"):
+        assert np.all(stats == 0), f"{mode}: bad statuses {stats}"
+        assert np.all(errs < TOL), f"{mode}: errors above tol {errs.max()}"
     t = min(times)
-    print(json.dumps({
+    rec = {
         "mode": mode, "device": str(dev), "nodes": int(nodes),
         "scenarios": MD**NR, "chained_solves": CHAIN_R,
         "total_iters": int(iters.sum()),
         "iters_per_solve_mean": round(float(iters.mean()), 2),
-        "ms_per_iter": round(1e3 * t / max(int(iters.sum()), 1), 4),
         "ms_per_solve": round(1e3 * t / CHAIN_R, 3),
         "iters_per_sec": round(float(iters.sum()) / t, 1),
-        "max_error": float(errs.max())}))
+        "max_error": float(errs.max()), **extra}
+    if mode == "sdunes_boot":
+        rec["boot_ipm_iters_mean"] = round(float(boot_iters.mean()), 2)
+    print(json.dumps(rec))
 
 
 def main():
+    rows = {}
     for mode in MODES:
         env = dict(os.environ, TREEQP_SDUNES_MODE=mode)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -151,12 +243,19 @@ def main():
                            timeout=2400)
         for line in r.stdout.splitlines():
             try:
-                json.loads(line)
+                rows[mode] = json.loads(line)
                 print(line, flush=True)
             except json.JSONDecodeError:
                 continue
         if r.returncode != 0:
             sys.stderr.write(r.stdout[-2000:] + r.stderr[-4000:])
+    # per-iteration cost slopes (setup-free)
+    for fam in ("sdunes", "tdunes_ms"):
+        a, b = rows.get(f"{fam}_it8"), rows.get(f"{fam}_it28")
+        if a and b:
+            slope = (b["ms_per_solve"] - a["ms_per_solve"]) / 20.0
+            print(json.dumps({"summary": f"{fam}_ms_per_iter_slope",
+                              "value": round(slope, 4)}), flush=True)
 
 
 if __name__ == "__main__":

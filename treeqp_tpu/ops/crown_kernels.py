@@ -179,6 +179,43 @@ def _pad_lanes(x, fill=0.0):
     return jnp.pad(x, cfg, constant_values=fill)
 
 
+def _factor_levels(Wv, Utv, P_ref, M_ref, G, nxm, n_lev, K, reg):
+    """The level-synchronous factorization loop shared by crown_factor and
+    crown_blocks_factor (values in, lane-layout factors out)."""
+    # identity init: lanes never committed (padding / leaf-stage slots)
+    # must stay triangular-solvable, or NaNs would propagate through the
+    # cross-lane MXU matmuls in crown_solve (0 * NaN = NaN)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 1)
+    CholWv = jnp.where(rowi == coli, jnp.ones((), Wv.dtype), 0.0) \
+        * jnp.ones((1, 1, _NP), Wv.dtype)
+    CholUtv = jnp.zeros((nxm, G, _NP), Wv.dtype)
+    for r in range(n_lev):
+        Lf = _chol(Wv, G, reg)
+        CU = _rtrsm_t(Lf, Utv, G)
+        m = M_ref[r]                                 # [1, NP]
+        CholWv = jnp.where(m[None], Lf, CholWv)
+        CholUtv = jnp.where(m[None], CU, CholUtv)
+        # Schur S = CU CU' [nxm, nxm, NP]; only this level's lanes count
+        CUm = CU * m[None]
+        S = sum(CUm[:, k][:, None, :] * CU[:, k][None, :, :]
+                for k in range(G))
+        S2 = S.reshape(nxm * nxm, _NP)
+        # assemble the K slot updates as one block-diagonal [G, G, NP]
+        # (Mosaic has no value-level dynamic_update_slice)
+        upds = [_lane_mm(S2, P_ref[r, s]).reshape(nxm, nxm, _NP)
+                for s in range(K)]
+        zero = jnp.zeros((nxm, nxm, _NP), Wv.dtype)
+        rows = [jnp.concatenate([upds[s] if t == s else zero
+                                 for t in range(K)], axis=1)
+                for s in range(K)]
+        Wv = Wv - jnp.concatenate(rows, axis=0)
+    # root
+    Lf = _chol(Wv, G, reg)
+    CholWv = jnp.where(M_ref[n_lev][None], Lf, CholWv)
+    return CholWv, CholUtv
+
+
 @partial(jax.jit, static_argnames=("prep", "reg"))
 def crown_factor(W, Ut, prep, reg=0.0):
     """Fused tree block-Cholesky. W [NpG, G, G] f32 (equilibrated), Ut
@@ -196,39 +233,8 @@ def crown_factor(W, Ut, prep, reg=0.0):
     Mm = jnp.asarray(sched.masks)                      # [n_lev+1, 1, NP]
 
     def kernel(W_ref, Ut_ref, P_ref, M_ref, CholW_ref, CholUt_ref):
-        Wv = W_ref[...]
-        Utv = Ut_ref[...]
-        # identity init: lanes never committed (padding / leaf-stage slots)
-        # must stay triangular-solvable, or NaNs would propagate through the
-        # cross-lane MXU matmuls in crown_solve (0 * NaN = NaN)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 0)
-        coli = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 1)
-        CholWv = jnp.where(rowi == coli, jnp.ones((), Wv.dtype), 0.0) \
-            * jnp.ones((1, 1, _NP), Wv.dtype)
-        CholUtv = jnp.zeros((nxm, G, _NP), Wv.dtype)
-        for r in range(n_lev):
-            Lf = _chol(Wv, G, reg)
-            CU = _rtrsm_t(Lf, Utv, G)
-            m = M_ref[r]                                 # [1, NP]
-            CholWv = jnp.where(m[None], Lf, CholWv)
-            CholUtv = jnp.where(m[None], CU, CholUtv)
-            # Schur S = CU CU' [nxm, nxm, NP]; only this level's lanes count
-            CUm = CU * m[None]
-            S = sum(CUm[:, k][:, None, :] * CU[:, k][None, :, :]
-                    for k in range(G))
-            S2 = S.reshape(nxm * nxm, _NP)
-            # assemble the K slot updates as one block-diagonal [G, G, NP]
-            # (Mosaic has no value-level dynamic_update_slice)
-            upds = [_lane_mm(S2, P_ref[r, s]).reshape(nxm, nxm, _NP)
-                    for s in range(K)]
-            zero = jnp.zeros((nxm, nxm, _NP), Wv.dtype)
-            rows = [jnp.concatenate([upds[s] if t == s else zero
-                                     for t in range(K)], axis=1)
-                    for s in range(K)]
-            Wv = Wv - jnp.concatenate(rows, axis=0)
-        # root
-        Lf = _chol(Wv, G, reg)
-        CholWv = jnp.where(M_ref[n_lev][None], Lf, CholWv)
+        CholWv, CholUtv = _factor_levels(W_ref[...], Ut_ref[...], P_ref,
+                                         M_ref, G, nxm, n_lev, K, reg)
         CholW_ref[...] = CholWv
         CholUt_ref[...] = CholUtv
 
@@ -296,3 +302,79 @@ def crown_solve(CholW, CholUt, rg, prep):
             interpret=_interpret(),
         )(CholW, CholUt, Pm, Mm, rt)
     return jnp.transpose(dl[:, :sched.NpG], (1, 0))
+
+
+@partial(jax.jit, static_argnames=("prep", "reg"))
+def crown_blocks_factor(ABk, ztp, dvals, sW, sUt, Wadd, prep, reg=0.0):
+    """Fused crown factorize for the CLIPPING stage solver: dual-Hessian
+    block build (A_i qtp A_j' sibling cross terms + child qtilde diagonal,
+    dual_Newton_tree_clipping.c:264-355) + Jacobi scaling + the whole-tree
+    level Cholesky, in ONE launch.
+
+    ABk [NpG, K, nxm, nz] kids' masked [A B]; ztp [NpG, nz] parent node
+    masked inverses; dvals [NpG, G] kids' own qtilde diagonals (1 on
+    invalid slots); sW [NpG, G] Jacobi scales (from the analytic diagonal,
+    computed host-XLA-side); sUt [NpG, nxm] dad-row scales; Wadd
+    [NpG, G, G] pre-scaled additive term (the negated chain Schur
+    complements). Returns lane-layout (CholW, CholUt) for crown_solve.
+    """
+    sched = _get_sched(prep)
+    G, nxm, n_lev, K = sched.G, sched.nxm, sched.n_lev, sched.K
+    nz = ABk.shape[-1]
+    f32 = jnp.float32
+    ABk_t = _pad_lanes(jnp.transpose(ABk, (1, 2, 3, 0)).astype(f32))
+    ztp_t = _pad_lanes(jnp.transpose(ztp, (1, 0)).astype(f32))
+    dv_t = _pad_lanes(jnp.transpose(dvals, (1, 0)).astype(f32), fill=1.0)
+    sW_t = _pad_lanes(jnp.transpose(sW, (1, 0)).astype(f32), fill=1.0)
+    sUt_t = _pad_lanes(jnp.transpose(sUt, (1, 0)).astype(f32), fill=1.0)
+    Wadd_t = _pad_lanes(jnp.transpose(Wadd, (1, 2, 0)).astype(f32))
+    Pm = jnp.asarray(sched.P)
+    Mm = jnp.asarray(sched.masks)
+
+    def kernel(AB_ref, ztp_ref, dv_ref, sW_ref, sUt_ref, Wadd_ref,
+               P_ref, M_ref, CholW_ref, CholUt_ref):
+        zt = ztp_ref[...]                               # [nz, NP]
+        # W blocks: (i, j) kid pair -> sum_n ABk_i[:, n] ztp[n] ABk_j[:, n]'
+        AB = [AB_ref[k] for k in range(K)]              # [nxm, nz, NP]
+        ABz = [sum_ for sum_ in
+               (jnp.stack([AB[k][:, n] * zt[n:n + 1] for n in range(nz)],
+                          axis=1) for k in range(K))]   # [nxm, nz, NP]
+        rows = []
+        for i in range(K):
+            blocks = []
+            for j in range(K):
+                blk = sum(ABz[i][:, n][:, None, :] * AB[j][:, n][None]
+                          for n in range(nz))           # [nxm, nxm, NP]
+                blocks.append(blk)
+            rows.append(jnp.concatenate(blocks, axis=1))
+        Wv = jnp.concatenate(rows, axis=0)              # [G, G, NP]
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 0)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 1)
+        dv = dv_ref[...]
+        Wv = Wv + jnp.where(rowi == coli, 1.0, 0.0) * dv[:, None, :]
+        sWv = sW_ref[...]                               # [G, NP]
+        Wv = Wv * sWv[:, None, :] * sWv[None, :, :] + Wadd_ref[...]
+        # Ut[i, k*nxm + c] = -ztp[i] * A_k[c, i]  (x rows only)
+        Ut_blocks = [jnp.stack([-zt[i] * AB[k][:, i] for i in range(nxm)],
+                               axis=0) for k in range(K)]  # [nxm(i), nxm(c), NP]
+        Utv = jnp.concatenate(Ut_blocks, axis=1)        # [nxm, G, NP]
+        Utv = Utv * sUt_ref[...][:, None, :] * sWv[None, :, :]
+        CholWv, CholUtv = _factor_levels(Wv, Utv, P_ref, M_ref,
+                                         G, nxm, n_lev, K, reg)
+        CholW_ref[...] = CholWv
+        CholUt_ref[...] = CholUtv
+
+    spec = lambda shape: pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        CholW, CholUt = pl.pallas_call(
+            kernel,
+            in_specs=[spec((K, nxm, nz, _NP)), spec((nz, _NP)),
+                      spec((G, _NP)), spec((G, _NP)), spec((nxm, _NP)),
+                      spec((G, G, _NP)), spec(Pm.shape), spec(Mm.shape)],
+            out_specs=(spec((G, G, _NP)), spec((nxm, G, _NP))),
+            out_shape=(jax.ShapeDtypeStruct((G, G, _NP), f32),
+                       jax.ShapeDtypeStruct((nxm, G, _NP), f32)),
+            interpret=_interpret(),
+        )(ABk_t, ztp_t, dv_t, sW_t, sUt_t, Wadd_t, Pm, Mm)
+    return CholW, CholUt

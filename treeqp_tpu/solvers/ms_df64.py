@@ -402,23 +402,29 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
                 dlam_cr = dlam_cr + ccr
                 dlam_ch = dlam_ch + cch
         elif opts.refine_steps > 0:
+            # safeguarded = iterate UNCONDITIONALLY, return the best
+            # iterate by Newton-system residual norm. Refinement with f32
+            # factors is non-monotone on ill-conditioned active sets: a
+            # transiently-worse step is often the escape route (measured:
+            # keep-best-and-retry stalls exactly where unconditional
+            # refinement converges), while unconditional application
+            # WITHOUT the final argmin can overshoot on the last step.
             def resnorm(dcr, dch):
                 rcr, rch = refine_resid(dcr, dch)
                 n = jnp.sum(rcr.hi ** 2) + jnp.sum(rch.hi ** 2)
                 return n, rcr, rch
             n_best, rcr, rch = resnorm(dlam_cr, dlam_ch)
+            best_cr, best_ch = dlam_cr, dlam_ch
             for _ in range(opts.refine_steps):
                 ccr, cch = solve(rcr.hi, rch.hi)
-                cand_cr, cand_ch = dlam_cr + ccr, dlam_ch + cch
-                n_new, rcr2, rch2 = resnorm(cand_cr, cand_ch)
+                dlam_cr = dlam_cr + ccr
+                dlam_ch = dlam_ch + cch
+                n_new, rcr, rch = resnorm(dlam_cr, dlam_ch)
                 better = n_new < n_best
-                dlam_cr = jnp.where(better, cand_cr, dlam_cr)
-                dlam_ch = jnp.where(better, cand_ch, dlam_ch)
-                rcr = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(better, a, b), rcr2, rcr)
-                rch = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(better, a, b), rch2, rch)
+                best_cr = jnp.where(better, dlam_cr, best_cr)
+                best_ch = jnp.where(better, dlam_ch, best_ch)
                 n_best = jnp.where(better, n_new, n_best)
+            dlam_cr, dlam_ch = best_cr, best_ch
 
         # --- Armijo on f = -g (df64 values: the comparisons resolve
         # differences far below f32 ulps of f0)
@@ -440,9 +446,21 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
             cr2, ch2 = df_stage_solve(dd, meta, prep_cr, lc, lh)
             return df_dual_value(dd, lc, lh, cr2, ch2), cr2, ch2
 
+        # noise-aware Armijo (Hager-Zhang-style approximate descent): the
+        # df64 dual value carries ~sqrt(Nterms) * 2^-48 relative noise, so
+        # near convergence the true decrease gamma*tau*dot (~err^2) drops
+        # BELOW the measurement noise and an exact comparison rejects every
+        # step — the solver then stalls just above tolerance (measured:
+        # deterministic 1.07e-8 stall at |f0| ~ 1.5e4). The slack admits
+        # steps whose decrease is indistinguishable from zero at the
+        # arithmetic's resolution; far from convergence it is negligible
+        # against dot.
+        eta = jnp.float32(2.0 ** -38) * jnp.abs(f0.hi)
+
         def accepts(f2, tau):
-            # f2 <= f0 + gamma*tau*dot  (all df64)
+            # f2 <= f0 + gamma*tau*dot + eta  (all df64)
             rhs = df.add(f0, df.mul_f32(dot, jnp.float32(opts.ls_gamma) * tau))
+            rhs = df.add(rhs, Df(eta, jnp.zeros_like(eta)))
             return ~df.less(rhs, f2)
 
         def cond_ls(c):

@@ -774,55 +774,55 @@ def scenario_duals_from_tree(sqp: ScenarioQP, lam_tree, out=None):
 
     Used to bootstrap sdunes from an IPM/tdunes solution on cold-start
     plateau instances (the reference instead ships warm-start txt files,
-    spring_mass.c:69-83)."""
+    spring_mass.c:69-83). Pure jnp on static path indices — works under
+    jit (e.g. an in-jit ipm_ms -> sdunes bootstrap chain)."""
     meta = sqp.meta
     Ns, Nh, Nr = meta.Ns, meta.Nh, meta.Nr
     nx = sqp.b.shape[-1]
     nu = sqp.r.shape[-1]
+    dt = sqp.b.dtype
     paths = np.asarray(meta.path_ids).reshape(Ns, Nh + 1)
     cnt = np.zeros(meta.topo.Nn)
-    for s in range(Ns):
-        for k in range(Nh + 1):
-            cnt[paths[s, k]] += 1
-    lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), sqp.b.dtype)
+    np.add.at(cnt, paths.reshape(-1), 1.0)
+    lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), dt)
     if out is None:
-        lam_tree = np.asarray(lam_tree)
-        mu0 = np.zeros((Ns, Nh, nx))
-        for s in range(Ns):
-            for k in range(Nh):
-                node = paths[s, k + 1]
-                mu0[s, k] = lam_tree[node, :nx] / cnt[node]
-        return lam0, jnp.asarray(mu0, sqp.b.dtype)
+        mu0 = jnp.asarray(lam_tree)[paths[:, 1:], :nx] \
+            / jnp.asarray(cnt[paths[:, 1:]], dt)[..., None]
+        return lam0, mu0.astype(dt)
 
-    share = cnt[paths]                                   # [Ns, Nh+1]
-    x_sc = np.asarray(out.x)[paths][..., :nx]            # [Ns, Nh+1, nx]
-    mux_sc = np.asarray(out.mu_x)[paths][..., :nx] / share[..., None]
-    muu_sc = np.asarray(out.mu_u)[paths][..., :nu] / share[..., None]
-    u_sc = np.asarray(out.u)[paths][..., :nu]
-    Qd = np.asarray(sqp.Qd)
-    q = np.asarray(sqp.q)
-    A = np.asarray(sqp.A)                                # [Ns, Nh, nx, nx]
-    mu0 = np.zeros((Ns, Nh, nx))
-    for k in range(Nh, 0, -1):                           # adjoint recursion
-        g = Qd[:, k] * x_sc[:, k] + q[:, k] + mux_sc[:, k]
-        if k < Nh:
-            g = g + np.einsum("sji,sj->si", A[:, k], mu0[:, k])
-        mu0[:, k - 1] = g
-    mu0 = jnp.asarray(mu0, sqp.b.dtype)
+    share = jnp.asarray(cnt[paths], dt)                  # [Ns, Nh+1]
+    x_sc = out.x[paths][..., :nx]                        # [Ns, Nh+1, nx]
+    mux_sc = out.mu_x[paths][..., :nx] / share[..., None]
+    muu_sc = out.mu_u[paths][..., :nu] / share[..., None]
+    u_sc = out.u[paths][..., :nu]
+    # adjoint recursion mu[s, k-1] = Qd x_k + q_k + mux_k + A_k' mu[s, k]
+    def adj(mu_next, inp):
+        Qk, xk, qk, mk, Ak, has_A = inp
+        g = Qk * xk + qk + mk
+        g = g + has_A * jnp.einsum("sji,sj->si", Ak, mu_next)
+        return g, g
+    ks = np.arange(Nh, 0, -1)
+    A_ext = jnp.concatenate([sqp.A, jnp.zeros_like(sqp.A[:, :1])], axis=1)
+    has_A = jnp.asarray((ks < Nh).astype(np.float64), dt)
+    _, mus = jax.lax.scan(
+        adj, jnp.zeros((Ns, nx), dt),
+        (sqp.Qd[:, ks].swapaxes(0, 1), x_sc[:, ks].swapaxes(0, 1),
+         sqp.q[:, ks].swapaxes(0, 1), mux_sc[:, ks].swapaxes(0, 1),
+         A_ext[:, jnp.minimum(ks, Nh - 1)].swapaxes(0, 1), has_A))
+    mu0 = jnp.flip(mus.swapaxes(0, 1), 1)                # [Ns, Nh, nx]
 
     if Ns > 1:
-        cmask = _coupling_masks(meta, sqp.b.dtype)
+        cmask = _coupling_masks(meta, dt)
         sol0 = _stage_solve(sqp, mu0, lam0, cmask)
-        d = (np.asarray(sol0["rmod"])[:, :Nr]
-             - np.asarray(sqp.Rd)[:, :Nr] * u_sc[:, :Nr]
+        d = (sol0["rmod"][:, :Nr] - sqp.Rd[:, :Nr] * u_sc[:, :Nr]
              - muu_sc[:, :Nr])                           # [Ns, Nr, nu]
-        cm = np.asarray(cmask)                           # [Ns-1, Nr]
-        lam = np.zeros((Ns - 1, Nr, nu))
-        prev = np.zeros((Nr, nu))
-        for s in range(Ns - 1):
-            prev = (prev + d[s]) * cm[s, :, None]  # restart at boundaries
-            lam[s] = prev
-        lam0 = jnp.asarray(lam, sqp.b.dtype)
+
+        def tele(prev, inp):
+            ds, cs = inp
+            cur = (prev + ds) * cs[:, None]  # restart at boundaries
+            return cur, cur
+        _, lam = jax.lax.scan(tele, jnp.zeros((Nr, nu), dt), (d[:-1], cmask))
+        lam0 = lam
     return lam0, mu0
 
 

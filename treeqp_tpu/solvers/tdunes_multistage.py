@@ -442,34 +442,58 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
     meta = ms.meta
     f32 = jnp.float32
     fdt = f32 if opts.factor_dtype == "float32" else None
-    W, Ut = td._build_dual_hessian(
-        ms.crown, {"qtilde": qtilde_cr, "rtilde": rtilde_cr}, None, opts,
-        prep_cr, dtype=fdt)
+    prep = prep_cr
     nxm = meta.crown_topo.nxm
-    sW = 1.0 / jnp.sqrt(jnp.maximum(
-        jnp.diagonal(W, axis1=1, axis2=2), 1e-12))
-    ar = np.arange(nxm)
-    rows_all = prep_cr.gslot[:, None] * nxm + ar[None, :]
-    dad_safe = np.maximum(prep_cr.gdad, 0)
-    sUt_rows = sW[dad_safe[:, None], rows_all]
-    W = W * sW[:, :, None] * sW[:, None, :]
-    Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
-    s_root = sW[g_of[:, None], rows]
-    s_node = td._group_to_nodes(sW, prep_cr, s_node_dt) * nrxm_cr
     rid = np.asarray(meta.root_ids)
+    ar = np.arange(nxm)
+    rows_all = prep.gslot[:, None] * nxm + ar[None, :]
+    dad_safe = np.maximum(prep.gdad, 0)
 
     fused_chain = (opts.chain_backend == "pallas"
                    and opts.factor_dtype == "float32"
                    and opts.stage_solver == "clipping")
+    from treeqp_tpu.ops import crown_kernels as ckr
+    fused_crown = fused_chain and ckr.crown_supported(prep, opts)
+
+    if fused_crown:
+        # analytic diagonal of the crown W blocks (the only crown-block
+        # quantity needed OUTSIDE the fused kernels): diag = sum_n
+        # ABk[..,n]^2 ztp[n] + kids' own qtilde — a couple of XLA fusions
+        # instead of the full block build
+        kidsP, kv = prep.kidsP, jnp.asarray(prep.kvalid, f32)
+        A32 = ms.crown.A.astype(f32)
+        B32 = ms.crown.B.astype(f32)
+        ABk = jnp.concatenate([A32[kidsP], B32[kidsP]],
+                              axis=-1) * kv[:, :, None, None]
+        qtilde32 = qtilde_cr.astype(f32)
+        ztp = jnp.concatenate([qtilde32, rtilde_cr.astype(f32)],
+                              axis=-1)[prep.gnodes]
+        dvals = jnp.where(kv[:, :, None] > 0, qtilde32[kidsP],
+                          jnp.ones((), f32)).reshape(prep.NpG, prep.G)
+        diagW = (jnp.einsum("gkin,gn,gkin->gki", ABk, ztp, ABk)
+                 .reshape(prep.NpG, prep.G) + dvals)
+        sW = jax.lax.rsqrt(jnp.maximum(diagW, 1e-12))
+    else:
+        W, Ut = td._build_dual_hessian(
+            ms.crown, {"qtilde": qtilde_cr, "rtilde": rtilde_cr}, None,
+            opts, prep, dtype=fdt)
+        sW = 1.0 / jnp.sqrt(jnp.maximum(
+            jnp.diagonal(W, axis1=1, axis2=2), 1e-12))
+        sUt_rows = sW[dad_safe[:, None], rows_all]
+        W = W * sW[:, :, None] * sW[:, None, :]
+        Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
+    s_root = sW[g_of[:, None], rows]
+    s_node = td._group_to_nodes(sW, prep, s_node_dt) * nrxm_cr
+
     if fused_chain:
         from treeqp_tpu.ops import chain_kernels as ck
         ABt = jnp.concatenate([ms.A, ms.B], axis=3).astype(f32)
         ztp_root = jnp.concatenate([qtilde_cr[rid], rtilde_cr[rid]],
                                    axis=-1).astype(f32)
         ztp_ch = jnp.concatenate([qt_ch, rt_ch], axis=-1).astype(f32)
-        ztp = jnp.concatenate([ztp_root[:, None], ztp_ch[:, :-1]], axis=1)
+        ztp_c = jnp.concatenate([ztp_root[:, None], ztp_ch[:, :-1]], axis=1)
         Ls, CUs, schur0, sc = ck.chain_blocks_factor(
-            ABt, ztp, qt_ch.astype(f32), s_root.astype(f32))
+            ABt, ztp_c, qt_ch.astype(f32), s_root.astype(f32))
     else:
         Wc, Utc = _chain_blocks(ms, {"qt": qt_ch, "rt": rt_ch},
                                 qtilde_cr, rtilde_cr, dtype=fdt)
@@ -480,9 +504,20 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
         Wc = Wc * sc[..., :, None] * sc[..., None, :]
         Utc = Utc * scp[..., :, None] * sc[..., None, :]
         Ls, CUs, schur0 = _chain_factor(Wc, Utc, opts)
-    W = W.at[g_of[:, None, None], rows[:, :, None],
-             rows[:, None, :]].add(-schur0.astype(W.dtype))
-    crown_fact = td._tree_chol_factor(W, Ut, opts, prep_cr)
+
+    if fused_crown:
+        sUt_rows = sW[dad_safe[:, None], rows_all]
+        Wadd = jnp.zeros((prep.NpG, prep.G, prep.G), f32)
+        Wadd = Wadd.at[g_of[:, None, None], rows[:, :, None],
+                       rows[:, None, :]].add(-schur0.astype(f32))
+        reg = opts.reg_value if opts.reg_type == "always" else 0.0
+        CholW, CholUt = ckr.crown_blocks_factor(
+            ABk, ztp, dvals, sW, sUt_rows, Wadd, prep, reg=reg)
+        crown_fact = dict(kind="pallas", CholW=CholW, CholUt=CholUt)
+    else:
+        W = W.at[g_of[:, None, None], rows[:, :, None],
+                 rows[:, None, :]].add(-schur0.astype(W.dtype))
+        crown_fact = td._tree_chol_factor(W, Ut, opts, prep)
     return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
                 CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
 
@@ -636,20 +671,22 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
                 dlam_cr = dlam_cr + ccr
                 dlam_ch = dlam_ch + cch
         elif opts.refine_steps > 0:
-            # safeguarded iterative refinement: keep the direction with the
-            # smallest Newton-system residual (f32 solves of ill-conditioned
-            # systems can make a refinement step diverge)
+            # safeguarded = iterate UNCONDITIONALLY, return the best
+            # iterate by Newton-system residual norm (see ms_df64 for the
+            # rationale: refinement is non-monotone on ill-conditioned
+            # active sets; keep-best-and-retry stalls)
             n_best, mcr, mch = newton_resnorm(dlam_cr, dlam_ch)
+            best_cr, best_ch = dlam_cr, dlam_ch
             for _ in range(opts.refine_steps):
                 ccr, cch = solve(res_cr - mcr, res_ch - mch)
-                cand_cr, cand_ch = dlam_cr + ccr, dlam_ch + cch
-                n_new, mcr2, mch2 = newton_resnorm(cand_cr, cand_ch)
+                dlam_cr = dlam_cr + ccr
+                dlam_ch = dlam_ch + cch
+                n_new, mcr, mch = newton_resnorm(dlam_cr, dlam_ch)
                 better = n_new < n_best
-                dlam_cr = jnp.where(better, cand_cr, dlam_cr)
-                dlam_ch = jnp.where(better, cand_ch, dlam_ch)
-                mcr = jnp.where(better, mcr2, mcr)
-                mch = jnp.where(better, mch2, mch)
+                best_cr = jnp.where(better, dlam_cr, best_cr)
+                best_ch = jnp.where(better, dlam_ch, best_ch)
                 n_best = jnp.where(better, n_new, n_best)
+            dlam_cr, dlam_ch = best_cr, best_ch
 
         # --- Armijo line search on f = -g over (crown, chain) jointly
         dot = -(jnp.sum(res_cr * dlam_cr) + jnp.sum(res_ch * dlam_ch))
@@ -662,6 +699,14 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             return _ms_dual_value(ms, crown_data, lc, lh, cr2, ch2, opts), \
                 cr2, ch2
 
+        # noise-aware Armijo slack (see ms_df64: the dual value carries
+        # ~sqrt(Nterms)*eps relative noise; near convergence the true
+        # decrease falls below it and exact comparisons stall the solver)
+        eta = jnp.asarray(2.0 ** -45, dt) * jnp.abs(f0)
+
+        def accepts(f2, tau):
+            return f2 <= f0 + opts.ls_gamma * tau * dot + eta
+
         def cond_ls(c):
             tau, f, i, acc, _, _ = c
             return (~acc) & (i < opts.ls_max_iter)
@@ -670,8 +715,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             tau, f, i, acc, _, _ = c
             tau2 = opts.ls_beta * tau
             f2, cr2, ch2 = f_at(tau2)
-            return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot,
-                    cr2, ch2)
+            return (tau2, f2, i + 1, accepts(f2, tau2), cr2, ch2)
 
         one = jnp.ones((), dt)
         T = min(opts.ls_batch, opts.ls_max_iter)
@@ -679,7 +723,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         # value too, so the next iteration reuses them (its f0 is exactly
         # this f) instead of re-solving / re-reducing
         f1, cr1, ch1 = f_at(one)
-        acc1 = f1 <= f0 + opts.ls_gamma * one * dot
+        acc1 = accepts(f1, one)
         if T > 0:
             # tau=1 fast path: near convergence the full Newton step is
             # accepted almost always, so pay ONE stage-solve eval and run
@@ -695,7 +739,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
                 # solve, sequential fallback beyond
                 taus = opts.ls_beta ** jnp.arange(1, T + 1, dtype=dt)
                 fs, crs, chs = jax.vmap(f_at)(taus)
-                accs = fs <= f0 + opts.ls_gamma * taus * dot
+                accs = accepts(fs, taus)
                 any_acc = jnp.any(accs)
                 idx = jnp.argmax(accs)
                 crb = jax.tree_util.tree_map(lambda a: a[idx], crs)
