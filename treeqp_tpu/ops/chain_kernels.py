@@ -396,3 +396,197 @@ def chain_blocks_factor(ABt, ztp, qtc, s_root):
     schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
     sc = jnp.transpose(sc[..., :S], (2, 0, 1))
     return Ls, CUs, schur0, sc
+
+
+def chain_eval(data_l, lam):
+    """Fused chain stage EVALUATION: clipping stage solve + crown-root
+    contributions + the chains' dual-value terms, one launch
+    (_chain_stage_solve + _chain_root_contrib + _chain_dual_terms).
+
+    ``data_l``: lane-layout problem data dict (chain_eval_data) — loop-
+    invariant, hoisted out of solver loops by XLA. ``lam`` [S, L, nx].
+
+    Returns dict(x, u [S, L, ...] for residuals/line search; qt, rt,
+    xUnc, uUnc in KERNEL lane layout [L, n, S_pad] — qt/rt feed
+    chain_blocks_factor_lanes without re-transposing, xUnc/uUnc only
+    matter at the final export), cqr [S, nz] (root contributions), and
+    fch [S] (per-chain dual-value partial sums).
+    """
+    ABt = data_l["ABt"]
+    L, nx, nz, S_pad = ABt.shape
+    S = lam.shape[0]
+    nu = nz - nx
+    lam_t = _pad_s(jnp.transpose(lam, (1, 2, 0)), S_pad)
+
+    def kernel(AB_ref, q_ref, r_ref, Qd_ref, Rd_ref, Qi_ref, Ri_ref,
+               xlo_ref, xhi_ref, ulo_ref, uhi_ref, b_ref, lam_ref,
+               x_ref, u_ref, qt_ref, rt_ref, xU_ref, uU_ref,
+               cqr_ref, f_ref):
+        facc = jnp.zeros((1, _TS), jnp.float32)
+        for j in range(L):
+            lam_j = lam_ref[j]                       # [nx, T]
+            qmod = -q_ref[j] + lam_j
+            rmod = -r_ref[j]
+            if j < L - 1:
+                ABn = AB_ref[j + 1]                  # [nx, nz, T]
+                lam_n = lam_ref[j + 1]
+                up = sum(ABn[row] * lam_n[row:row + 1] for row in range(nx))
+                qmod = qmod - up[:nx]
+                rmod = rmod - up[nx:]
+            xU = Qi_ref[j] * qmod
+            uU = Ri_ref[j] * rmod
+            xlo, xhi = xlo_ref[j], xhi_ref[j]
+            ulo, uhi = ulo_ref[j], uhi_ref[j]
+            x = jnp.minimum(jnp.maximum(xU, xlo), xhi)
+            u = jnp.minimum(jnp.maximum(uU, ulo), uhi)
+            qt = jnp.where((xU > xhi) | (xU < xlo), 0.0, Qi_ref[j])
+            rt = jnp.where((uU > uhi) | (uU < ulo), 0.0, Ri_ref[j])
+            x_ref[j] = x
+            u_ref[j] = u
+            qt_ref[j] = qt
+            rt_ref[j] = rt
+            xU_ref[j] = xU
+            uU_ref[j] = uU
+            tx = x * (qmod - 0.5 * Qd_ref[j] * x) - b_ref[j] * lam_j
+            tu = u * (rmod - 0.5 * Rd_ref[j] * u)
+            facc = facc + sum(tx[i:i + 1] for i in range(nx)) \
+                + sum(tu[i:i + 1] for i in range(nu))
+        AB0 = AB_ref[0]
+        lam_0 = lam_ref[0]
+        cqr = sum(AB0[row] * lam_0[row:row + 1] for row in range(nx))
+        cqr_ref[...] = cqr
+        f_ref[...] = facc
+
+    specs = dict(
+        AB=pl.BlockSpec((L, nx, nz, _TS), lambda i: (0, 0, 0, i),
+                        memory_space=pltpu.VMEM),
+        Lnx=_spec3(L, nx), Lnu=_spec3(L, nu),
+        cqr=pl.BlockSpec((nz, _TS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        f=pl.BlockSpec((1, _TS), lambda i: (0, i), memory_space=pltpu.VMEM))
+    with jax.enable_x64(False):
+        x, u, qt, rt, xU, uU, cqr, fch = pl.pallas_call(
+            kernel,
+            grid=(S_pad // _TS,),
+            in_specs=[specs["AB"], specs["Lnx"], specs["Lnu"], specs["Lnx"],
+                      specs["Lnu"], specs["Lnx"], specs["Lnu"],
+                      specs["Lnx"], specs["Lnx"], specs["Lnu"], specs["Lnu"],
+                      specs["Lnx"], specs["Lnx"]],
+            out_specs=(specs["Lnx"], specs["Lnu"], specs["Lnx"],
+                       specs["Lnu"], specs["Lnx"], specs["Lnu"],
+                       specs["cqr"], specs["f"]),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
+                ((L, nx, S_pad), (L, nu, S_pad), (L, nx, S_pad),
+                 (L, nu, S_pad), (L, nx, S_pad), (L, nu, S_pad),
+                 (nz, S_pad), (1, S_pad))),
+            interpret=_interpret(),
+        )(ABt, data_l["q"], data_l["r"], data_l["Qd"], data_l["Rd"],
+          data_l["Qinv"], data_l["Rinv"], data_l["xmin"], data_l["xmax"],
+          data_l["umin"], data_l["umax"], data_l["b"], lam_t)
+    return dict(
+        x=jnp.transpose(x[..., :S], (2, 0, 1)),
+        u=jnp.transpose(u[..., :S], (2, 0, 1)),
+        qt=qt, rt=rt, xUnc=xU, uUnc=uU,
+        cqr=jnp.transpose(cqr[..., :S], (1, 0)),
+        fch=jnp.sum(fch[0, :S]))
+
+
+def chain_eval_data(ms_A, ms_B, q, r, Qd, Rd, xmin, xmax, umin, umax, b):
+    """Lane-layout problem data for chain_eval ([S, L, ...] f64/f32 in,
+    f32 lane tensors out). Loop-invariant: call once per solve; XLA
+    hoists it out of Newton loops."""
+    f32 = jnp.float32
+    S = q.shape[0]
+    S_pad = max(_TS, ((S + _TS - 1) // _TS) * _TS)
+
+    def t3(v, fill=0.0):
+        return _pad_s(jnp.transpose(v.astype(f32), (1, 2, 0)), S_pad,
+                      fill=fill)
+
+    AB = jnp.concatenate([ms_A, ms_B], axis=3).astype(f32)
+    return dict(
+        ABt=_pad_s(jnp.transpose(AB, (1, 2, 3, 0)), S_pad),
+        q=t3(q), r=t3(r), Qd=t3(Qd, 1.0), Rd=t3(Rd, 1.0),
+        Qinv=t3(1.0 / Qd, 1.0), Rinv=t3(1.0 / Rd, 1.0),
+        xmin=t3(xmin, -1.0), xmax=t3(xmax, 1.0),
+        umin=t3(umin, -1.0), umax=t3(umax, 1.0), b=t3(b))
+
+
+def chain_blocks_factor_lanes(ABt_l, qt_l, rt_l, ztp_root, s_root):
+    """chain_blocks_factor consuming chain_eval's LANE-layout stage data
+    directly (no re-transposes): ztp_j is [root ztp at j=0, (qt, rt)_{j-1}
+    for j >= 1], assembled INSIDE the kernel.
+
+    ABt_l [L, nx, nz, S_pad] (chain_eval_data's ABt); qt_l [L, nx, S_pad],
+    rt_l [L, nu, S_pad] (chain_eval outputs); ztp_root [S, nz] crown-root
+    masked inverses; s_root [S, nx] crown-side row scales.
+    Returns (Ls, CUs, schur0 [S, nx, nx], sc [S, L, nx]) as
+    chain_blocks_factor.
+    """
+    L, nx, nz, S_pad = ABt_l.shape
+    S = ztp_root.shape[0]
+    ztpr = _pad_s(jnp.transpose(ztp_root, (1, 0)).astype(jnp.float32), S_pad)
+    sr_k = _pad_s(jnp.transpose(s_root, (1, 0)).astype(jnp.float32), S_pad,
+                  fill=1.0)
+
+    def kernel(AB_ref, qt_ref, rt_ref, ztpr_ref, sr_ref,
+               L_ref, CU_ref, schur_ref, sc_ref, W_s, Ut_s):
+        for j in range(L):
+            AB = AB_ref[j]
+            if j == 0:
+                zt = ztpr_ref[...]
+            else:
+                zt = jnp.concatenate([qt_ref[j - 1], rt_ref[j - 1]], axis=0)
+            W = sum((AB[:, n] * zt[n:n + 1])[:, None, :] * AB[:, n][None]
+                    for n in range(nz))
+            qc = qt_ref[j]
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1), 0)
+            coli = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1), 1)
+            W = W + jnp.where(rowi == coli, 1.0, 0.0) * qc[:, None, :]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (nx, 1), 0)
+            d = sum((W[i, i])[None] * jnp.where(idx == i, 1.0, 0.0)
+                    for i in range(nx))
+            sc = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+            sc_ref[j] = sc
+            W_s[j] = W * sc[:, None, :] * sc[None, :, :]
+            Ut = -jnp.stack([zt[i] * AB[:, i] for i in range(nx)], axis=0)
+            scp = sr_ref[...] if j == 0 else sc_ref[j - 1]
+            Ut_s[j] = Ut * scp[:, None, :] * sc[None, :, :]
+        schur = jnp.zeros((nx, nx, _TS), jnp.float32)
+        for j in range(L - 1, -1, -1):
+            Lf = _chol(W_s[j] - schur, nx)
+            CU = _rtrsm_t(Lf, Ut_s[j], nx)
+            L_ref[j] = Lf
+            CU_ref[j] = CU
+            schur = sum(CU[:, k][:, None, :] * CU[:, k][None, :, :]
+                        for k in range(nx))
+        schur_ref[...] = schur
+
+    nu = nz - nx
+
+    def _spec_ab(Lh):
+        return pl.BlockSpec((Lh, nx, nz, _TS), lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        Ls, CUs, schur0, sc = pl.pallas_call(
+            kernel,
+            grid=(S_pad // _TS,),
+            in_specs=[_spec_ab(L), _spec3(L, nx), _spec3(L, nu),
+                      pl.BlockSpec((nz, _TS), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      _spec_v(nx)],
+            out_specs=(_spec4(L, nx), _spec4(L, nx), _spec_s(nx),
+                       _spec3(L, nx)),
+            out_shape=(jax.ShapeDtypeStruct((L, nx, nx, S_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((L, nx, nx, S_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((nx, nx, S_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((L, nx, S_pad), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((L, nx, nx, _TS), jnp.float32),
+                            pltpu.VMEM((L, nx, nx, _TS), jnp.float32)],
+            interpret=_interpret(),
+        )(ABt_l, qt_l, rt_l, ztpr, sr_k)
+    schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
+    sc = jnp.transpose(sc[..., :S], (2, 0, 1))
+    return Ls, CUs, schur0, sc

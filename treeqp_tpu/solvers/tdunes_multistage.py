@@ -429,7 +429,7 @@ def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts):
 
 
 def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
-                  g_of, rows, nrxm_cr, s_node_dt):
+                  g_of, rows, nrxm_cr, s_node_dt, chain_lanes=None):
     """Shared factorize of the crown+chains dual Hessian (f64 and df64
     loops): blocks + Jacobi equilibration + chain/crown factorization.
 
@@ -487,13 +487,21 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
 
     if fused_chain:
         from treeqp_tpu.ops import chain_kernels as ck
-        ABt = jnp.concatenate([ms.A, ms.B], axis=3).astype(f32)
         ztp_root = jnp.concatenate([qtilde_cr[rid], rtilde_cr[rid]],
                                    axis=-1).astype(f32)
-        ztp_ch = jnp.concatenate([qt_ch, rt_ch], axis=-1).astype(f32)
-        ztp_c = jnp.concatenate([ztp_root[:, None], ztp_ch[:, :-1]], axis=1)
-        Ls, CUs, schur0, sc = ck.chain_blocks_factor(
-            ABt, ztp_c, qt_ch.astype(f32), s_root.astype(f32))
+        if chain_lanes is not None:
+            # qt_ch / rt_ch arrive in the eval kernel's LANE layout — feed
+            # them straight through (ztp assembly happens in-kernel)
+            Ls, CUs, schur0, sc = ck.chain_blocks_factor_lanes(
+                chain_lanes["ABt"], qt_ch, rt_ch, ztp_root,
+                s_root.astype(f32))
+        else:
+            ABt = jnp.concatenate([ms.A, ms.B], axis=3).astype(f32)
+            ztp_ch = jnp.concatenate([qt_ch, rt_ch], axis=-1).astype(f32)
+            ztp_c = jnp.concatenate([ztp_root[:, None], ztp_ch[:, :-1]],
+                                    axis=1)
+            Ls, CUs, schur0, sc = ck.chain_blocks_factor(
+                ABt, ztp_c, qt_ch.astype(f32), s_root.astype(f32))
     else:
         Wc, Utc = _chain_blocks(ms, {"qt": qt_ch, "rt": rt_ch},
                                 qtilde_cr, rtilde_cr, dtype=fdt)
@@ -603,6 +611,39 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     nxm = meta.crown_topo.nxm
     rows = slot[:, None] * nxm + np.arange(nxm)[None, :]  # [S, nxm]
 
+    # fully-fused chain evaluation (stage solve + root contributions +
+    # dual-value terms in ONE kernel, lane-layout handoff to the factorize
+    # kernel) — the f32 coarse phase on the Pallas clipping path
+    fused_eval = (opts.chain_backend == "pallas"
+                  and opts.stage_solver == "clipping"
+                  and opts.factor_dtype == "float32" and dt == jnp.float32)
+    if fused_eval:
+        from treeqp_tpu.ops import chain_kernels as ck
+        data_l = ck.chain_eval_data(ms.A, ms.B, ms.q, ms.r, ms.Qd, ms.Rd,
+                                    ms.xmin, ms.xmax, ms.umin, ms.umax, ms.b)
+    else:
+        data_l = None
+
+    def stage_solve(lam_cr, lam_ch):
+        if fused_eval:
+            ch = ck.chain_eval(data_l, lam_ch)
+            nxc = ms.A.shape[-1]
+            Ncrown = meta.crown_topo.Nn
+            extra_q = jnp.zeros((Ncrown, nxc), dt).at[rid].set(
+                ch["cqr"][..., :nxc])
+            extra_r = jnp.zeros((Ncrown, ch["cqr"].shape[-1] - nxc),
+                                dt).at[rid].set(ch["cqr"][..., nxc:])
+            cr = td._stage_solve(ms.crown, lam_cr, crown_data, opts,
+                                 prep_cr, extra_q, extra_r)
+            return cr, ch
+        return _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
+
+    def dual_value(lam_cr, lam_ch, cr, ch):
+        if fused_eval:
+            return td._dual_value(ms.crown, lam_cr, cr, crown_data, opts) \
+                + ch["fch"]
+        return _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts)
+
     def residuals_of(cr, ch):
         res_cr = td._dual_residual(ms.crown, cr, prep_cr)
         res_ch = _chain_residual(ms, ch, cr["x"], cr["u"],
@@ -610,7 +651,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         return res_cr, res_ch
 
     def compute_residuals(lam_cr, lam_ch):
-        cr, ch = _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
+        cr, ch = stage_solve(lam_cr, lam_ch)
         return (cr, ch) + residuals_of(cr, ch)
 
     def error_of(res_cr, res_ch):
@@ -623,7 +664,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         # blocks + equilibration + chain/crown factorization (fused chain
         # kernel on the Pallas clipping path) — see _ms_factorize
         return _ms_factorize(ms, cr["qtilde"], cr["rtilde"], ch["qt"],
-                             ch["rt"], opts, prep_cr, g_of, rows, nrxm_cr, dt)
+                             ch["rt"], opts, prep_cr, g_of, rows, nrxm_cr,
+                             dt, chain_lanes=data_l)
 
     crown_kind, fused = _solve_backends(prep_cr, meta, opts)
 
@@ -695,9 +737,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         def f_at(tau):
             lc = lam_cr + tau * dlam_cr
             lh = lam_ch + tau * dlam_ch
-            cr2, ch2 = _ms_stage_solve(ms, crown_data, lc, lh, opts, prep_cr)
-            return _ms_dual_value(ms, crown_data, lc, lh, cr2, ch2, opts), \
-                cr2, ch2
+            cr2, ch2 = stage_solve(lc, lh)
+            return dual_value(lc, lh, cr2, ch2), cr2, ch2
 
         # noise-aware Armijo slack (see ms_df64: the dual value carries
         # ~sqrt(Nterms)*eps relative noise; near convergence the true
@@ -819,8 +860,7 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
 
     cr0, ch0, rc0, rh0 = compute_residuals(lam0_crown, lam0_chain)
     err0 = error_of(rc0, rh0)
-    f0_init = _ms_dual_value(ms, crown_data, lam0_crown, lam0_chain,
-                             cr0, ch0, opts)
+    f0_init = dual_value(lam0_crown, lam0_chain, cr0, ch0)
     # the initial factorization matches cr0/ch0's active set, so the first
     # newton_step's reuse-compare is a true hit and uses exactly fact0
     fact0 = factorize(cr0, ch0)
@@ -832,6 +872,14 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             (err0, jnp.zeros((), jnp.int32)), fact0, sig0)
     (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, res_cr, res_ch), \
         _, _, fact_f, sig_f = jax.lax.while_loop(cond, body, init)
+    if fused_eval:
+        # normalize the chain solution (and the handover signature) back to
+        # the canonical [S, L, ...] layout for export / the df64 phase
+        S = ms.b.shape[0]
+        tr = lambda v: jnp.transpose(v[..., :S], (2, 0, 1))
+        ch = dict(x=ch["x"], u=ch["u"], qt=tr(ch["qt"]), rt=tr(ch["rt"]),
+                  xUnc=tr(ch["xUnc"]), uUnc=tr(ch["uUnc"]))
+        sig_f = (sig_f[0], sig_f[1], tr(sig_f[2]), tr(sig_f[3]))
     return (lam_cr, lam_ch, it, status, ls_it, cr, ch, err,
             (fact_f, sig_f))
 
