@@ -119,19 +119,17 @@ def run_mode(mode):
 
         if mode == "sdunes_boot":
             import jax.numpy as jnp
-            from treeqp_tpu.solvers.ipm import IpmOpts
-            from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
             from treeqp_tpu.solvers.tdunes_multistage import (
-                split_multistage, merge_output)
+                split_multistage, merge_output, tdunes_ms_solve)
             from treeqp_tpu.core.kkt import max_kkt_residual
             with jax.default_device(cpu):
                 ms = split_multistage(qp)
             ms = jax.device_put(ms, dev)
             opts = _sdunes_opts(on_tpu)
-            iopts = IpmOpts(tol=1e-4, max_iter=25,
-                            factor_dtype="float32" if on_tpu else "same",
-                            refine_steps=1 if on_tpu else 0,
-                            chain_backend="pallas" if on_tpu else "xla")
+            # coarse tdunes_ms bootstrap (cheaper than the IPM at loose
+            # tolerance: the barrier schedule cannot shortcut, the dual
+            # Newton can) mapped EXACTLY onto scenario duals
+            bopts = _tdunes_opts(on_tpu, tol=1e-4)
 
             def boot_solve(fac):
                 s2 = perturb_sqp(fac)
@@ -139,7 +137,7 @@ def run_mode(mode):
                 ms2 = dc.replace(ms, crown=cr2.replace(
                     xmin=cr2.xmin.at[0].multiply(fac),
                     xmax=cr2.xmax.at[0].multiply(fac)))
-                cro, cho, iinf = ipm_ms_solve(ms2, iopts)
+                cro, cho, iinf = tdunes_ms_solve(ms2, None, None, bopts)
                 boot = merge_output(ms2, cro, cho, iinf)
                 lam0, mu0 = scenario_duals_from_tree(s2, None, boot)
                 sol, lam, mu, info = sdunes_solve(s2, lam0, mu0, opts)
@@ -176,8 +174,11 @@ def run_mode(mode):
             timed_fn = run
         else:  # slope modes: exactly N iterations of the refined-f64 phase
             n_it = int(mode.rsplit("it", 1)[1])
+            # grad_fallback keeps status OPTIMAL when a fixed-iteration
+            # Newton direction fails (tol=0 runs far past convergence),
+            # so the loop really executes max_iter iterations
             opts = _sdunes_opts(on_tpu, tol=0.0, max_iter=n_it,
-                                f32_phase_tol=0.0, grad_fallback=False)
+                                f32_phase_tol=0.0, grad_fallback=True)
 
             def solve(fac):
                 sol, lam, mu, info = sdunes_solve(perturb_sqp(fac),

@@ -53,7 +53,7 @@ def test_qpgen_batch_standalone():
     L_admm = jnp.linalg.cholesky(
         H + (G * rho_row[:, :, None]).swapaxes(1, 2) @ G)
     opts = TdunesOpts(qpgen_iters=100)
-    z, P, mu, res = _qpgen_batch(hmod, H, Hinv, G, lo, hi, ones, ones,
+    z, P, mu, res, _ = _qpgen_batch(hmod, H, Hinv, G, lo, hi, ones, ones,
                                  rho_row, L_admm, opts)
     assert float(res) < 1e-8
     for n in range(N):
@@ -95,3 +95,55 @@ def test_mixed_constraint_multipliers_exported(constrained_qp):
                        opts=TdunesOpts(stage_solver="mixed", tol=1e-9,
                                        max_iter=100))
     assert float(jnp.max(jnp.abs(out.mu_d))) > 1e-8  # some row is active
+
+
+def test_qpgen_hotstart_same_solution():
+    """Working-set hotstart (dual_Newton_tree_qpoases.c:312-356): a solve
+    hotstarted from another instance's final working sets returns the
+    same solution and status as the cold solve, in no more iterations."""
+    from treeqp_tpu.core.json_io import load_tree_qp_file
+    qp, extras = load_tree_qp_file(
+        "/root/reference/examples/random_qp_utils/data03.json")
+    opts = TdunesOpts(stage_solver="qpgen", tol=1e-9, max_iter=60)
+    cold = tdunes_solve(qp, None, opts)
+    assert int(cold.info["status"]) == 0
+    ws = cold.info["qpgen_ws"]
+    # perturbed instance (MPC-step-like data change)
+    qp2 = qp.replace(q=qp.q * 1.02, r=qp.r * 1.02)
+    cold2 = tdunes_solve(qp2, None, opts)
+    warm2 = tdunes_solve(qp2, None, opts, stage_ws=ws)
+    assert int(warm2.info["status"]) == 0
+    assert float(jnp.max(jnp.abs(warm2.x - cold2.x))) < 1e-8
+    assert float(jnp.max(jnp.abs(warm2.u - cold2.u))) < 1e-8
+    # iteration-count parity: hotstart must not degrade the Newton path
+    assert int(warm2.info["iter"]) <= int(cold2.info["iter"])
+    from treeqp_tpu.core.kkt import max_kkt_residual
+    assert float(max_kkt_residual(qp2, warm2)) < 1e-8
+
+
+def test_qpgen_hotstart_skips_admm():
+    """With the correct working set provided, the hotstarted path must
+    reproduce the cold _qpgen_batch answer exactly (same polish) — the
+    lax.cond ADMM fallback does not fire."""
+    rng = np.random.default_rng(7)
+    N, nz, ng = 5, 4, 6
+    A = rng.standard_normal((N, nz, nz))
+    H = jnp.asarray(A @ A.transpose(0, 2, 1) + 3 * np.eye(nz))
+    Hinv = jnp.linalg.inv(H)
+    G = jnp.asarray(rng.standard_normal((N, ng, nz)))
+    lo = jnp.asarray(-0.3 * np.abs(rng.standard_normal((N, ng))) - 0.05)
+    hi = jnp.asarray(0.3 * np.abs(rng.standard_normal((N, ng))) + 0.05)
+    hmod = jnp.asarray(rng.standard_normal((N, nz)))
+    ones = jnp.ones((N, ng))
+    rho_row = jnp.ones((N, ng))
+    L_admm = jnp.linalg.cholesky(
+        H + (G * rho_row[:, :, None]).swapaxes(1, 2) @ G)
+    opts = TdunesOpts(qpgen_iters=100)
+    z0, P0, mu0, res0, ws = _qpgen_batch(hmod, H, Hinv, G, lo, hi, ones,
+                                         ones, rho_row, L_admm, opts)
+    assert float(res0) < 1e-8
+    z1, P1, mu1, res1, _ = _qpgen_batch(hmod, H, Hinv, G, lo, hi, ones,
+                                        ones, rho_row, L_admm, opts, ws=ws)
+    assert float(jnp.max(jnp.abs(z1 - z0))) < 1e-12
+    assert float(jnp.max(jnp.abs(mu1 - mu0))) < 1e-10
+    assert float(res1) < 1e-8

@@ -587,9 +587,13 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
             sol_t = _stage_solve(sqp, mu_t, lam_t, cmask)
             return _dual_value(sqp, sol_t, mu_t, lam_t, cmask)
 
+        # noise-aware Armijo slack (see tdunes._line_search)
+        eps_rel = 2.0 ** -45 if dt == jnp.float64 else 2.0 ** -18
+        eta = jnp.asarray(eps_rel, dt) * jnp.abs(f0)
+
         one = jnp.ones((), dt)
         f1 = f_at(one)
-        acc0 = f1 <= f0 + opts.ls_gamma * one * dot
+        acc0 = f1 <= f0 + opts.ls_gamma * one * dot + eta
 
         def cond_ls(c):
             tau, f, i, acc = c
@@ -599,7 +603,8 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
             tau, f, i, acc = c
             tau2 = opts.ls_beta * tau
             f2 = f_at(tau2)
-            return (tau2, f2, i + 1, f2 <= f0 + opts.ls_gamma * tau2 * dot)
+            return (tau2, f2, i + 1,
+                    f2 <= f0 + opts.ls_gamma * tau2 * dot + eta)
 
         tau, _, ls_it, acc = jax.lax.while_loop(
             cond_ls, body_ls, (one, f1, jnp.ones((), jnp.int32), acc0))

@@ -304,7 +304,7 @@ def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep, extra_q=None, extra_r=Non
 
 
 def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
-                 opts: TdunesOpts):
+                 opts: TdunesOpts, ws=None):
     """Batched general stage QPs:  min 1/2 z'Hz - hmod'z,  lo <= G z <= hi.
 
     The qpOASES capability (dual_Newton_tree_qpoases.c:153-214, :401-476).
@@ -321,8 +321,16 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
        dense analog of qpOASES' null-space form Z (Z'HZ)^-1 Z'.
 
     Equality rows (lo == hi, e.g. the root's embedded x0) stay permanently
-    active. Returns (z, P, mu, res): mu signed (positive = upper active),
-    res = max over nodes of the violation/stationarity guard.
+    active. Returns (z, P, mu, res, (m_up, m_dn)): mu signed (positive =
+    upper active), res = max over nodes of the violation/stationarity
+    guard, and the final working-set masks.
+
+    ``ws``: optional (m_up, m_dn) working-set HOTSTART (the qpOASES
+    hotstart capability, dual_Newton_tree_qpoases.c:312-356): phases 2+3
+    run directly from the given set, and the ADMM identification phase
+    runs only — under a lax.cond — if the hotstarted set fails the KKT
+    guard. Warm Newton/MPC iterations then skip the ~qpgen_iters ADMM
+    sweeps entirely.
     """
     dt = hmod.dtype
     ng = G.shape[1]
@@ -350,22 +358,6 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
                 L_admm, v[..., None], left_side=True, lower=True),
             left_side=True, lower=True, transpose_a=True)[..., 0]
 
-    z0 = jnp.einsum("nij,nj->ni", Hinv, hmod)
-    y0 = jnp.clip(jnp.einsum("ngz,nz->ng", G, z0), lo_c, hi_c)
-
-    def admm_step(_, carry):
-        z, y, lm = carry
-        z = z_update(hmod + jnp.einsum("ngz,ng->nz", G, rho_row * (y - lm)))
-        t = jnp.einsum("ngz,nz->ng", G, z) + lm
-        y = jnp.clip(t, lo_c, hi_c)
-        return (z, y, t - y)
-
-    _, _, lm = jax.lax.fori_loop(0, opts.qpgen_iters, admm_step,
-                                 (z0, y0, jnp.zeros_like(y0)))
-    mu_admm = rho_row * lm
-    tol_act = 1e-9
-    m_up = ((mu_admm > tol_act) & (m_hi > 0)).astype(dt) * (1.0 - m_eq)
-    m_dn = ((mu_admm < -tol_act) & (m_lo > 0)).astype(dt) * (1.0 - m_eq)
 
     # ---- exact working-set solve + per-node KKT guard
     def polish(m_up, m_dn):
@@ -374,12 +366,22 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         Mfull = (m_act[:, :, None] * GHG * m_act[:, None, :]
                  + eye * (1.0 - m_act)[:, :, None] + regM * eye)
         rhs = m_act * (w - d_act)
-        mu = jnp.linalg.solve(Mfull, rhs[..., None])[..., 0]
+        # Cholesky-based solve: Mfull is SPD by construction (masked GHG +
+        # identity on inactive rows + reg), and XLA's LU (jnp.linalg.solve)
+        # does not support f64 on TPU (LuDecomposition: F32/C64 only)
+        Lm = jnp.linalg.cholesky(Mfull)
+
+        def spd_solve(b):
+            y = jax.lax.linalg.triangular_solve(
+                Lm, b[..., None], left_side=True, lower=True)
+            return jax.lax.linalg.triangular_solve(
+                Lm, y, left_side=True, lower=True, transpose_a=True)[..., 0]
+
+        mu = spd_solve(rhs)
         # one refinement pass (the reg + f64 roundoff would otherwise leave
         # active rows ~1e-10 off their bounds)
-        mu = m_act * (mu + jnp.linalg.solve(
-            Mfull, (rhs - jnp.einsum("nij,nj->ni", Mfull, mu))[..., None]
-        )[..., 0])
+        mu = m_act * (mu + spd_solve(
+            rhs - jnp.einsum("nij,nj->ni", Mfull, mu)))
         z = jnp.einsum("nij,nj->ni", Hinv,
                        hmod - jnp.einsum("ngz,ng->nz", G, mu))
         t = jnp.einsum("ngz,nz->ng", G, z)
@@ -389,24 +391,58 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         res_node = jnp.maximum(jnp.max(viol, axis=1), jnp.max(bad_mu, axis=1))
         return z, mu, t, m_act, res_node
 
-    z, mu, t, m_act, res_node = polish(m_up, m_dn)
-    best = (z, mu, t, m_act, res_node, m_up, m_dn)
-
-    # ---- phase 2: PDAS refinement with keep-best safeguard
-    for _ in range(3):
-        m_up = ((mu + c_pd * (t - hi_c) > 0) & (m_hi > 0)).astype(dt) * (1.0 - m_eq)
-        m_dn = ((mu + c_pd * (t - lo_c) < 0) & (m_lo > 0)).astype(dt) * (1.0 - m_eq)
+    def pdas_from(m_up, m_dn, n_sweeps):
+        # exact working-set solve + PDAS refinement with keep-best safeguard
         z, mu, t, m_act, res_node = polish(m_up, m_dn)
-        better = (res_node < best[4])[:, None]
-        best = (jnp.where(better, z, best[0]),
-                jnp.where(better, mu, best[1]),
-                jnp.where(better, t, best[2]),
-                jnp.where(better, m_act, best[3]),
-                jnp.minimum(res_node, best[4]),
-                jnp.where(better, m_up, best[5]),
-                jnp.where(better, m_dn, best[6]))
+        best = (z, mu, t, m_act, res_node, m_up, m_dn)
+        for _ in range(n_sweeps):
+            m_up = ((mu + c_pd * (t - hi_c) > 0) & (m_hi > 0)).astype(dt) \
+                * (1.0 - m_eq)
+            m_dn = ((mu + c_pd * (t - lo_c) < 0) & (m_lo > 0)).astype(dt) \
+                * (1.0 - m_eq)
+            z, mu, t, m_act, res_node = polish(m_up, m_dn)
+            better = (res_node < best[4])[:, None]
+            best = (jnp.where(better, z, best[0]),
+                    jnp.where(better, mu, best[1]),
+                    jnp.where(better, t, best[2]),
+                    jnp.where(better, m_act, best[3]),
+                    jnp.minimum(res_node, best[4]),
+                    jnp.where(better, m_up, best[5]),
+                    jnp.where(better, m_dn, best[6]))
+        return best
+
+    def cold_start():
+        # ---- phase 1: scaled ADMM active-set identification
+        z0 = jnp.einsum("nij,nj->ni", Hinv, hmod)
+        y0 = jnp.clip(jnp.einsum("ngz,nz->ng", G, z0), lo_c, hi_c)
+
+        def admm_step(_, carry):
+            z, y, lm = carry
+            z = z_update(hmod + jnp.einsum("ngz,ng->nz", G,
+                                           rho_row * (y - lm)))
+            t = jnp.einsum("ngz,nz->ng", G, z) + lm
+            y = jnp.clip(t, lo_c, hi_c)
+            return (z, y, t - y)
+
+        _, _, lm = jax.lax.fori_loop(0, opts.qpgen_iters, admm_step,
+                                     (z0, y0, jnp.zeros_like(y0)))
+        mu_admm = rho_row * lm
+        tol_act = 1e-9
+        m_up = ((mu_admm > tol_act) & (m_hi > 0)).astype(dt) * (1.0 - m_eq)
+        m_dn = ((mu_admm < -tol_act) & (m_lo > 0)).astype(dt) * (1.0 - m_eq)
+        return pdas_from(m_up, m_dn, 3)
+
+    if ws is None:
+        best = cold_start()
+    else:
+        # working-set hotstart: PDAS from the previous set; full ADMM
+        # identification only if the hotstarted set fails the KKT guard
+        warm = pdas_from(ws[0] * (1.0 - m_eq), ws[1] * (1.0 - m_eq), 2)
+        ok = jnp.max(warm[4]) < 1e-9
+        best = jax.lax.cond(ok, lambda: warm, cold_start)
 
     z, mu, t, m_act, res_node = best[0], best[1], best[2], best[3], best[4]
+    ws_out = (best[5], best[6])
 
     # ---- phase 3: elimination matrix on the selected set
     Mfull = (m_act[:, :, None] * GHG * m_act[:, None, :]
@@ -418,16 +454,19 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
     stat = (jnp.einsum("nij,nj->ni", H, z) - hmod
             + jnp.einsum("ngz,ng->nz", G, mu))
     res = jnp.maximum(jnp.max(res_node), jnp.max(jnp.abs(stat)))
-    return z, P, mu, res
+    return z, P, mu, res, ws_out
 
 
 def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
-                 extra_q=None, extra_r=None):
+                 extra_q=None, extra_r=None, inner_ws=None):
     """Batched stage-QP solve over all nodes.
 
     clipping (dual_Newton_tree_clipping.c:188-227): closed-form
     x = clip(Qinv qmod), with active-set-masked inverses qtilde/rtilde.
     dense (unconstrained): z = P hmod.
+    ``inner_ws``: qpgen working-set hotstart (dual_Newton_tree_qpoases.c
+    :312-356) — previous (m_up, m_dn) masks; the solution carries the new
+    set in sol["qpgen_ws"].
     Returns the solution plus whatever the Hessian build needs.
     """
     xm, um, _ = _masks(qp)
@@ -499,12 +538,13 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
     elif opts.stage_solver == "qpgen":
         nxm, nz = prep.nxm, prep.nxm + prep.num
         hmod = jnp.concatenate([qmod, rmod], axis=1)
-        z, P, mu, res = _qpgen_batch(
+        z, P, mu, res, ws_out = _qpgen_batch(
             hmod, data["H"], data["Hinv"], data["G"], data["lo"], data["hi"],
-            data["m_lo"], data["m_hi"], data["rho_row"], data["L_admm"], opts)
+            data["m_lo"], data["m_hi"], data["rho_row"], data["L_admm"],
+            opts, ws=inner_ws)
         sol.update(x=z[:, :nxm] * xm, u=z[:, nxm:] * um, P=P,
                    mu_x=mu[:, :nxm], mu_u=mu[:, nxm:nz], mu_d=mu[:, nz:],
-                   qpgen_res=res)
+                   qpgen_res=res, qpgen_ws=ws_out)
     elif opts.stage_solver == "mixed":
         # per-node solver dispatch (reference vtable dual_Newton_tree.c:
         # 124-162): clipping closed-form on applicable nodes, qpgen on the
@@ -532,11 +572,13 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
         res = jnp.zeros((), qp.dtype)
         if len(gen_idx) > 0:
             hmod_g = jnp.concatenate([qmod[gen_idx], rmod[gen_idx]], axis=1)
-            z_g, P_g, mu_g, res = _qpgen_batch(
+            z_g, P_g, mu_g, res, ws_out = _qpgen_batch(
                 hmod_g, data["H"][gen_idx], data["Hinv"][gen_idx],
                 data["G"][gen_idx], data["lo"][gen_idx], data["hi"][gen_idx],
                 data["m_lo"][gen_idx], data["m_hi"][gen_idx],
-                data["rho_row"][gen_idx], data["L_admm"][gen_idx], opts)
+                data["rho_row"][gen_idx], data["L_admm"][gen_idx], opts,
+                ws=inner_ws)
+            sol["qpgen_ws"] = ws_out
             x = x.at[gen_idx].set(z_g[:, :nxm] * xm[gen_idx])
             u = u.at[gen_idx].set(z_g[:, nxm:] * um[gen_idx])
             P = P.at[gen_idx].set(P_g)
@@ -875,7 +917,8 @@ def _nodes_to_group(v_n, prep: _Prep):
     return v_n[prep.kidsP].reshape(prep.NpG, prep.G) * jnp.asarray(kv, v_n.dtype)
 
 
-def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restart):
+def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restart,
+                 inner_ws=None):
     """Armijo backtracking on f = -g (line_search, dual_Newton_tree.c:922-1019).
 
     Accept tau when f(lam + tau d) <= f(lam) + gamma tau grad'd, where
@@ -889,10 +932,21 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
         # 1e-10 slack avoids spurious NOT_DESCENT exits there
 
     f0 = _dual_value(qp, lam, sol0, data, opts)
+    # noise-aware Armijo slack (see ms_df64/tdunes_multistage: the dual
+    # value carries ~sqrt(Nterms)*eps relative summation noise; near
+    # convergence the true decrease falls below it and exact comparisons
+    # reject every step, stalling the solver just above tolerance)
+    eps_rel = 2.0 ** -45 if dt == jnp.float64 else 2.0 ** -18
+    eta = jnp.asarray(eps_rel, dt) * jnp.abs(f0)
+
+    def accepts(f2, tau):
+        return f2 <= f0 + opts.ls_gamma * tau * dot + eta
 
     def f_at(tau):
         lt = lam + tau * dlam_nodes
-        return _dual_value(qp, lt, _stage_solve(qp, lt, data, opts, prep), data, opts)
+        return _dual_value(qp, lt, _stage_solve(qp, lt, data, opts, prep,
+                                                inner_ws=inner_ws),
+                           data, opts)
 
     def cond(c):
         tau, f, it, acc = c
@@ -902,8 +956,7 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
         tau, f, it, acc = c
         tau2 = opts.ls_beta * tau
         f2 = f_at(tau2)
-        acc2 = f2 <= f0 + opts.ls_gamma * tau2 * dot
-        return (tau2, f2, it + 1, acc2)
+        return (tau2, f2, it + 1, accepts(f2, tau2))
 
     one = jnp.ones((), dt)
     T = min(opts.ls_batch, opts.ls_max_iter)
@@ -911,7 +964,7 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
         # batched trial steps: same Armijo decisions, one kernel sequence
         taus = opts.ls_beta ** jnp.arange(T, dtype=dt)
         fs = jax.vmap(f_at)(taus)
-        accs = fs <= f0 + opts.ls_gamma * taus * dot
+        accs = accepts(fs, taus)
         any_acc = jnp.any(accs)
         idx = jnp.argmax(accs)  # first accepted
         init = (taus[-1], fs[-1], jnp.full((), T, jnp.int32), any_acc)
@@ -920,7 +973,7 @@ def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restar
         ls_iter = jnp.where(any_acc, (idx + 1).astype(jnp.int32), it_sq)
     else:
         f1 = f_at(one)
-        acc0 = f1 <= f0 + opts.ls_gamma * one * dot
+        acc0 = accepts(f1, one)
         tau, f, ls_iter, acc = jax.lax.while_loop(
             cond, body, (one, f1, jnp.ones((), jnp.int32), acc0))
 
@@ -972,12 +1025,16 @@ def clipping_applicable_nodes(qp: TreeQPIn, atol: float = 0.0) -> tuple:
     return tuple(int(v) for v in ok)
 
 
-def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
+def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts(),
+                 stage_ws=None) -> TreeQPOut:
     """Solve a tree QP with dual Newton on the tree formulation.
 
     Equivalent of ``treeqp_tdunes_solve`` (dual_Newton_tree.c:1104-1263).
     ``lam0`` is the dual warm start [Nn, nxm] per non-root node (the
     checkpoint/resume analog, cf. treeqp_tdunes_set_dual_initialization).
+    ``stage_ws``: qpgen working-set masks from a previous solve
+    (info["qpgen_ws"]) — the qpOASES cross-MPC-step hotstart
+    (dual_Newton_tree_qpoases.c:335-342).
     """
     if (opts.stage_solver == "clipping"
             and not isinstance(qp.Q, jax.core.Tracer)
@@ -990,7 +1047,7 @@ def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> Tr
             and not isinstance(qp.Q, jax.core.Tracer)):
         opts = dataclasses.replace(
             opts, node_solver=clipping_applicable_nodes(qp))
-    return _tdunes_solve_jit(qp, lam0, opts)
+    return _tdunes_solve_jit(qp, lam0, opts, stage_ws)
 
 
 def _cast_qp(qp: TreeQPIn, dtype):
@@ -1023,7 +1080,7 @@ def _tpu_const_barrier(tree):
 
 
 def _td_newton_loop(qp: TreeQPIn, lam0, opts: TdunesOpts, it0, hist0,
-                    patience: int = 0):
+                    patience: int = 0, ws0=None):
     """One dual-Newton while-loop at the dtype of ``qp``'s data — the
     generic-tree counterpart of tdunes_multistage._ms_newton_loop.
 
@@ -1031,63 +1088,80 @@ def _td_newton_loop(qp: TreeQPIn, lam0, opts: TdunesOpts, it0, hist0,
     not improved by >= 10% for `patience` consecutive iterations) — used
     by the coarse f32 phase, whose Armijo decisions become noise-limited
     near the f32 residual floor. Returns (lam, it, err, status, ls_it,
-    hist)."""
+    hist). ``ws0``: qpgen working-set hotstart masks carried ACROSS Newton
+    iterations and into line-search trial evaluations (the qpOASES
+    hotstart, dual_Newton_tree_qpoases.c:312-356)."""
     prep = _get_prep(qp.topo)
     dt = qp.dtype
     xm, um, nrxm = _masks(qp)
     data = _stage_data(qp, opts)
+    use_ws = opts.stage_solver in ("qpgen", "mixed")
+    if use_ws and ws0 is None:
+        ng = data["G"].shape[1]
+        if opts.stage_solver == "mixed":
+            n_ws = int(np.sum(np.asarray(opts.node_solver) == 0))
+        else:
+            n_ws = prep.Nn
+        ws0 = (jnp.zeros((n_ws, ng), dt), jnp.zeros((n_ws, ng), dt))
+    elif not use_ws:
+        ws0 = ()
 
     def newton_step(carry, sol, res):
-        lam, it, err, status, restart, ls_it = carry
+        lam, it, err, status, restart, ls_it, ws = carry
         W, Ut = _build_dual_hessian(qp, sol, data, opts, prep)
         rg = _nodes_to_group(res, prep)
         dlam_g = _newton_direction(W, Ut, rg, opts, prep,
                                    qp=qp, sol=sol, data=data)
         dlam_nodes = _group_to_nodes(dlam_g, prep, dt) * nrxm
         lam_new, ls_it, descent_ok, restart = _line_search(
-            qp, lam, dlam_nodes, sol, dlam_g, rg, data, opts, prep, restart)
+            qp, lam, dlam_nodes, sol, dlam_g, rg, data, opts, prep, restart,
+            inner_ws=ws if use_ws else None)
         status = jnp.where(descent_ok, status, TDUNES_NOT_DESCENT)
         lam_new = jnp.where(descent_ok, lam_new, lam)
-        return lam_new, it + 1, err, status, restart, ls_it
+        return lam_new, it + 1, err, status, restart, ls_it, ws
 
     def cond(carry):
-        lam, it, err, status, restart, ls_it, hist, best, noimp = carry
+        lam, it, err, status, restart, ls_it, ws, hist, best, noimp = carry
         ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & (it < opts.max_iter)
         if patience > 0:
             ok = ok & (noimp < patience)
         return ok
 
     def body(carry):
-        lam, it, err, status, restart, ls_it, hist, best, noimp = carry
+        lam, it, err, status, restart, ls_it, ws, hist, best, noimp = carry
         # residual/termination first (build_dual_problem:519-546), then
         # Newton — one stage solve per iteration, shared via closure
-        sol = _stage_solve(qp, lam, data, opts, prep)
+        sol = _stage_solve(qp, lam, data, opts, prep,
+                           inner_ws=ws if use_ws else None)
+        ws = sol.get("qpgen_ws", ws)
         res = _dual_residual(qp, sol, prep)
         err = _residual_error(res, opts)
         converged = err < opts.tol
         improved = err < 0.9 * best
         best = jnp.minimum(best, err)
         noimp = jnp.where(improved, 0, noimp + 1)
-        lam, it2, err, status, restart, ls_it = jax.lax.cond(
+        lam, it2, err, status, restart, ls_it, ws = jax.lax.cond(
             converged,
-            lambda c: (c[0], c[1], err, c[3], c[4], c[5]),
-            lambda c: newton_step((c[0], c[1], err, c[3], c[4], c[5]), sol, res),
-            (lam, it, err, status, restart, ls_it))
+            lambda c: (c[0], c[1], err, c[3], c[4], c[5], c[6]),
+            lambda c: newton_step((c[0], c[1], err, c[3], c[4], c[5], c[6]),
+                                  sol, res),
+            (lam, it, err, status, restart, ls_it, ws))
         if opts.record_history:
             hist = (hist[0].at[it].set(err), hist[1].at[it].set(ls_it))
-        return lam, it2, err, status, restart, ls_it, hist, best, noimp
+        return lam, it2, err, status, restart, ls_it, ws, hist, best, noimp
 
     init = (lam0, jnp.asarray(it0, jnp.int32), jnp.full((), jnp.inf, dt),
             jnp.full((), TDUNES_OPTIMAL, jnp.int32), jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int32), hist0,
+            jnp.zeros((), jnp.int32), ws0, hist0,
             jnp.full((), jnp.inf, dt), jnp.zeros((), jnp.int32))
-    lam, it, err, status, _, ls_it, hist, _, _ = jax.lax.while_loop(
+    lam, it, err, status, _, ls_it, ws, hist, _, _ = jax.lax.while_loop(
         cond, body, init)
-    return lam, it, err, status, ls_it, hist
+    return lam, it, err, status, ls_it, hist, ws
 
 
 @partial(jax.jit, static_argnames=("opts",))
-def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) -> TreeQPOut:
+def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts(),
+                      stage_ws=None) -> TreeQPOut:
     topo = qp.topo
     prep = _get_prep(topo)
     dt = qp.dtype
@@ -1097,6 +1171,7 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
     if lam0 is None:
         lam0 = jnp.zeros((topo.Nn, topo.nxm), dt)
     lam0 = lam0 * nrxm
+    ws_in = stage_ws  # qpgen working-set persistence across MPC steps
 
     it0 = jnp.zeros((), jnp.int32)
     # --- two-phase precision on GENERIC trees (asymmetric / pruned /
@@ -1114,20 +1189,24 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
             opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol),
             record_history=False)
         histA = (jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.int32))
-        lamA, it0, _, _, _, _ = _td_newton_loop(
+        lamA, it0, _, _, _, _, wsA = _td_newton_loop(
             qp32, lam0.astype(jnp.float32), optsA, it0, histA, patience=3)
         # f32-phase status is discarded: a not-descent there is expected
         # noise near the f32 residual floor, not a failure
         lam0 = lamA.astype(dt) * nrxm
+        if wsA != ():
+            # hand the coarse phase's working sets to the f64 phase
+            ws_in = tuple(w.astype(dt) for w in wsA)
 
     hist0 = (jnp.full((opts.max_iter,), jnp.nan, dt),
              jnp.full((opts.max_iter,), -1, jnp.int32))
-    lam, it, err, status, ls_it, hist = _td_newton_loop(
-        qp, lam0, opts, it0, hist0)
+    lam, it, err, status, ls_it, hist, ws_f = _td_newton_loop(
+        qp, lam0, opts, it0, hist0, ws0=ws_in)
     data = _stage_data(qp, opts)
 
     # final stage solve + multiplier recovery (export, dual_Newton_tree.c:1235-1247)
-    sol = _stage_solve(qp, lam, data, opts, prep)
+    sol = _stage_solve(qp, lam, data, opts, prep,
+                       inner_ws=ws_f if ws_f != () else None)
     res = _dual_residual(qp, sol, prep)
     err = _residual_error(res, opts)
     status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
@@ -1158,6 +1237,9 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts()) 
         # inner-solver guard: max primal violation / stationarity of the
         # polished general stage QPs at the final iterate
         info["qpgen_res"] = sol["qpgen_res"]
+        # final working-set masks for cross-MPC-step hotstart (pass back
+        # via tdunes_solve(..., stage_ws=...); treeqp_solve.m:6-17 analog)
+        info["qpgen_ws"] = sol["qpgen_ws"]
     if opts.record_history:
         info["err_hist"], info["ls_hist"] = hist
     return TreeQPOut(
