@@ -11,11 +11,13 @@ instance. Three measurements:
   cold-starts hit the known piecewise-singular plateau on ~15% of
   perturbed instances, reference and ours alike). Asserts every solve
   OPTIMAL at 1e-8 and certifies the base instance with the KKT oracle.
-* ``sdunes_it{N}`` — per-iteration cost: tol=0 forces exactly N Newton
-  iterations of the refined-f64 phase (the expensive one); the slope
-  (t28 - t8)/20 is the per-iteration cost, free of setup/convergence
-  effects. ``tdunes_ms_it{N}`` is measured identically for the
-  apples-to-apples comparison.
+* ``sdunes_f32`` / ``tdunes_ms_f32`` — coarse-phase per-iteration cost:
+  both solvers run their all-f32 loop (data cast to f32) to a 1e-3
+  stationarity tolerance on cold chains; ms/iter = ms_per_solve /
+  iters_per_solve. Identical definition for both solvers. (A tol=0
+  fixed-iteration slope is NOT usable here: past convergence the descent
+  check degenerates and the measurement times the gradient-fallback
+  line search instead of the Newton iteration.)
 * ``tdunes_ms`` — the headline solver's convergent chain on the same
   instances (cold start; it needs no bootstrap).
 
@@ -36,8 +38,7 @@ CHAIN_R = int(os.environ.get("TREEQP_SDUNES_CHAIN", "48"))
 NREP = 3
 TOL = 1e-8
 
-MODES = ("sdunes_boot", "sdunes_it8", "sdunes_it28",
-         "tdunes_ms", "tdunes_ms_it8", "tdunes_ms_it28")
+MODES = ("sdunes_boot", "sdunes_f32", "tdunes_ms", "tdunes_ms_f32")
 
 
 def build():
@@ -172,17 +173,21 @@ def run_mode(mode):
                 outs, _ = timed(seed)
                 return outs
             timed_fn = run
-        else:  # slope modes: exactly N iterations of the refined-f64 phase
-            n_it = int(mode.rsplit("it", 1)[1])
-            # grad_fallback keeps status OPTIMAL when a fixed-iteration
-            # Newton direction fails (tol=0 runs far past convergence),
-            # so the loop really executes max_iter iterations
-            opts = _sdunes_opts(on_tpu, tol=0.0, max_iter=n_it,
-                                f32_phase_tol=0.0, grad_fallback=True)
+        else:  # coarse-phase per-iteration cost: all-f32 loop to 1e-3
+            import jax.numpy as jnp
+            sqp32 = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating)
+                else x, sqp)
+            opts = _sdunes_opts(on_tpu, tol=1e-3, max_iter=80,
+                                f32_phase_tol=0.0)
 
             def solve(fac):
-                sol, lam, mu, info = sdunes_solve(perturb_sqp(fac),
-                                                  None, None, opts)
+                s2 = dc.replace(sqp32,
+                                xmin=sqp32.xmin.at[:, 0].multiply(fac),
+                                xmax=sqp32.xmax.at[:, 0].multiply(fac))
+                sol, lam, mu, info = sdunes_solve(s2, None, None, opts)
                 return (info["iter"], info["error"], info["status"],
                         info["iter"] * 0)
 
@@ -195,14 +200,21 @@ def run_mode(mode):
         ms = jax.device_put(ms, dev)
         if mode == "tdunes_ms":
             opts = _tdunes_opts(on_tpu)
+            ms_used = ms
         else:
-            n_it = int(mode.rsplit("it", 1)[1])
-            opts = _tdunes_opts(on_tpu, tol=0.0, max_iter=n_it,
-                                f32_phase_tol=0.0, df64_phase=False)
+            import jax.numpy as jnp
+            ms_used = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating)
+                else x, ms)
+            opts = _tdunes_opts(on_tpu, tol=1e-3, max_iter=80,
+                                f32_phase_tol=0.0, df64_phase=False,
+                                refine_steps=0)
 
         def solve(fac):
-            cr = ms.crown
-            ms2 = dc.replace(ms, crown=cr.replace(
+            cr = ms_used.crown
+            ms2 = dc.replace(ms_used, crown=cr.replace(
                 xmin=cr.xmin.at[0].multiply(fac),
                 xmax=cr.xmax.at[0].multiply(fac)))
             cro, cho, info = tdunes_ms_solve(ms2, None, None, opts)
@@ -250,13 +262,14 @@ def main():
                 continue
         if r.returncode != 0:
             sys.stderr.write(r.stdout[-2000:] + r.stderr[-4000:])
-    # per-iteration cost slopes (setup-free)
-    for fam in ("sdunes", "tdunes_ms"):
-        a, b = rows.get(f"{fam}_it8"), rows.get(f"{fam}_it28")
-        if a and b:
-            slope = (b["ms_per_solve"] - a["ms_per_solve"]) / 20.0
-            print(json.dumps({"summary": f"{fam}_ms_per_iter_slope",
-                              "value": round(slope, 4)}), flush=True)
+    # coarse-phase per-iteration cost comparison
+    a, b = rows.get("sdunes_f32"), rows.get("tdunes_ms_f32")
+    if a and b:
+        ca = a["ms_per_solve"] / max(a["iters_per_solve_mean"], 1e-9)
+        cb = b["ms_per_solve"] / max(b["iters_per_solve_mean"], 1e-9)
+        print(json.dumps({"summary": "f32_phase_ms_per_iter",
+                          "sdunes": round(ca, 4), "tdunes_ms": round(cb, 4),
+                          "ratio": round(ca / cb, 2)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -99,3 +99,40 @@ def test_mul_f32_add_f32():
     want = np.asarray(a) * np.float64(np.float32(1.7)) + np.float64(np.float32(0.3))
     rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
     assert rel.max() < 1e-13
+
+
+def test_df64_newton_step_matches_f64_loop():
+    """Per-iteration trajectory equivalence of the df64 phase (SURVEY 7
+    hard-part 6 / SAVE_DATA analog): ONE Newton step of the df64 loop
+    from a common warm point must match the emulated-f64 loop's step to
+    the df64 arithmetic accuracy — not just the final answers."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from benchmarks.models import spring_mass_chain
+    from treeqp_tpu.solvers.tdunes import TdunesOpts
+    from treeqp_tpu.solvers import tdunes_multistage as tm
+    from treeqp_tpu.solvers.ms_df64 import ms_newton_loop_df
+
+    qp, _ = spring_mass_chain(nm=2, md=3, Nr=2, Nh=10)
+    ms = tm.split_multistage(qp)
+    base = TdunesOpts(stage_solver="clipping", tol=1e-9, max_iter=40,
+                      factor_dtype="float32", refine_steps=2,
+                      refine_safeguard=False, chain_backend="xla",
+                      reg_type="always", reg_value=1e-6)
+    # a warm point: a few plain iterations in
+    cro, cho, _ = tm.tdunes_ms_solve(
+        ms, None, None,
+        TdunesOpts(stage_solver="clipping", tol=1e-2, max_iter=10))
+    lam_cr0, lam_ch0 = cro["lam"], cho["lam"]
+
+    one = TdunesOpts(**{**base.__dict__, "max_iter": 1})
+    # emulated-f64 step
+    r64 = tm._ms_newton_loop(ms, lam_cr0, lam_ch0, one, 0)
+    lam_cr64, lam_ch64 = r64[0], r64[1]
+    # df64 step
+    rdf = ms_newton_loop_df(ms, lam_cr0, lam_ch0, one, 0)
+    lam_crdf, lam_chdf = rdf[0], rdf[1]
+    scale = max(float(jnp.max(jnp.abs(lam_cr64))),
+                float(jnp.max(jnp.abs(lam_ch64))), 1.0)
+    assert float(jnp.max(jnp.abs(lam_cr64 - lam_crdf))) / scale < 1e-9
+    assert float(jnp.max(jnp.abs(lam_ch64 - lam_chdf))) / scale < 1e-9

@@ -236,17 +236,20 @@ def _dual_value(sqp: ScenarioQP, sol, mu, lam, cmask):
     return -0.5 * quad + lin - jnp.sum(sqp.b * mu)
 
 
-def _banded_blocks(sqp: ScenarioQP, sol):
+def _banded_blocks(A, B, qt, rt):
     """mu-mu dual Hessian blocks per scenario (banded):
     D[s,k] = A_k qt_k A_k' + B_k rt_k B_k' + qt_{k+1}   (k = 0..Nh-1)
     Ssub[s,k] = M[mu_{k+2}, mu_{k+1}] = -A_{k+1} qt_{k+1}  (k = 0..Nh-2)
+
+    Takes explicit arrays so the mixed-precision path can build the
+    blocks straight in f32 (they feed only the f32 factorization; the
+    exact refinement operator is the factored _sd_apply_M).
     """
-    qt, rt = sol["qt"], sol["rt"]
-    D = (jnp.einsum("skin,skn,skjn->skij", sqp.A, qt[:, :-1], sqp.A)
-         + jnp.einsum("skin,skn,skjn->skij", sqp.B, rt[:, :-1], sqp.B))
+    D = (jnp.einsum("skin,skn,skjn->skij", A, qt[:, :-1], A)
+         + jnp.einsum("skin,skn,skjn->skij", B, rt[:, :-1], B))
     nx = D.shape[-1]
     D = D + jnp.eye(nx, dtype=D.dtype) * qt[:, 1:, None, :]
-    Ssub = -(sqp.A[:, 1:] * qt[:, 1:-1, None, :])  # [Ns, Nh-1, nx, nx]
+    Ssub = -(A[:, 1:] * qt[:, 1:-1, None, :])  # [Ns, Nh-1, nx, nx]
     return D, Ssub
 
 
@@ -309,7 +312,7 @@ def _banded_backward(L, C, y):
     return jnp.flip(zs.swapaxes(0, 1), 1)
 
 
-def _coupling_columns(sqp: ScenarioQP, sol, cmask):
+def _coupling_columns(B, rt, meta, dt):
     """U[t] = M[mu(t,:), lambda-columns touching scenario t], for the Schur
     complement onto lambda. lambda(s,k) touches u[s,k] (+I) and u[s+1,k]
     (-I); mu(t,k+1) sees u[t,k] through B_k: column block = +-B_k rt[t,k].
@@ -317,12 +320,11 @@ def _coupling_columns(sqp: ScenarioQP, sol, cmask):
     Returns Uown [Ns, Nh, nx, Nr*nu] (columns of lambda(t,:), sign +) —
     the contribution for lambda(t-1,:) is -Uown of scenario t reindexed.
     """
-    Ns, Nh, Nr = sqp.meta.Ns, sqp.meta.Nh, sqp.meta.Nr
-    nu = sqp.r.shape[-1]
-    nx = sqp.b.shape[-1]
-    dt = sqp.b.dtype
+    Ns, Nh, Nr = meta.Ns, meta.Nh, meta.Nr
+    nu = B.shape[-1]
+    nx = B.shape[-2]
     # block at (mu stage k+1, lambda stage k) = B_k * rt_k  -> [Ns,Nr,nx,nu]
-    Brt = sqp.B[:, :Nr] * sol["rt"][:, :Nr, None, :]
+    Brt = B[:, :Nr] * rt[:, :Nr, None, :]
     U = jnp.zeros((Ns, Nh, Nr, nx, nu), dt)
     for k in range(Nr):  # mu stage k+1 is row k of [Nh]
         U = U.at[:, k, k].set(Brt[:, k])
@@ -456,25 +458,47 @@ def _sd_full_solve(fact, rhs, topts: TdunesOpts):
     return jnp.flip(z, 1).astype(out_dt) * sc[..., None]
 
 
-def _sd_apply_M(D, Ssub, Uown, rt_l, dm, dmu, dlam_flat):
+def _sd_apply_M(sqp, sol, cmask, dm, dmu, dlam_flat, AT=None, BT=None):
     """Exact data-dtype action of the full dual Hessian on (dmu, dlam) —
     the iterative-refinement operator for f32-factored solves.
+
+    FACTORED application (A (qt o (A' v)) matvecs on pre-transposed
+    operands) instead of materialized D/Ssub/Uown blocks: the blocks feed
+    only the f32 factorization, and materializing them in emulated f64
+    costs ~10x the whole rest of the Newton iteration on TPU.
 
     Mmm dmu (banded) + Mml dlam (coupling columns, own pair +, prev -);
     Mlm dmu (per-pair kv differences) + Mll dlam (tridiag of rt diagonals).
     """
-    A = jnp.einsum("skij,skj->ski", D, dmu)
-    A = A.at[:, 1:].add(jnp.einsum("skij,skj->ski", Ssub, dmu[:, :-1]))
-    A = A.at[:, :-1].add(jnp.einsum("skji,skj->ski", Ssub, dmu[:, 1:]))
-    Ns = D.shape[0]
-    nl = rt_l.shape[-1]
+    Ns, Nh, Nr = sqp.meta.Ns, sqp.meta.Nh, sqp.meta.Nr
+    nu = sqp.r.shape[-1]
+    nl = Nr * nu
+    qt, rt = sol["qt"][:, :-1], sol["rt"][:, :-1]   # stage k (edge parent)
+    qt_c = sol["qt"][:, 1:]                          # stage k+1 (child x)
+    if AT is None:
+        AT, BT = sqp.A.swapaxes(2, 3), sqp.B.swapaxes(2, 3)
+    # t0_k = A_k' dmu_k; t_k = t0_k - dmu_{k-1} (the -Ssub_{k-1} fold)
+    t0 = jnp.einsum("skij,skj->ski", AT, dmu)
+    t = t0.at[:, 1:].add(-dmu[:, :-1])
+    r = jnp.einsum("skij,skj->ski", BT, dmu)        # B_k' dmu_k
+    A = jnp.einsum("skij,skj->ski", sqp.A, qt * t) \
+        + jnp.einsum("skij,skj->ski", sqp.B, rt * r)
+    # + qt_{k+1} o (dmu_k - A_{k+1}' dmu_{k+1}) (diag + Ssub_k' fold)
+    u = dmu.at[:, :-1].add(-t0[:, 1:])
+    A = A + qt_c * u
+    rt_l = sol["rt"][:, :Nr].reshape(Ns, nl)
     if Ns > 1:
         dl = dlam_flat * dm
-        coef = jnp.zeros((Ns, nl), D.dtype)
+        coef = jnp.zeros((Ns, nl), dmu.dtype)
         coef = coef.at[:-1].add(dl)
         coef = coef.at[1:].add(-dl)
-        A = A + jnp.einsum("skxl,sl->skx", Uown, coef)
-        kv = jnp.einsum("skxl,skx->sl", Uown, dmu)
+        # U coef: rows k < Nr get B_k (rt_k o coef[k-block])
+        cfk = coef.reshape(Ns, Nr, nu)
+        add = jnp.einsum("skij,skj->ski", sqp.B[:, :Nr],
+                         rt[:, :Nr] * cfk)
+        A = A.at[:, :Nr].add(add)
+        # kv_t = rt o (B' dmu) rows k < Nr
+        kv = (rt[:, :Nr] * r[:, :Nr]).reshape(Ns, nl)
         Al = (rt_l[:-1] + rt_l[1:]) * dl
         if Ns > 2:
             Al = Al.at[1:].add(-rt_l[1:-1] * dl[:-1])
@@ -535,43 +559,56 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
             coef = coef.at[1:].add(-dlam_flat)
         return coef
 
+    # mixed-precision direction algebra: the dual-Hessian blocks, Jay
+    # Schur pieces and back-substitutions feed only the f32 factorization
+    # path — build them straight in the factor dtype (the tdunes_ms
+    # pattern); the exact data-dtype Hessian action for refinement is the
+    # FACTORED _sd_apply_M (matvecs, no materialized blocks)
+    bdt = jnp.float32 if (opts.factor_dtype == "float32"
+                          and dt != jnp.float32) else dt
+    A_b, B_b = sqp.A.astype(bdt), sqp.B.astype(bdt)
+    AT64, BT64 = sqp.A.swapaxes(2, 3), sqp.B.swapaxes(2, 3)
+
     def newton_step(carry, sol, r_mu, r_lam):
         lam, mu, it, err, status, ls_it = carry
 
-        D, Ssub = _banded_blocks(sqp, sol)
-        Uown = _coupling_columns(sqp, sol, cmask)
+        qt_b, rt_b = sol["qt"].astype(bdt), sol["rt"].astype(bdt)
+        D, Ssub = _banded_blocks(A_b, B_b, qt_b, rt_b)
+        Uown = _coupling_columns(B_b, rt_b, meta, bdt)
         fact = _sd_factor(D, Ssub, topts)
         # ONE multi-RHS full solve: [r_mu | U] -> [z_mu | Z_u]
         Z = _sd_full_solve(
-            fact, jnp.concatenate([r_mu[..., None], Uown], axis=-1), topts)
+            fact, jnp.concatenate([r_mu.astype(bdt)[..., None], Uown],
+                                  axis=-1), topts)
         z_mu, Zu = Z[..., 0], Z[..., 1:]
         Gram = jnp.einsum("skxl,skxm->slm", Uown, Zu)
-        diag, off, rt_l, _ = _jay_blocks(sqp, sol, Gram, cmask)
-        Kv = jnp.einsum("skxl,skx->sl", Uown, z_mu)
+        diag, off, rt_l, _ = _jay_blocks(sqp, {"rt": rt_b}, Gram, cmask)
 
         rl_full = (r_lam.reshape(Ns - 1, nl) * dm if Ns > 1
                    else jnp.zeros((1, nl), dt))
 
-        def schur_solve(e_mu_z, e_l, z_mu_):
+        def schur_solve(e_l, z_mu_):
             """Direction from a mu-space solve z_mu_ = Mmm^-1 e_mu."""
             if Ns > 1:
-                Kv_ = jnp.einsum("skxl,skx->sl", Uown, z_mu_)
-                rl = (e_l - (Kv_[:-1] - Kv_[1:])) * dm
-                dl = _jay_solve(diag, off, rl, opts) * dm
+                Kv_ = jnp.einsum("skxl,skx->sl", Uown, z_mu_.astype(bdt))
+                rl = (e_l.astype(bdt) - (Kv_[:-1] - Kv_[1:])) * dm.astype(bdt)
+                dl = _jay_solve(diag, off, rl, opts).astype(dt) * dm
             else:
                 dl = jnp.zeros((1, nl), dt)
-            dmu_ = z_mu_ - jnp.einsum("skxl,sl->skx", Zu, coef_of(dl))
+            dmu_ = z_mu_.astype(dt) - jnp.einsum(
+                "skxl,sl->skx", Zu, coef_of(dl).astype(bdt)).astype(dt)
             return dmu_, dl
 
-        dmu, dlam_flat = schur_solve(r_mu, rl_full, z_mu)
+        dmu, dlam_flat = schur_solve(rl_full, z_mu)
         for _ in range(max(opts.refine_steps, 0)
                        if opts.factor_dtype == "float32" else 0):
             # refinement against the exact data-dtype dual Hessian
-            Amu, Al = _sd_apply_M(D, Ssub, Uown, rt_l, dm, dmu, dlam_flat)
+            Amu, Al = _sd_apply_M(sqp, sol, cmask, dm, dmu, dlam_flat,
+                                  AT=AT64, BT=BT64)
             e_mu = r_mu - Amu
             e_l = rl_full - Al
             z2 = _sd_full_solve(fact, e_mu[..., None], topts)[..., 0]
-            cmu, cl = schur_solve(e_mu, e_l, z2)
+            cmu, cl = schur_solve(e_l, z2)
             dmu = dmu + cmu
             dlam_flat = dlam_flat + cl
         dlam = dlam_flat.reshape(max(Ns - 1, 1), Nr, nu) * cmask[..., None]
@@ -618,10 +655,11 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
             # cold-start plateau), take a curvature-scaled gradient step on
             # the dual: direction (r_lam, r_mu) is always ascent for g.
             need_fb = (~descent_ok) | (~acc)
-            L_est = jnp.max(jnp.abs(jnp.diagonal(D, axis1=2, axis2=3)))
+            L_est = jnp.max(jnp.abs(jnp.diagonal(D, axis1=2, axis2=3))).astype(dt)
             if Ns > 1:
                 L_est = jnp.maximum(
-                    L_est, jnp.max(jnp.abs(jnp.diagonal(diag, axis1=1, axis2=2))))
+                    L_est, jnp.max(jnp.abs(jnp.diagonal(
+                        diag, axis1=1, axis2=2))).astype(dt))
             t0 = 1.0 / jnp.maximum(L_est, 1e-12)
             dot_g = -(jnp.sum(r_mu * r_mu) + jnp.sum(r_lam * r_lam))
 
