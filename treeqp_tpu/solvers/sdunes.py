@@ -43,8 +43,7 @@ import numpy as np
 from treeqp_tpu.core.qp_data import TreeQPIn, TreeQPOut
 from treeqp_tpu.utils.tree import TreeStructure
 from treeqp_tpu.solvers.tdunes import (
-    TdunesOpts, TDUNES_OPTIMAL, TDUNES_MAX_ITER, TDUNES_NOT_DESCENT,
-    _reg_cholesky)
+    TdunesOpts, TDUNES_OPTIMAL, TDUNES_MAX_ITER, TDUNES_NOT_DESCENT)
 
 __all__ = ["SdunesOpts", "sdunes_solve", "scenario_data",
            "scenario_duals_from_tree"]
@@ -251,65 +250,6 @@ def _banded_blocks(A, B, qt, rt):
     D = D + jnp.eye(nx, dtype=D.dtype) * qt[:, 1:, None, :]
     Ssub = -(A[:, 1:] * qt[:, 1:-1, None, :])  # [Ns, Nh-1, nx, nx]
     return D, Ssub
-
-
-def _banded_cholesky(D, Ssub, opts: TdunesOpts):
-    """Forward block-bidiagonal Cholesky per scenario (scan over k):
-    L_0 = chol(D_0); C_k = S_k L_{k-1}^-T; L_k = chol(D_k - C_k C_k').
-    The batched translation of the per-scenario factorization at
-    dual_Newton_scenarios.c:590-689."""
-    Ns, Nh, nx, _ = D.shape
-    dt = D.dtype
-
-    def step(carry, inp):
-        prevL, first = carry
-        Dk, Sk = inp
-        Ck = jax.lax.linalg.triangular_solve(
-            prevL, Sk, left_side=False, lower=True, transpose_a=True)
-        Ck = jnp.where(first, jnp.zeros_like(Ck), Ck)
-        Lk = _reg_cholesky(Dk - Ck @ Ck.swapaxes(1, 2), opts)
-        return (Lk, jnp.zeros((), bool)), (Lk, Ck)
-
-    S_ext = jnp.concatenate([jnp.zeros((Ns, 1, nx, nx), dt), Ssub], axis=1)
-    init = (jnp.broadcast_to(jnp.eye(nx, dtype=dt), (Ns, nx, nx)),
-            jnp.ones((), bool))
-    _, (L, C) = jax.lax.scan(step, init,
-                             (D.swapaxes(0, 1), S_ext.swapaxes(0, 1)))
-    return L.swapaxes(0, 1), C.swapaxes(0, 1)  # [Ns, Nh, nx, nx]
-
-
-def _banded_forward(L, C, rhs):
-    """y_k = L_k^-1 (rhs_k - C_k y_{k-1}), scan over k. rhs [Ns, Nh, X...]."""
-    def step(yprev, inp):
-        Lk, Ck, rk = inp
-        y = jax.lax.linalg.triangular_solve(
-            Lk, rk - Ck @ yprev, left_side=True, lower=True)
-        return y, y
-
-    init = jnp.zeros_like(rhs[:, 0])
-    _, ys = jax.lax.scan(step, init, (L.swapaxes(0, 1), C.swapaxes(0, 1),
-                                      rhs.swapaxes(0, 1)))
-    return ys.swapaxes(0, 1)
-
-
-def _banded_backward(L, C, y):
-    """z_k = L_k^-T (y_k - C_{k+1}' z_{k+1}), scan k = Nh-1..0."""
-    Nh = y.shape[1]
-
-    def step(znext, inp):
-        Lk, Cnext, yk = inp
-        z = jax.lax.linalg.triangular_solve(
-            Lk, yk - Cnext.swapaxes(1, 2) @ znext,
-            left_side=True, lower=True, transpose_a=True)
-        return z, z
-
-    C_ext = jnp.concatenate([C[:, 1:], jnp.zeros_like(C[:, :1])], axis=1)
-    init = jnp.zeros_like(y[:, 0])
-    _, zs = jax.lax.scan(
-        step, init,
-        (jnp.flip(L, 1).swapaxes(0, 1), jnp.flip(C_ext, 1).swapaxes(0, 1),
-         jnp.flip(y, 1).swapaxes(0, 1)))
-    return jnp.flip(zs.swapaxes(0, 1), 1)
 
 
 def _coupling_columns(B, rt, meta, dt):
