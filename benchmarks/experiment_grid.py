@@ -77,6 +77,10 @@ def run_grid(grid, nsim=50, out_path=None, solvers=SOLVERS):
             if fh:
                 fh.write(json.dumps(r) + "\n")
                 fh.flush()
+            # free compiled executables: the XLA CPU client dies with
+            # "LLVM ERROR: Unable to allocate section memory!" after a few
+            # hundred distinct topologies' programs (see tests/conftest.py)
+            jax.clear_caches()
         times.append(cell)
     taus, rho = performance_profile(np.asarray(times))
     profile = dict(solvers=list(solvers), taus=taus.tolist(), rho=rho.tolist())

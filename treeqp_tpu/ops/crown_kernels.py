@@ -378,3 +378,146 @@ def crown_blocks_factor(ABk, ztp, dvals, sW, sUt, Wadd, prep, reg=0.0):
             interpret=_interpret(),
         )(ABk_t, ztp_t, dv_t, sW_t, sUt_t, Wadd_t, Pm, Mm)
     return CholW, CholUt
+
+
+def _get_eval_sched(prep):
+    """Static node-lane schedule for crown_eval: nodes on the lane
+    dimension (padded to a multiple of 128) with the parent-gather /
+    kid-scatter as one static 0/1 matrix."""
+    sched = getattr(prep, "_crown_eval_sched", None)
+    if sched is not None:
+        return sched
+    Nn = prep.Nn
+    NPc = max(_NP, ((Nn + _NP - 1) // _NP) * _NP)
+    P_par = np.zeros((NPc, NPc), np.float32)
+    par = prep.par  # par[0] == 0 (root self-loop, masked by nrxm)
+    for n in range(1, Nn):
+        P_par[par[n], n] = 1.0  # gather: out[:, n] = in[:, par(n)]
+    sched = (NPc, P_par)  # numpy — jnp.asarray at use (jit-safe caching)
+    prep._crown_eval_sched = sched
+    return sched
+
+
+def crown_eval_supported(prep) -> bool:
+    # whole-crown arrays must fit one VMEM block; 1024 node-lanes is
+    # ~0.6 MB per [nz, NPc] tensor — far inside VMEM for crown sizes
+    return prep.Nn <= 1024
+
+
+def crown_eval_data(qp, prep, xm, um, nrxm):
+    """Lane-layout crown problem data for crown_eval (loop-invariant)."""
+    f32 = jnp.float32
+    NPc, P_par = _get_eval_sched(prep)
+    P_par = jnp.asarray(P_par)
+
+    def t(v, fill=0.0):
+        pad = NPc - v.shape[0]
+        vt = jnp.transpose(v.astype(f32), (1, 0))
+        return jnp.pad(vt, ((0, 0), (0, pad)), constant_values=fill)
+
+    AB = jnp.concatenate([qp.A, qp.B], axis=2).astype(f32)  # [Nn, nxm, nz]
+    ABt = jnp.pad(jnp.transpose(AB, (1, 2, 0)),
+                  ((0, 0), (0, 0), (0, NPc - AB.shape[0])))
+    Qd = jnp.diagonal(qp.Q, axis1=1, axis2=2)
+    Rd = jnp.diagonal(qp.R, axis1=1, axis2=2)
+    xmf = xm.astype(f32)
+    umf = um.astype(f32)
+    Qd_m = Qd.astype(f32) * xmf + (1.0 - xmf)  # identity padding rows
+    Rd_m = Rd.astype(f32) * umf + (1.0 - umf)
+    return dict(
+        ABt=ABt, P_par=P_par,
+        q=t(qp.q), r=t(qp.r), b=t(qp.b),
+        Qd=t(Qd_m, 1.0), Rd=t(Rd_m, 1.0),
+        Qinv=t(1.0 / Qd_m, 1.0), Rinv=t(1.0 / Rd_m, 1.0),
+        xmin=t(qp.xmin, -1.0), xmax=t(qp.xmax, 1.0),
+        umin=t(qp.umin, -1.0), umax=t(qp.umax, 1.0),
+        xm=t(xm, 0.0), um=t(um, 0.0), nrxm=t(nrxm, 0.0))
+
+
+def crown_eval(data, lam, extra):
+    """Fused crown stage EVALUATION (clipping): modified gradients, clip
+    solve, active-set masked inverses, dual residual, and the crown's
+    dual-value terms — ONE launch (solve_stage_problems +
+    build_dual_problem's gradient + eval_dual_term,
+    dual_Newton_tree.c:256-330/:514-546, dual_Newton_tree_clipping.c).
+
+    Nodes live on the lane dimension; the kid-sum and parent-gather are
+    MXU matmuls against the static parent matrix. ``lam`` [Nn, nxm]
+    (masked), ``extra`` [nz, NPc] lane-layout chain contributions (zeros
+    when none). Returns dict with x/u/qtilde/rtilde/res in NODE layout
+    [Nn, rows], xUnc/uUnc in lane layout, and fcr (dual-value partial).
+    """
+    ABt, P_par = data["ABt"], data["P_par"]
+    nxm, nz, NPc = ABt.shape
+    num = nz - nxm
+    Nn = lam.shape[0]
+    lam_l = jnp.pad(jnp.transpose(lam.astype(jnp.float32), (1, 0)),
+                    ((0, 0), (0, NPc - Nn)))
+
+    def kernel(AB_ref, P_ref, q_ref, r_ref, b_ref, Qd_ref, Rd_ref,
+               Qi_ref, Ri_ref, xlo_ref, xhi_ref, ulo_ref, uhi_ref,
+               xm_ref, um_ref, nr_ref, lam_ref, ex_ref,
+               x_ref, u_ref, qt_ref, rt_ref, xU_ref, uU_ref,
+               res_ref, f_ref):
+        AB = AB_ref[...]
+        lam_m = lam_ref[...]  # pre-masked by the caller (lam * nrxm)
+        nr = nr_ref[...]
+        # AtBtL_n = AB_n' lam_n  [nz, NPc]
+        AtBtL = jnp.concatenate(
+            [sum(AB[j, i][None] * lam_m[j:j + 1] for j in range(nxm))
+             for i in range(nz)], axis=0)
+        # kid-sum: out[:, n] = sum_{k: par(k)=n} AtBtL[:, k]
+        sum_AB = _lane_mm_t(AtBtL, P_ref[...]) + ex_ref[...]
+        qmod = (-q_ref[...] + lam_m - sum_AB[:nxm]) * xm_ref[...]
+        rmod = (-r_ref[...] - sum_AB[nxm:]) * um_ref[...]
+        xU = Qi_ref[...] * qmod
+        uU = Ri_ref[...] * rmod
+        xlo, xhi = xlo_ref[...], xhi_ref[...]
+        ulo, uhi = ulo_ref[...], uhi_ref[...]
+        x = jnp.minimum(jnp.maximum(xU, xlo), xhi) * xm_ref[...]
+        u = jnp.minimum(jnp.maximum(uU, ulo), uhi) * um_ref[...]
+        qt = jnp.where((xU > xhi) | (xU < xlo), 0.0, Qi_ref[...])
+        rt = jnp.where((uU > uhi) | (uU < ulo), 0.0, Ri_ref[...])
+        x_ref[...] = x
+        u_ref[...] = u
+        qt_ref[...] = qt
+        rt_ref[...] = rt
+        xU_ref[...] = xU
+        uU_ref[...] = uU
+        # residual: res_n = AB_n [x; u]_par + b_n - x_n  (non-root)
+        zp = _lane_mm(jnp.concatenate([x, u], axis=0), P_ref[...])
+        res = jnp.concatenate(
+            [sum(AB[i, c][None] * zp[c:c + 1] for c in range(nz))
+             for i in range(nxm)], axis=0)
+        res = (res + b_ref[...] - x) * nr
+        res_ref[...] = res
+        # dual-value terms: x(qmod - Qd x / 2) + u(rmod - Rd u / 2) - b lam
+        tx = x * (qmod - 0.5 * Qd_ref[...] * x) - b_ref[...] * lam_m * nr
+        tu = u * (rmod - 0.5 * Rd_ref[...] * u)
+        f_ref[...] = (sum(tx[i:i + 1] for i in range(nxm))
+                      + sum(tu[i:i + 1] for i in range(num)))
+
+    spec = lambda shape: pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    sv = lambda rows: spec((rows, NPc))
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            in_specs=[spec((nxm, nz, NPc)), spec((NPc, NPc)),
+                      sv(nxm), sv(num), sv(nxm), sv(nxm), sv(num),
+                      sv(nxm), sv(num), sv(nxm), sv(nxm), sv(num), sv(num),
+                      sv(nxm), sv(num), sv(nxm), sv(nxm), sv(nz)],
+            out_specs=(sv(nxm), sv(num), sv(nxm), sv(num), sv(nxm), sv(num),
+                       sv(nxm), sv(1)),
+            out_shape=tuple(jax.ShapeDtypeStruct((rows, NPc), jnp.float32)
+                            for rows in (nxm, num, nxm, num, nxm, num,
+                                         nxm, 1)),
+            interpret=_interpret(),
+        )(ABt, P_par, data["q"], data["r"], data["b"], data["Qd"],
+          data["Rd"], data["Qinv"], data["Rinv"], data["xmin"],
+          data["xmax"], data["umin"], data["umax"], data["xm"], data["um"],
+          data["nrxm"], lam_l, extra)
+    x, u, qt, rt, xU, uU, res, f = outs
+    tr = lambda v: jnp.transpose(v[:, :Nn], (1, 0))
+    return dict(x=tr(x), u=tr(u), qtilde=tr(qt), rtilde=tr(rt),
+                xUnc=xU, uUnc=uU, res=tr(res), fcr=jnp.sum(f[0, :Nn]))

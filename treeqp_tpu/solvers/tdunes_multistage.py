@@ -619,16 +619,30 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
                   and opts.factor_dtype == "float32" and dt == jnp.float32)
     if fused_eval:
         from treeqp_tpu.ops import chain_kernels as ck
+        from treeqp_tpu.ops import crown_kernels as ckr
         data_l = ck.chain_eval_data(ms.A, ms.B, ms.q, ms.r, ms.Qd, ms.Rd,
                                     ms.xmin, ms.xmax, ms.umin, ms.umax, ms.b)
+        fused_crown_eval = ckr.crown_eval_supported(prep_cr)
+        if fused_crown_eval:
+            xm_cr, um_cr, nrxm_cr2 = td._masks(ms.crown)
+            crown_ed = ckr.crown_eval_data(ms.crown, prep_cr, xm_cr, um_cr,
+                                           nrxm_cr2)
+            NPc, _ = ckr._get_eval_sched(prep_cr)
     else:
         data_l = None
+        fused_crown_eval = False
 
     def stage_solve(lam_cr, lam_ch):
         if fused_eval:
             ch = ck.chain_eval(data_l, lam_ch)
             nxc = ms.A.shape[-1]
             Ncrown = meta.crown_topo.Nn
+            if fused_crown_eval:
+                # crown stage solve + residual + dual terms: ONE launch
+                extra = jnp.zeros((ch["cqr"].shape[-1], NPc), jnp.float32)
+                extra = extra.at[:, rid].set(ch["cqr"].T.astype(jnp.float32))
+                cr = ckr.crown_eval(crown_ed, lam_cr, extra)
+                return cr, ch
             extra_q = jnp.zeros((Ncrown, nxc), dt).at[rid].set(
                 ch["cqr"][..., :nxc])
             extra_r = jnp.zeros((Ncrown, ch["cqr"].shape[-1] - nxc),
@@ -640,12 +654,17 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
 
     def dual_value(lam_cr, lam_ch, cr, ch):
         if fused_eval:
+            if fused_crown_eval:
+                return cr["fcr"] + ch["fch"]
             return td._dual_value(ms.crown, lam_cr, cr, crown_data, opts) \
                 + ch["fch"]
         return _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts)
 
     def residuals_of(cr, ch):
-        res_cr = td._dual_residual(ms.crown, cr, prep_cr)
+        if "res" in cr:  # crown residual came out of the fused eval kernel
+            res_cr = cr["res"]
+        else:
+            res_cr = td._dual_residual(ms.crown, cr, prep_cr)
         res_ch = _chain_residual(ms, ch, cr["x"], cr["u"],
                                  AT=trans["ATc"], BT=trans["BTc"])
         return res_cr, res_ch
@@ -880,6 +899,10 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         ch = dict(x=ch["x"], u=ch["u"], qt=tr(ch["qt"]), rt=tr(ch["rt"]),
                   xUnc=tr(ch["xUnc"]), uUnc=tr(ch["uUnc"]))
         sig_f = (sig_f[0], sig_f[1], tr(sig_f[2]), tr(sig_f[3]))
+        if fused_crown_eval:
+            Nc = meta.crown_topo.Nn
+            trc = lambda v: jnp.transpose(v[:, :Nc], (1, 0))
+            cr = dict(cr, xUnc=trc(cr["xUnc"]), uUnc=trc(cr["uUnc"]))
     return (lam_cr, lam_ch, it, status, ls_it, cr, ch, err,
             (fact_f, sig_f))
 
