@@ -202,3 +202,25 @@ def test_ltv_batch_setters():
     for f in ("A", "B", "b", "Q", "R", "q", "r", "xmin", "xmax", "umin", "umax"):
         assert np.allclose(np.asarray(getattr(ref, f)),
                            np.asarray(getattr(got, f))), f
+
+
+def test_cli_general_constraints_auto_qpgen(tmp_path):
+    """CLI auto-selects the qpOASES-class stage solver (qpgen) for
+    datasets with general C/D rows and solves them to the KKT bar (the
+    reference links qpOASES for non-clipping tdunes)."""
+    import json
+    from benchmarks.models import spring_mass_chain, with_general_rows
+    from treeqp_tpu.core.json_io import (tree_qp_to_json, load_tree_qp_json)
+    from treeqp_tpu.interfaces.cli import run
+
+    qp, _ = spring_mass_chain(nm=1, md=2, Nr=1, Nh=4)
+    qp_g = with_general_rows(qp, cmax=0.5)
+    j = tree_qp_to_json(qp_g, options=dict(solver="tdunes", maxit=80))
+    inp = tmp_path / "qp_general.json"
+    outp = tmp_path / "qp_general_out.json"
+    inp.write_text(json.dumps(j))
+    rc = run([str(inp), "-o", str(outp)])
+    assert rc == 0
+    res = json.loads(outp.read_text())
+    assert res["info"]["status"] == 0
+    assert res["info"]["kkt_tol"] < 1e-8

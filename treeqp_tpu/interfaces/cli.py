@@ -48,6 +48,37 @@ _REG_MAP = {
 }
 
 
+def _pick_stage_solver(qp, options) -> str:
+    """Stage-QP solver selection for the tdunes dispatch.
+
+    Explicit ``options["stageQp"]`` wins (clipping | qpoases->qpgen |
+    dense | boxqp | qpgen | mixed). Otherwise: the reference's
+    ``clipping`` flag selects clipping (solve_qp_json.cpp option
+    pass-through); with no flag, pick by the DATA — general C/D rows
+    need the qpOASES-class solver (qpgen), finite bounds need boxqp,
+    and only the truly unconstrained case gets the dense closed form
+    (the reference links qpOASES for everything non-clipping;
+    dual_Newton_tree_qpoases.c).
+    """
+    req = str(options.get("stageQp", "auto"))
+    table = dict(clipping="clipping", qpoases="qpgen", qpgen="qpgen",
+                 dense="dense", boxqp="boxqp", mixed="mixed")
+    if req != "auto":
+        return table[req]
+    if options.get("clipping", False):
+        return "clipping"
+    import numpy as np
+    if max(qp.topo.nc) > 0:
+        return "qpgen"
+    inf = 1e11
+    finite = (np.any(np.abs(np.asarray(qp.xmin)) < inf)
+              or np.any(np.abs(np.asarray(qp.xmax)) < inf)
+              or np.any(np.abs(np.asarray(qp.umin)) < inf)
+              or np.any(np.abs(np.asarray(qp.umax)) < inf))
+    return "boxqp" if finite else "dense"
+
+
+
 def _lam_tree_to_nodes(vec, topo):
     """Flat reference lambda layout (stacked per non-root node, node order)
     -> [Nn, nxm] padded rows."""
@@ -152,7 +183,7 @@ def run(argv=None):
             reg_type=_REG_MAP.get(options.get("regType", ""), "on_the_fly"),
             reg_tol=float(options.get("regTol", 1e-6)),
             reg_value=float(options.get("regValue", 1e-6)),
-            stage_solver="clipping" if options.get("clipping", False) else "dense",
+            stage_solver=_pick_stage_solver(qp, options),
         )
         lam0 = None
         if "lam0_tree" in init:
