@@ -328,19 +328,27 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                           -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(1.0, frac * jnp.min(ratio))
 
-    def kkt_apply(hbar_cr, hbar_ch, dzc, dzh, dlc, dlh):
+    def kkt_apply(hbars, dzc, dzh, dlc, dlh):
         """Exact data-dtype action of the KKT operator the Riccati solves
-        (cf. ipm._kkt_apply); hbars may be diagonal vectors or dense."""
-        r1_cr = (hbar_cr * dzc if hbar_cr.ndim == 2
-                 else jnp.einsum("nij,nj->ni", hbar_cr, dzc))
+        (cf. ipm._kkt_apply). ``hbars`` = (diag_cr, diag_ch, gam_crg,
+        gam_chg): the general-row barrier term applies FACTORED,
+        G'(Gamma (G dz)) — materializing the dense Hessians in emulated
+        f64 costs more than the rest of the refinement combined."""
+        hb_cr_d, hb_ch_d, g_crg, g_chg = hbars
+        r1_cr = hb_cr_d * dzc
+        if HG:
+            t = jnp.einsum("ncz,nz->nc", Gc_cr, dzc)
+            r1_cr = r1_cr + jnp.einsum("ncz,nc->nz", Gc_cr, g_crg * t)
         r1_cr = r1_cr.at[:, :nxm].add(-dlc * nrxm)
         contrib = jnp.einsum("nxz,nx->nz", AB_cr, dlc * nrxm)
         r1_cr = r1_cr + jax.ops.segment_sum(contrib[1:], par[1:],
                                             num_segments=Nc)
         c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], dlh[:, 0])
         r1_cr = (r1_cr.at[rid].add(c0)) * zmask_cr
-        r1_ch = (hbar_ch * dzh if hbar_ch.ndim == 3
-                 else jnp.einsum("slij,slj->sli", hbar_ch, dzh))
+        r1_ch = hb_ch_d * dzh
+        if HG:
+            th = jnp.einsum("slcz,slz->slc", Gc_ch, dzh)
+            r1_ch = r1_ch + jnp.einsum("slcz,slc->slz", Gc_ch, g_chg * th)
         r1_ch = r1_ch.at[:, :, :nxm].add(-dlh)
         up = jnp.einsum("slxz,slx->slz", AB_ch[:, 1:], dlh[:, 1:])
         r1_ch = (r1_ch.at[:, :-1].add(up)) * zmask_ch
@@ -384,10 +392,9 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         sol = one_solve(rhs_cr, rhs_ch, rb_cr, rb_ch)
         if opts.refine_steps <= 0 or hbars is None:
             return sol
-        hbar_cr, hbar_ch = hbars
         dzc, dzh, dlc, dlh = sol
         for _ in range(opts.refine_steps):
-            r1c, r1h, r2c, r2h = kkt_apply(hbar_cr, hbar_ch,
+            r1c, r1h, r2c, r2h = kkt_apply(hbars,
                                            dzc, dzh, dlc, dlh)
             # K(corr) = (e1, e2), e1 = -rhs - L1(d), e2 = rb - L2(d);
             # one_solve(rg', rb') gives L1 = -rg', L2 = rb' -> rg' = -e1
@@ -471,16 +478,25 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             return rhs_cr, rhs_ch, gams
 
         rhs_cr_a, rhs_ch_a, gams = make_rhs(rm)
-        hbar_cr = Hd_cr + gams["cr"]
-        hbar_ch = Hd_ch + gams["ch"]
+        hbar_d_cr = Hd_cr + gams["cr"]
+        hbar_d_ch = Hd_ch + gams["ch"]
+        hbars_fact = (hbar_d_cr, hbar_d_ch, gams.get("crg"), gams.get("chg"))
         if HG:
-            # general rows densify the barrier matrix: Hbar = diag + G'Gamma G
-            hbar_cr = jnp.eye(nz, dtype=dt)[None] * hbar_cr[:, None, :] \
-                + jnp.einsum("nci,nc,ncj->nij", Gc_cr, gams["crg"], Gc_cr)
-            hbar_ch = (jnp.eye(nz, dtype=dt)[None, None]
-                       * hbar_ch[..., None, :]
-                       + jnp.einsum("slci,slc,slcj->slij", Gc_ch,
-                                    gams["chg"], Gc_ch))
+            # general rows densify the barrier matrix Hbar = diag + G'Gamma G
+            # — built straight in the FACTOR dtype (it feeds only the
+            # factorization; refinement applies the factored form in f64)
+            Gf_cr, Gf_ch = Gc_cr.astype(fdt), Gc_ch.astype(fdt)
+            hbar_cr = jnp.eye(nz, dtype=fdt)[None] \
+                * hbar_d_cr.astype(fdt)[:, None, :] \
+                + jnp.einsum("nci,nc,ncj->nij", Gf_cr,
+                             gams["crg"].astype(fdt), Gf_cr)
+            hbar_ch = (jnp.eye(nz, dtype=fdt)[None, None]
+                       * hbar_d_ch.astype(fdt)[..., None, :]
+                       + jnp.einsum("slci,slc,slcj->slij", Gf_ch,
+                                    gams["chg"].astype(fdt), Gf_ch))
+        else:
+            hbar_cr = hbar_d_cr
+            hbar_ch = hbar_d_ch
         pallas_f32 = opts.chain_backend == "pallas" and fdt == jnp.float32
         if pallas_f32:
             # the chain kernel takes diagonal OR dense (general-row) hbar
@@ -543,7 +559,7 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         # predictor
         dzc_a, dzh_a, dlc_a, dlh_a = solve_kkt(
             fact_ch, fact_cr, rhs_cr_a, rhs_ch_a, rb_cr, rb_ch,
-            hbars=(hbar_cr, hbar_ch))
+            hbars=hbars_fact)
         exp_a = expand_all(dzc_a, dzh_a, rm)
         a_aff = alpha_of(exp_a)
         mu = mu_of(st)
@@ -560,7 +576,7 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         rhs_cr_c, rhs_ch_c, _ = make_rhs(rm_c)
         dzc, dzh, dlc, dlh = solve_kkt(
             fact_ch, fact_cr, rhs_cr_c, rhs_ch_c, rb_cr, rb_ch,
-            hbars=(hbar_cr, hbar_ch))
+            hbars=hbars_fact)
         exp = expand_all(dzc, dzh, rm_c)
         alpha = alpha_of(exp, opts.tau_frac_general if HG
                          else opts.tau_frac)
