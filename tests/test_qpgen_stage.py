@@ -147,3 +147,22 @@ def test_qpgen_hotstart_skips_admm():
     assert float(jnp.max(jnp.abs(z1 - z0))) < 1e-12
     assert float(jnp.max(jnp.abs(mu1 - mu0))) < 1e-10
     assert float(res1) < 1e-8
+
+
+def test_qpgen_f32_factor_parity(constrained_qp):
+    """qpgen_factor_dtype=float32 (f32 working-set factors + iterative
+    refinement / Newton-Schulz elimination-matrix refinement — the TPU
+    emulated-f64 Cholesky treatment) must reproduce the f64-factor path:
+    same Newton iteration count, same solution to f64 quality."""
+    qp = constrained_qp
+    o64 = TdunesOpts(stage_solver="qpgen", tol=1e-9, max_iter=100)
+    o32 = TdunesOpts(stage_solver="qpgen", tol=1e-9, max_iter=100,
+                     qpgen_factor_dtype="float32")
+    ref = tdunes_solve(qp, opts=o64)
+    out = tdunes_solve(qp, opts=o32)
+    assert int(out.info["status"]) == 0
+    assert int(out.info["iter"]) == int(ref.info["iter"])
+    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 1e-10
+    assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-10
+    assert float(out.info["qpgen_res"]) < 1e-8
+    assert float(max_kkt_residual(qp, out)) < 1e-8

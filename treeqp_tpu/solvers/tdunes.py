@@ -94,6 +94,14 @@ class TdunesOpts:
     # qpgen: ADMM iterations for active-set identification (the final
     # answer comes from exact working-set solves; see _qpgen_batch)
     qpgen_iters: int = 100
+    # qpgen working-set factorization dtype: "float32" factors the
+    # working-set system and the elimination-matrix inverse in f32 and
+    # restores data-dtype accuracy by iterative refinement (polish) /
+    # Newton-Schulz steps (elimination matrix). The emulated-f64 batched
+    # Cholesky dominates the warm stage-solve cost on TPU (BENCH_NOTES
+    # round 3); refinement against the f64 residual keeps the KKT guard
+    # at 1e-9 quality. "same" disables (CPU default).
+    qpgen_factor_dtype: str = "same"  # same | float32
     # static per-node solver choice for stage_solver="mixed":
     # tuple of 1 (clipping) / 0 (qpgen) per node; None = derive from data
     node_solver: tuple = None
@@ -273,7 +281,19 @@ def _stage_data(qp: TreeQPIn, opts: TdunesOpts):
         rho_row = rho_base * (1.0 + 999.0 * eq)
         data["rho_row"] = rho_row
         GtRG = (G * rho_row[:, :, None]).swapaxes(1, 2) @ G
-        data["L_admm"] = jnp.linalg.cholesky(H + GtRG)
+        # ADMM factor in the qpgen factor dtype: the identification phase
+        # only seeds the working set (PDAS + exact polish recompute all
+        # final quantities in the data dtype), so f32 sweeps are safe and
+        # cut the cold-path cost on TPU
+        adt = (jnp.float32 if (opts.qpgen_factor_dtype == "float32"
+                               and qp.dtype == jnp.dtype(jnp.float64))
+               else qp.dtype)
+        data["L_admm"] = jnp.linalg.cholesky((H + GtRG).astype(adt))
+        # hmod-independent products hoisted out of _qpgen_batch: computed
+        # once per solve instead of once per stage solve (incl. every
+        # Armijo trial evaluation) — two batched emulated-f64 matmuls each
+        data["GH"] = G @ data["Hinv"]
+        data["GHG"] = data["GH"] @ G.swapaxes(1, 2)
     elif opts.stage_solver not in ("clipping",):
         H = _dense_H(qp)
         data["H"] = H
@@ -304,7 +324,7 @@ def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep, extra_q=None, extra_r=Non
 
 
 def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
-                 opts: TdunesOpts, ws=None):
+                 opts: TdunesOpts, ws=None, GH=None, GHG=None):
     """Batched general stage QPs:  min 1/2 z'Hz - hmod'z,  lo <= G z <= hi.
 
     The qpOASES capability (dual_Newton_tree_qpoases.c:153-214, :401-476).
@@ -334,13 +354,22 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
     """
     dt = hmod.dtype
     ng = G.shape[1]
+    # f32 factorization + refinement of the working-set systems (the
+    # qpgen_factor_dtype option): the batched emulated-f64 Cholesky is the
+    # dominant warm stage-solve cost on TPU
+    factor32 = (opts.qpgen_factor_dtype == "float32"
+                and dt == jnp.dtype(jnp.float64))
+    fdt = jnp.float32 if factor32 else dt
+    n_refine = 3 if factor32 else 1
     mask = m_lo + m_hi - m_lo * m_hi  # any finite side
     lo_c = jnp.where(m_lo > 0, lo, -TREEQP_INF)
     hi_c = jnp.where(m_hi > 0, hi, TREEQP_INF)
     m_eq = ((hi_c - lo_c <= 1e-14) & (m_lo > 0) & (m_hi > 0)).astype(dt)
     eye = jnp.eye(ng, dtype=dt)[None]
-    GH = G @ Hinv                           # [n, ng, nz]
-    GHG = GH @ G.swapaxes(1, 2)             # [n, ng, ng]
+    if GH is None:
+        GH = G @ Hinv                       # [n, ng, nz]
+    if GHG is None:
+        GHG = GH @ G.swapaxes(1, 2)         # [n, ng, ng]
     w = jnp.einsum("ngz,nz->ng", GH, hmod)  # G H^-1 hmod
     c_pd = 1.0 / jnp.maximum(jnp.diagonal(GHG, axis1=1, axis2=2), 1e-12)
     # relative working-set regularization: an absolute shift would bias the
@@ -368,20 +397,27 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         rhs = m_act * (w - d_act)
         # Cholesky-based solve: Mfull is SPD by construction (masked GHG +
         # identity on inactive rows + reg), and XLA's LU (jnp.linalg.solve)
-        # does not support f64 on TPU (LuDecomposition: F32/C64 only)
-        Lm = jnp.linalg.cholesky(Mfull)
+        # does not support f64 on TPU (LuDecomposition: F32/C64 only).
+        # Under qpgen_factor_dtype=float32 the factor + triangular solves
+        # run in f32; the refinement passes against the data-dtype residual
+        # restore f64-quality multipliers (residual matvecs are cheap next
+        # to the emulated-f64 Cholesky they replace).
+        Lm = jnp.linalg.cholesky(Mfull.astype(fdt))
 
         def spd_solve(b):
             y = jax.lax.linalg.triangular_solve(
-                Lm, b[..., None], left_side=True, lower=True)
+                Lm, b.astype(fdt)[..., None], left_side=True, lower=True)
             return jax.lax.linalg.triangular_solve(
-                Lm, y, left_side=True, lower=True, transpose_a=True)[..., 0]
+                Lm, y, left_side=True, lower=True,
+                transpose_a=True)[..., 0].astype(dt)
 
         mu = spd_solve(rhs)
-        # one refinement pass (the reg + f64 roundoff would otherwise leave
-        # active rows ~1e-10 off their bounds)
-        mu = m_act * (mu + spd_solve(
-            rhs - jnp.einsum("nij,nj->ni", Mfull, mu)))
+        # refinement passes (the reg + roundoff would otherwise leave
+        # active rows ~1e-10 off their bounds; 3 passes under the f32
+        # factor, 1 under the native factor)
+        for _ in range(n_refine):
+            mu = mu + spd_solve(rhs - jnp.einsum("nij,nj->ni", Mfull, mu))
+        mu = m_act * mu
         z = jnp.einsum("nij,nj->ni", Hinv,
                        hmod - jnp.einsum("ngz,ng->nz", G, mu))
         t = jnp.einsum("ngz,nz->ng", G, z)
@@ -412,21 +448,26 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         return best
 
     def cold_start():
-        # ---- phase 1: scaled ADMM active-set identification
-        z0 = jnp.einsum("nij,nj->ni", Hinv, hmod)
-        y0 = jnp.clip(jnp.einsum("ngz,nz->ng", G, z0), lo_c, hi_c)
+        # ---- phase 1: scaled ADMM active-set identification, in the ADMM
+        # factor's dtype (f32 under qpgen_factor_dtype=float32 — the phase
+        # only seeds the working set, PDAS/polish recompute exactly)
+        adt = L_admm.dtype
+        G_a, rho_a = G.astype(adt), rho_row.astype(adt)
+        lo_a, hi_a, h_a = lo_c.astype(adt), hi_c.astype(adt), hmod.astype(adt)
+        z0 = jnp.einsum("nij,nj->ni", Hinv, hmod).astype(adt)
+        y0 = jnp.clip(jnp.einsum("ngz,nz->ng", G_a, z0), lo_a, hi_a)
 
         def admm_step(_, carry):
             z, y, lm = carry
-            z = z_update(hmod + jnp.einsum("ngz,ng->nz", G,
-                                           rho_row * (y - lm)))
-            t = jnp.einsum("ngz,nz->ng", G, z) + lm
-            y = jnp.clip(t, lo_c, hi_c)
+            z = z_update(h_a + jnp.einsum("ngz,ng->nz", G_a,
+                                          rho_a * (y - lm)))
+            t = jnp.einsum("ngz,nz->ng", G_a, z) + lm
+            y = jnp.clip(t, lo_a, hi_a)
             return (z, y, t - y)
 
         _, _, lm = jax.lax.fori_loop(0, opts.qpgen_iters, admm_step,
                                      (z0, y0, jnp.zeros_like(y0)))
-        mu_admm = rho_row * lm
+        mu_admm = rho_row * lm.astype(dt)
         tol_act = 1e-9
         m_up = ((mu_admm > tol_act) & (m_hi > 0)).astype(dt) * (1.0 - m_eq)
         m_dn = ((mu_admm < -tol_act) & (m_lo > 0)).astype(dt) * (1.0 - m_eq)
@@ -447,7 +488,19 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
     # ---- phase 3: elimination matrix on the selected set
     Mfull = (m_act[:, :, None] * GHG * m_act[:, None, :]
              + eye * (1.0 - m_act)[:, :, None] + regM * eye)
-    Minv = _batched_inverse_spd(Mfull)
+    if factor32:
+        # f32 inverse + two Newton-Schulz steps X <- X + X(I - M X) in the
+        # data dtype: each step squares the inverse residual (f32 gives
+        # ~kappa*1e-7, two steps land below f64 roundoff for the
+        # well-equilibrated working-set systems), and the matmul-shaped
+        # refinement is far cheaper than an emulated-f64 Cholesky+trsm
+        Minv = _batched_inverse_spd(Mfull.astype(jnp.float32)).astype(dt)
+        eyeb = jnp.broadcast_to(eye, Mfull.shape)
+        for _ in range(2):
+            Minv = Minv + Minv @ (eyeb - Mfull @ Minv)
+        Minv = 0.5 * (Minv + Minv.swapaxes(1, 2))
+    else:
+        Minv = _batched_inverse_spd(Mfull)
     HG_act = Hinv @ G.swapaxes(1, 2) * m_act[:, None, :]   # [n, nz, ng]
     P = Hinv - HG_act @ Minv @ HG_act.swapaxes(1, 2)
 
@@ -541,7 +594,7 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
         z, P, mu, res, ws_out = _qpgen_batch(
             hmod, data["H"], data["Hinv"], data["G"], data["lo"], data["hi"],
             data["m_lo"], data["m_hi"], data["rho_row"], data["L_admm"],
-            opts, ws=inner_ws)
+            opts, ws=inner_ws, GH=data["GH"], GHG=data["GHG"])
         sol.update(x=z[:, :nxm] * xm, u=z[:, nxm:] * um, P=P,
                    mu_x=mu[:, :nxm], mu_u=mu[:, nxm:nz], mu_d=mu[:, nz:],
                    qpgen_res=res, qpgen_ws=ws_out)
@@ -577,7 +630,7 @@ def _stage_solve(qp: TreeQPIn, lam, data, opts: TdunesOpts, prep: _Prep,
                 data["G"][gen_idx], data["lo"][gen_idx], data["hi"][gen_idx],
                 data["m_lo"][gen_idx], data["m_hi"][gen_idx],
                 data["rho_row"][gen_idx], data["L_admm"][gen_idx], opts,
-                ws=inner_ws)
+                ws=inner_ws, GH=data["GH"][gen_idx], GHG=data["GHG"][gen_idx])
             sol["qpgen_ws"] = ws_out
             x = x.at[gen_idx].set(z_g[:, :nxm] * xm[gen_idx])
             u = u.at[gen_idx].set(z_g[:, nxm:] * um[gen_idx])
