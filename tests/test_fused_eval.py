@@ -49,6 +49,14 @@ def test_chain_eval_matches_unfused():
     cq_ref = jnp.concatenate([eq[rid], er[rid]], axis=1)
     assert float(jnp.max(jnp.abs(out["cqr"] - cq_ref))) < 1e-6
     assert abs(float(out["fch"]) - float(f_ref)) < 1e-5 * abs(float(f_ref))
+    # fused chain residual: with zero crown solution, _chain_residual's
+    # j=0 row reduces to b_0 - x_0 — exactly what the kernel emits
+    x0 = jnp.zeros((ms.meta.crown_topo.Nn, ms.meta.crown_topo.nxm),
+                   ms.b.dtype)
+    u0 = jnp.zeros((ms.meta.crown_topo.Nn, ms.meta.crown_topo.num),
+                   ms.b.dtype)
+    res_ref = tm._chain_residual(ms, ref, x0, u0)
+    assert float(jnp.max(jnp.abs(out["res_part"] - res_ref))) < 1e-6
 
 
 def test_chain_blocks_factor_variants_agree():

@@ -409,8 +409,11 @@ def chain_eval(data_l, lam):
     Returns dict(x, u [S, L, ...] for residuals/line search; qt, rt,
     xUnc, uUnc in KERNEL lane layout [L, n, S_pad] — qt/rt feed
     chain_blocks_factor_lanes without re-transposing, xUnc/uUnc only
-    matter at the final export), cqr [S, nz] (root contributions), and
-    fch [S] (per-chain dual-value partial sums).
+    matter at the final export), cqr [S, nz] (root contributions),
+    fch [S] (per-chain dual-value partial sums), and res_part [S, L, nx]:
+    the chain-edge dual residuals A_j z_{j-1} + b_j - x_j, with the root
+    row j=0 holding only b_0 - x_0 (the caller adds A_0 z_crown from the
+    crown evaluation — _chain_residual's rid row).
     """
     ABt = data_l["ABt"]
     L, nx, nz, S_pad = ABt.shape
@@ -421,8 +424,9 @@ def chain_eval(data_l, lam):
     def kernel(AB_ref, q_ref, r_ref, Qd_ref, Rd_ref, Qi_ref, Ri_ref,
                xlo_ref, xhi_ref, ulo_ref, uhi_ref, b_ref, lam_ref,
                x_ref, u_ref, qt_ref, rt_ref, xU_ref, uU_ref,
-               cqr_ref, f_ref):
+               res_ref, cqr_ref, f_ref):
         facc = jnp.zeros((1, _TS), jnp.float32)
+        x_prev = u_prev = None
         for j in range(L):
             lam_j = lam_ref[j]                       # [nx, T]
             qmod = -q_ref[j] + lam_j
@@ -447,6 +451,18 @@ def chain_eval(data_l, lam):
             rt_ref[j] = rt
             xU_ref[j] = xU
             uU_ref[j] = uU
+            # chain-edge dual residual res_j = A_j z_{j-1} + b_j - x_j
+            # (z_{j-1} from the previous loop stage; the j=0 row's
+            # A_0 z_crown term is added outside from the crown solution)
+            res_j = b_ref[j] - x
+            if j > 0:
+                ABj = AB_ref[j]                      # [nx, nz, T]
+                res_j = res_j \
+                    + sum(ABj[:, i] * x_prev[i:i + 1] for i in range(nx)) \
+                    + sum(ABj[:, nx + i] * u_prev[i:i + 1]
+                          for i in range(nu))
+            res_ref[j] = res_j
+            x_prev, u_prev = x, u
             tx = x * (qmod - 0.5 * Qd_ref[j] * x) - b_ref[j] * lam_j
             tu = u * (rmod - 0.5 * Rd_ref[j] * u)
             facc = facc + sum(tx[i:i + 1] for i in range(nx)) \
@@ -465,7 +481,7 @@ def chain_eval(data_l, lam):
                          memory_space=pltpu.VMEM),
         f=pl.BlockSpec((1, _TS), lambda i: (0, i), memory_space=pltpu.VMEM))
     with jax.enable_x64(False):
-        x, u, qt, rt, xU, uU, cqr, fch = pl.pallas_call(
+        x, u, qt, rt, xU, uU, res, cqr, fch = pl.pallas_call(
             kernel,
             grid=(S_pad // _TS,),
             in_specs=[specs["AB"], specs["Lnx"], specs["Lnu"], specs["Lnx"],
@@ -474,12 +490,12 @@ def chain_eval(data_l, lam):
                       specs["Lnx"], specs["Lnx"]],
             out_specs=(specs["Lnx"], specs["Lnu"], specs["Lnx"],
                        specs["Lnu"], specs["Lnx"], specs["Lnu"],
-                       specs["cqr"], specs["f"]),
+                       specs["Lnx"], specs["cqr"], specs["f"]),
             out_shape=tuple(
                 jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
                 ((L, nx, S_pad), (L, nu, S_pad), (L, nx, S_pad),
                  (L, nu, S_pad), (L, nx, S_pad), (L, nu, S_pad),
-                 (nz, S_pad), (1, S_pad))),
+                 (L, nx, S_pad), (nz, S_pad), (1, S_pad))),
             interpret=_interpret(),
         )(ABt, data_l["q"], data_l["r"], data_l["Qd"], data_l["Rd"],
           data_l["Qinv"], data_l["Rinv"], data_l["xmin"], data_l["xmax"],
@@ -488,6 +504,7 @@ def chain_eval(data_l, lam):
         x=jnp.transpose(x[..., :S], (2, 0, 1)),
         u=jnp.transpose(u[..., :S], (2, 0, 1)),
         qt=qt, rt=rt, xUnc=xU, uUnc=uU,
+        res_part=jnp.transpose(res[..., :S], (2, 0, 1)),
         cqr=jnp.transpose(cqr[..., :S], (1, 0)),
         fch=jnp.sum(fch[0, :S]))
 

@@ -628,6 +628,9 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             crown_ed = ckr.crown_eval_data(ms.crown, prep_cr, xm_cr, um_cr,
                                            nrxm_cr2)
             NPc, _ = ckr._get_eval_sched(prep_cr)
+        # pre-transposed root-edge dynamics for the fused chain residual's
+        # j=0 row (A_0 z_crown; the j>=1 rows come out of the eval kernel)
+        ab0t = jnp.concatenate([trans["ATc"], trans["BTc"]], axis=2)[:, 0]
     else:
         data_l = None
         fused_crown_eval = False
@@ -665,8 +668,15 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             res_cr = cr["res"]
         else:
             res_cr = td._dual_residual(ms.crown, cr, prep_cr)
-        res_ch = _chain_residual(ms, ch, cr["x"], cr["u"],
-                                 AT=trans["ATc"], BT=trans["BTc"])
+        if "res_part" in ch:
+            # fused chain residual: rows j>=1 came out of chain_eval; the
+            # j=0 row still needs A_0 z_crown from THIS crown solution
+            zr = jnp.concatenate([cr["x"][rid], cr["u"][rid]], axis=1)
+            res_ch = ch["res_part"].at[:, 0].add(
+                jnp.einsum("sir,si->sr", ab0t, zr.astype(ab0t.dtype)))
+        else:
+            res_ch = _chain_residual(ms, ch, cr["x"], cr["u"],
+                                     AT=trans["ATc"], BT=trans["BTc"])
         return res_cr, res_ch
 
     def compute_residuals(lam_cr, lam_ch):
