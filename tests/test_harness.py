@@ -224,3 +224,49 @@ def test_cli_general_constraints_auto_qpgen(tmp_path):
     res = json.loads(outp.read_text())
     assert res["info"]["status"] == 0
     assert res["info"]["kkt_tol"] < 1e-8
+
+
+def test_cli_serve_persistent(tmp_path):
+    """JSON-lines solve server (the C++ SolverSession backend): one child
+    process, many solves, jit caches persisting across requests — the
+    in-process embedding analog of treeqp_cpp_interface.cpp:130-430."""
+    import subprocess
+    import sys
+    import time
+
+    with open("/root/reference/examples/random_qp_utils/data01.json") as f:
+        qp_json = json.load(f)
+    p = subprocess.Popen(
+        [sys.executable, "-m", "treeqp_tpu.interfaces.cli", "--serve"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        cwd="/root/repo")
+    try:
+        hello = json.loads(p.stdout.readline())
+        assert hello == {"ready": True}
+        req = json.dumps({"qp": qp_json}) + "\n"
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p.stdin.write(req)
+            p.stdin.flush()
+            resp = json.loads(p.stdout.readline())
+            walls.append(time.perf_counter() - t0)
+            assert resp["info"]["status"] == 0
+            assert resp["info"]["kkt_tol"] < 1e-12
+        # warm solves must not re-spawn/re-compile (cold is ~seconds)
+        assert min(walls[1:]) < 1.0
+        # malformed request: server answers with an error, stays alive
+        p.stdin.write('{"qp": {"nodes": []}}\n')
+        p.stdin.flush()
+        err = json.loads(p.stdout.readline())
+        assert "error" in err
+        p.stdin.write(req)
+        p.stdin.flush()
+        resp = json.loads(p.stdout.readline())
+        assert resp["info"]["status"] == 0
+        p.stdin.write('{"cmd": "quit"}\n')
+        p.stdin.flush()
+        assert p.wait(timeout=30) == 0
+    finally:
+        if p.poll() is None:
+            p.kill()

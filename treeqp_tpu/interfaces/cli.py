@@ -97,24 +97,18 @@ def _lam_nodes_to_tree(lam, topo):
     return out
 
 
-def run(argv=None):
-    ap = argparse.ArgumentParser(prog="treeqp-solve")
-    ap.add_argument("qp_in")
-    ap.add_argument("init", nargs="?", default=None)
-    ap.add_argument("-o", "--output", default="qp_out.json")
-    ap.add_argument("--nrep", type=int, default=None)
-    ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
-                    help="cpu (default: predictable for batch solves) or the "
-                         "environment's default accelerator")
-    ap.add_argument("--eliminate-x0", action="store_true",
-                    help="fold a pinned root state into the data before "
-                         "solving (the reference front-end always does this, "
-                         "solve_qp_json.cpp:350-353)")
-    args = ap.parse_args(argv)
+def solve_request(j_in: dict, init: dict | None = None, nrep_arg=None,
+                  eliminate_x0: bool = False) -> dict:
+    """Solve one reference-schema QP dict; returns the output JSON dict.
 
-    if args.device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
+    The core of the batch front-end, shared by the one-shot file mode
+    (``run``) and the persistent JSON-lines server (``serve``) that backs
+    the in-process C++ embedding. Repeated same-shape requests in one
+    process hit the jit caches, so solve #2..N costs ~solver time — the
+    persistent-workspace pattern of the reference C++ API
+    (treeqp_cpp_interface.cpp:130-430 keeps the solver workspace alive
+    across Solve() calls)."""
+    from treeqp_tpu.core.json_io import load_tree_qp_json
     from treeqp_tpu.utils.timing import Timer
 
     t_iface = Timer().tic()  # interface time: parse + layout + serialize
@@ -127,20 +121,17 @@ def run(argv=None):
         iface_box["prep"] = t_iface.toc()
         return min_time_over(fn, nrep, check_deterministic=check)
 
-    qp, extras = load_tree_qp_file(args.qp_in)
+    qp, extras = load_tree_qp_json(j_in)
     topo = qp.topo
     options = extras.get("options", {})
     solver = options.get("solver", "tdunes")
-    nrep = args.nrep or int(options.get("NREP", 1))
+    nrep = nrep_arg or int(options.get("NREP", 1))
 
-    init = {}
-    if args.init:
-        with open(args.init) as f:
-            init = json.load(f)
-        if "x0" in init and topo.nx[0] > 0:
-            qp = qp.set_x0(np.asarray(init["x0"], dtype=np.float64).reshape(-1))
+    init = init or {}
+    if "x0" in init and topo.nx[0] > 0:
+        qp = qp.set_x0(np.asarray(init["x0"], dtype=np.float64).reshape(-1))
 
-    if args.eliminate_x0:
+    if eliminate_x0:
         xmin0 = np.asarray(qp.xmin[0])[: topo.nx[0]]
         xmax0 = np.asarray(qp.xmax[0])[: topo.nx[0]]
         assert np.allclose(xmin0, xmax0), "--eliminate-x0 needs a pinned root state"
@@ -287,13 +278,92 @@ def run(argv=None):
     j["info"]["solver_time"] = t
     j["info"]["interface_time"] = iface
     j["info"]["solver"] = dispatched
+    return j
+
+
+def run(argv=None):
+    ap = argparse.ArgumentParser(prog="treeqp-solve")
+    ap.add_argument("qp_in")
+    ap.add_argument("init", nargs="?", default=None)
+    ap.add_argument("-o", "--output", default="qp_out.json")
+    ap.add_argument("--nrep", type=int, default=None)
+    ap.add_argument("--device", choices=["cpu", "default"], default="cpu",
+                    help="cpu (default: predictable for batch solves) or the "
+                         "environment's default accelerator")
+    ap.add_argument("--eliminate-x0", action="store_true",
+                    help="fold a pinned root state into the data before "
+                         "solving (the reference front-end always does this, "
+                         "solve_qp_json.cpp:350-353)")
+    args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    with open(args.qp_in) as f:
+        j_in = json.load(f)
+    init = None
+    if args.init:
+        with open(args.init) as f:
+            init = json.load(f)
+
+    j = solve_request(j_in, init, args.nrep, args.eliminate_x0)
+    info = j["info"]
     with open(args.output, "w") as f:
         json.dump(j, f, indent=1)
-    print(f"solver={dispatched} iter={int(out.info['iter'])} "
-          f"status={int(out.info['status'])} kkt={kkt:.2e} "
-          f"time={t*1e3:.2f}ms (+{iface*1e3:.1f}ms interface)")
+    print(f"solver={info['solver']} iter={info['num_iter']} "
+          f"status={info['status']} kkt={info['kkt_tol']:.2e} "
+          f"time={info['solver_time']*1e3:.2f}ms "
+          f"(+{info['interface_time']*1e3:.1f}ms interface)")
     return 0
 
 
+def serve(argv=None):
+    """Persistent JSON-lines solve server (the in-process embedding bridge).
+
+    Reads one request per line on stdin, writes one response per line on
+    stdout. Requests: {"qp": <reference QP schema>, "init": {...}?,
+    "nrep": N?, "eliminate_x0": bool?} or {"cmd": "quit"}. The process —
+    and with it every jit-compiled executable — lives across requests, so
+    a C++ host (treeqp_cpp.hpp SolverSession) gets reference-C++-API-class
+    latency after the first solve on each problem shape
+    (treeqp_cpp_interface.cpp:130-430 workspace persistence analog)."""
+    ap = argparse.ArgumentParser(prog="treeqp-solve --serve")
+    ap.add_argument("--device", choices=["cpu", "default"], default="cpu")
+    args = ap.parse_args(argv)
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    out_stream = sys.stdout
+    # handshake line: the host blocks on this before sending requests
+    out_stream.write(json.dumps({"ready": True}) + "\n")
+    out_stream.flush()
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if req.get("cmd") == "quit":
+                break
+            resp = solve_request(req["qp"], req.get("init"),
+                                 req.get("nrep"),
+                                 bool(req.get("eliminate_x0", False)))
+        except SystemExit as e:  # solver-dispatch errors use SystemExit
+            resp = {"error": str(e)}
+        except Exception as e:  # noqa: BLE001 — the server must not die
+            resp = {"error": f"{type(e).__name__}: {e}"}
+        out_stream.write(json.dumps(resp) + "\n")
+        out_stream.flush()
+    return 0
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if "--serve" in argv:
+        argv = [a for a in argv if a != "--serve"]
+        return serve(argv)
+    return run(argv)
+
+
 if __name__ == "__main__":
-    sys.exit(run())
+    sys.exit(main())

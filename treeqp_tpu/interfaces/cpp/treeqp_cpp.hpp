@@ -7,11 +7,14 @@
 // TPU-native architecture: the compute path lives in the JAX runtime, and a
 // C++ application embeds the framework through the same JSON protocol the
 // reference's own benchmark harness uses to drive its solve_qp_json
-// executable across a process boundary (benchmark/utils/treeqp_solve.m:6-17,
+// executable (benchmark/utils/treeqp_solve.m:6-17,
 // examples/solve_qp_json.cpp:206-615). Data preparation, validation,
 // serialization and solution parsing are native C++ (this header + the C ABI
-// graph-builder/packer in treeqp_host.cpp); Solve() round-trips through
-// `python -m treeqp_tpu.interfaces.cli`.
+// graph-builder/packer in treeqp_host.cpp); Solve() talks JSON-lines to ONE
+// persistent `python -m treeqp_tpu.interfaces.cli --serve` child
+// (SolverSession below) whose jit caches persist across solves — the
+// workspace-persistence analog of the reference's in-process C++ API
+// (treeqp_cpp_interface.cpp:130-430).
 //
 // Header-only, no external dependencies (a minimal JSON reader/writer is
 // included — nlohmann/json is not vendored in this toolchain).
@@ -19,9 +22,15 @@
 #ifndef TREEQP_CPP_HPP_
 #define TREEQP_CPP_HPP_
 
+#include <fcntl.h>
+#include <signal.h>
+#include <sys/wait.h>
+#include <unistd.h>
+
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 #include <fstream>
 #include <map>
 #include <memory>
@@ -486,6 +495,108 @@ class TreeQp {
 };
 
 // ---------------------------------------------------------------------------
+// SolverSession — persistent solve server (the in-process embedding path).
+//
+// The reference C++ API holds the solver workspace in the TreeQp/QpSolver
+// objects and calls treeqp_tdunes_solve in-process, so solve #2..N costs
+// only solver time (treeqp_cpp_interface.cpp:130-430). Here the compute
+// path lives in the JAX runtime: the equivalent persistence is ONE
+// long-lived `python -m treeqp_tpu.interfaces.cli --serve` child whose jit
+// caches survive across solves. The session speaks JSON-lines over a
+// stdin/stdout pipe pair; after the first solve on a given problem shape,
+// per-solve wall time is a few ms (vs seconds for a process spawn + jit).
+
+class SolverSession {
+ public:
+  SolverSession() = default;
+  ~SolverSession() { Stop(); }
+  SolverSession(const SolverSession&) = delete;
+  SolverSession& operator=(const SolverSession&) = delete;
+
+  bool running() const { return pid_ > 0; }
+
+  // Spawn the server child (lazily called by Request). TREEQP_ROOT (or the
+  // current directory) must contain the treeqp_tpu package.
+  void Start() {
+    if (running()) return;
+    int to_child[2], from_child[2];
+    if (pipe(to_child) != 0 || pipe(from_child) != 0)
+      throw std::runtime_error("treeqp: pipe() failed");
+    pid_t pid = fork();
+    if (pid < 0) throw std::runtime_error("treeqp: fork() failed");
+    if (pid == 0) {  // child: stdin/stdout onto the pipes, exec the server
+      dup2(to_child[0], STDIN_FILENO);
+      dup2(from_child[1], STDOUT_FILENO);
+      close(to_child[0]); close(to_child[1]);
+      close(from_child[0]); close(from_child[1]);
+      const char* root = std::getenv("TREEQP_ROOT");
+      if (root && chdir(root) != 0) _exit(127);
+      execlp("python", "python", "-m", "treeqp_tpu.interfaces.cli",
+             "--serve", (char*)nullptr);
+      _exit(127);
+    }
+    close(to_child[0]);
+    close(from_child[1]);
+    pid_ = pid;
+    in_fd_ = to_child[1];
+    out_ = fdopen(from_child[0], "r");
+    if (!out_) { Stop(); throw std::runtime_error("treeqp: fdopen failed"); }
+    // handshake: {"ready": true} — blocks until the runtime is importable
+    std::string hello = ReadLine();
+    if (hello.find("\"ready\"") == std::string::npos) {
+      Stop();
+      throw std::runtime_error("treeqp: server failed to start: " + hello);
+    }
+  }
+
+  void Stop() {
+    if (!running()) return;
+    std::string quit = "{\"cmd\":\"quit\"}\n";
+    (void)!write(in_fd_, quit.data(), quit.size());
+    close(in_fd_);
+    if (out_) fclose(out_);
+    int status = 0;
+    waitpid(pid_, &status, 0);
+    pid_ = -1;
+    in_fd_ = -1;
+    out_ = nullptr;
+  }
+
+  // One round-trip: request object in, response object out.
+  Json Request(const Json& req) {
+    Start();
+    std::string line = req.Dump();
+    line += '\n';
+    size_t off = 0;
+    while (off < line.size()) {
+      ssize_t n = write(in_fd_, line.data() + off, line.size() - off);
+      if (n <= 0) { Stop(); throw std::runtime_error("treeqp: server write failed"); }
+      off += (size_t)n;
+    }
+    Json resp = Json::Parse(ReadLine());
+    if (resp.has("error"))
+      throw std::runtime_error("treeqp: server: " + resp.at("error").str());
+    return resp;
+  }
+
+ private:
+  std::string ReadLine() {
+    std::string s;
+    char buf[1 << 16];
+    while (fgets(buf, sizeof(buf), out_)) {
+      s += buf;
+      if (!s.empty() && s.back() == '\n') { s.pop_back(); return s; }
+    }
+    Stop();
+    throw std::runtime_error("treeqp: server closed the pipe");
+  }
+
+  pid_t pid_ = -1;
+  int in_fd_ = -1;
+  FILE* out_ = nullptr;
+};
+
+// ---------------------------------------------------------------------------
 // Solvers (QpSolver hierarchy, treeqp_cpp_interface.hpp:110-175).
 
 class QpSolver {
@@ -508,11 +619,39 @@ class QpSolver {
     lam0_tree_ = lam0_tree;
   }
 
-  // Solve via the JSON protocol bridge. `python` must resolve on PATH and
-  // TREEQP_ROOT (or cwd) must contain the treeqp_tpu package.
+  // Solve through the persistent session (default; reference-C++-API-class
+  // warm latency) or, with SetOneShot(true), a fresh CLI process per call
+  // (the round-3 batch path — useful for isolation / debugging).
+  // `python` must resolve on PATH and TREEQP_ROOT (or cwd) must contain
+  // the treeqp_tpu package.
   int Solve(const TreeQp& qp, TreeQpOut* out) {
     Json options = opts_;
     options["solver"] = Json(SolverName());
+    if (one_shot_) return SolveOneShot(qp, options, out);
+    Json req = Json::Object();
+    req["qp"] = qp.ToJson(&options);
+    if (!lam0_tree_.empty()) {
+      Json init = Json::Object();
+      Json lam = Json::Array();
+      for (double v : lam0_tree_) lam.push_back(Json(v));
+      init["lam0_tree"] = std::move(lam);
+      req["init"] = std::move(init);
+    }
+    Json j = session_.Request(req);
+    ParseOut(j, out);
+    return out->status == 0 ? 0 : out->status;
+  }
+
+  void SetOneShot(bool v) { one_shot_ = v; }
+
+  // End the server child explicitly (also done by the destructor).
+  void EndSession() { session_.Stop(); }
+
+ protected:
+  virtual std::string SolverName() const = 0;
+
+ private:
+  int SolveOneShot(const TreeQp& qp, const Json& options, TreeQpOut* out) {
     const std::string dir = TempDir();
     const std::string in_path = dir + "/qp_in.json";
     const std::string out_path = dir + "/qp_out.json";
@@ -543,10 +682,6 @@ class QpSolver {
     return out->status == 0 ? 0 : out->status;
   }
 
- protected:
-  virtual std::string SolverName() const = 0;
-
- private:
   static std::string TempDir() {
     const char* t = std::getenv("TMPDIR");
     std::string base = t ? t : "/tmp";
@@ -585,6 +720,8 @@ class QpSolver {
 
   Json opts_ = Json::Object();
   std::vector<double> lam0_tree_;
+  SolverSession session_;
+  bool one_shot_ = false;
 };
 
 class TdunesSolver : public QpSolver {
