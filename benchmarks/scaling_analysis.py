@@ -24,7 +24,7 @@ mean hardware scaling:
    and validates only that the collectives compile and execute.
 
 Run: python -m benchmarks.scaling_analysis [--skip-virtual]
-Writes benchmarks/results/scaling_round3.jsonl.
+Writes benchmarks/results/scaling_round4.jsonl.
 """
 
 from __future__ import annotations
@@ -97,7 +97,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-virtual", action="store_true")
     ap.add_argument("--out",
-                    default="benchmarks/results/scaling_round3.jsonl")
+                    default="benchmarks/results/scaling_round4.jsonl")
     args = ap.parse_args(argv)
 
     rows = []
@@ -107,6 +107,24 @@ def main(argv=None):
     rows.append({"kind": "model", **model(2, MD**NR, "dcn"),
                  "note": "2 hosts over DCN (v5e pods ride ICI intra-pod; "
                          "this is the conservative cross-pod bound)"})
+    # round-4 HLO audit (tests/test_hlo_audit.py, treeqp_tpu/parallel/
+    # hlo_audit.py): the GSPMD auto-partitioned jit path as COMPILED moves
+    # ~6.37 MB/iter on the headline tree — ~85x this model's minimal
+    # count (chain-shaped gathers around lane-layout transposes,
+    # full-width reduction workspaces, crown-shaped contribution
+    # all-reduces), i.e. a ~32% comm share at ICI bandwidth. The model
+    # row above is the MINIMAL boundary traffic the algorithm needs (and
+    # what an explicit shard_map port of the iteration pays); the audited
+    # row is what jit+GSPMD produces today. Weak-scaling predictions from
+    # the model apply to the shard_map design point, not the audited jit
+    # path.
+    audited = 6_367_656
+    rows.append({"kind": "hlo-audit", "devices": 8, "scenarios": MD**NR,
+                 "link": "ici", "collective_bytes_per_iter": audited,
+                 "comm_time_us": round(audited / ICI_BW * 1e6, 2),
+                 "comm_share_of_iter": round(audited / ICI_BW / T_ITER_F32, 3),
+                 "note": "GSPMD-auto jit path, compiled at 256 scenarios "
+                         "on an 8-device mesh; see tests/test_hlo_audit.py"})
 
     if not args.skip_virtual:
         # virtual-device measurement (labeled: shared-core-confounded)
