@@ -118,6 +118,7 @@ def bench_opts(on_tpu):
     # 1e-12-quality convergence in ~12 iters at ~2% per-solve cost.
     refine = int(os.environ.get("TREEQP_BENCH_REFINE", "2"))
     ptol = float(os.environ.get("TREEQP_BENCH_PTOL", "1e-4"))
+    patience = int(os.environ.get("TREEQP_BENCH_PATIENCE", "3"))
 
     return TdunesOpts(stage_solver="clipping", tol=TOL, max_iter=120,
                       # TPU speed path: f32 factorization + pallas chain
@@ -140,6 +141,7 @@ def bench_opts(on_tpu):
                       # f64 is the dominant per-op cost; the final phase
                       # needs ~2 iters)
                       f32_phase_tol=ptol if on_tpu else 0.0,
+                      f32_patience=patience,
                       # run that final phase in df64 (two-f32 double-float)
                       # arithmetic instead of XLA-emulated f64: same Newton
                       # semantics at f32 op cost (solvers/ms_df64.py)

@@ -31,6 +31,7 @@ def problem():
     return qp, split_multistage(qp)
 
 
+@pytest.mark.slow
 def test_bench_opts_match_f64_xla(problem):
     """The full bench pipeline (pallas interpret + f32 phase + refinement)
     agrees with the plain f64/xla path."""
@@ -45,6 +46,7 @@ def test_bench_opts_match_f64_xla(problem):
     assert float(jnp.max(jnp.abs(out.u - out_ref.u))) < 1e-6
 
 
+@pytest.mark.slow
 def test_df64_phase_matches_f64(problem):
     """The df64 (two-f32 double-float) final phase reproduces the native
     f64 phase: same Newton semantics, solution to ~1e-9, KKT <= 1e-8
@@ -63,6 +65,7 @@ def test_df64_phase_matches_f64(problem):
     assert float(jnp.max(jnp.abs(out.lam - out_ref.lam))) < 1e-7
 
 
+@pytest.mark.slow
 def test_two_phase_equals_single_phase_solution(problem):
     """f32_phase_tol only changes the iteration schedule, not the answer."""
     qp, ms = problem

@@ -12,9 +12,10 @@ from treeqp_tpu.ops import crown_kernels as ckr
 
 
 @pytest.mark.parametrize("md,Nr,Nh,nx,nu", [
-    (4, 4, 4, 8, 1),   # bench crown topology
+    # bench crown topology (85 lambda-groups: the big compile, slow-marked)
+    pytest.param(4, 4, 4, 8, 1, marks=pytest.mark.slow),
     (3, 2, 3, 4, 1),
-    (2, 3, 5, 5, 2),
+    pytest.param(2, 3, 5, 5, 2, marks=pytest.mark.slow),
 ])
 def test_crown_factor_solve_matches_xla(md, Nr, Nh, nx, nu):
     topo = TreeStructure.multistage(md=md, Nr=Nr, Nh=Nh, nx=nx, nu=nu)

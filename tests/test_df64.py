@@ -101,6 +101,7 @@ def test_mul_f32_add_f32():
     assert rel.max() < 1e-13
 
 
+@pytest.mark.slow
 def test_df64_newton_step_matches_f64_loop():
     """Per-iteration trajectory equivalence of the df64 phase (SURVEY 7
     hard-part 6 / SAVE_DATA analog): ONE Newton step of the df64 loop

@@ -12,6 +12,7 @@ Kernels under test (the launch-latency fusion ladder, BENCH_NOTES):
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ def test_chain_eval_matches_unfused():
     assert float(jnp.max(jnp.abs(out["res_part"] - res_ref))) < 1e-6
 
 
+@pytest.mark.slow
 def test_chain_blocks_factor_variants_agree():
     qp, ms = _problem()
     rng = np.random.default_rng(2)

@@ -22,6 +22,7 @@ def test_crane_closed_loop_tracks_reference():
     assert np.all(np.abs(log.u) <= 0.5 + 1e-9)
 
 
+@pytest.mark.slow
 def test_quadcopter_closed_loop_stabilizes():
     m = quadcopter(md=2, Nr=2, Nh=8, seed=3)
     log = closed_loop_mpc(m, "tdunes", nsim=10)

@@ -126,6 +126,7 @@ def test_ipm_warm_start_cuts_iterations():
     assert int(warm.info["iter"]) * 2 <= int(cold.info["iter"])
 
 
+@pytest.mark.slow
 def test_ipm_mixed_precision_matches_f64():
     """The TPU speed path — f32 tree-Riccati factorization/solves with a
     full-precision finish (IpmOpts.factor_dtype) — must reproduce the f64

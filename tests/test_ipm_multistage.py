@@ -74,6 +74,7 @@ def test_warm_start_cuts_iterations(problem):
     assert int(warm[2]["iter"]) < int(cold[2]["iter"])
 
 
+@pytest.mark.slow
 def test_pallas_riccati_kernels(problem):
     """The lane-batched Pallas chain-Riccati path (interpret mode on CPU)
     must agree with the XLA scan path and reach the tolerance with f32
@@ -90,6 +91,7 @@ def test_pallas_riccati_kernels(problem):
     assert float(jnp.max(jnp.abs(out.x - out_ref.x))) < 1e-7
 
 
+@pytest.mark.slow
 def test_ipm_ms_sharded_matches_unsharded():
     """The multistage IPM under a scenario-sharded mesh (GSPMD inserts the
     chain<->crown collectives) must match the unsharded solve — the same
@@ -112,6 +114,7 @@ def test_ipm_ms_sharded_matches_unsharded():
     assert float(jnp.max(jnp.abs(full_s.x - full.x))) < 1e-11
 
 
+@pytest.mark.slow
 def test_closed_loop_ipm_ms():
     """The multistage IPM in the closed-loop harness: warm-started steps
     must converge in fewer iterations than the cold first step, with zero
@@ -125,6 +128,7 @@ def test_closed_loop_ipm_ms():
     assert log.iters[1:].max() < log.iters[0]
 
 
+@pytest.mark.slow
 def test_pallas_riccati_multi_tile():
     """S > 128 exercises the lane-tiled grid of the chain-Riccati kernels
     (regression: per-tile scratch must be tile-width, not full-width)."""
@@ -180,6 +184,7 @@ def test_general_rows_match_generic_ipm(general_problem):
     assert float(jnp.max(jnp.abs(out.mu_d))) > 1e-6
 
 
+@pytest.mark.slow
 def test_general_rows_mixed_precision(general_problem):
     """The f32-phase + refinement speed path on the general-row instance
     still meets the KKT bar (dense chain Riccati in f32)."""

@@ -97,6 +97,7 @@ def test_mixed_constraint_multipliers_exported(constrained_qp):
     assert float(jnp.max(jnp.abs(out.mu_d))) > 1e-8  # some row is active
 
 
+@pytest.mark.slow
 def test_qpgen_hotstart_same_solution():
     """Working-set hotstart (dual_Newton_tree_qpoases.c:312-356): a solve
     hotstarted from another instance's final working sets returns the

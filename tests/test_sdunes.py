@@ -13,6 +13,7 @@ starts for its spring_mass example for the same reason (spring_mass.c:76-83).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from treeqp_tpu import max_kkt_residual
 from treeqp_tpu.solvers.sdunes import (
@@ -143,6 +144,7 @@ def test_spring_mass_tightened_via_bootstrap():
     assert float(max_kkt_residual(qp, out)) < 1e-8
 
 
+@pytest.mark.slow
 def test_exact_dual_recovery_branchy_tree():
     """With the full tree solution, scenario_duals_from_tree recovers the
     copy duals exactly (per-scenario adjoint recursion for mu, telescoped
@@ -184,6 +186,7 @@ def _speed_opts():
                       reg_value=1e-6)
 
 
+@pytest.mark.slow
 def test_sdunes_speed_path_matches_plain():
     """Two-phase + Pallas chain kernels + CR Jay == plain f64 sdunes on a
     constrained instance (same trajectories, KKT bar met)."""
@@ -205,6 +208,7 @@ def test_sdunes_speed_path_matches_plain():
     assert float(jnp.max(jnp.abs(out.u - out_r.u))) < 1e-6
 
 
+@pytest.mark.slow
 def test_sdunes_sharded_matches_unsharded():
     """sdunes under a scenario-sharded mesh (GSPMD inserts the boundary
     exchanges + reductions) must match the unsharded solve — the same

@@ -102,6 +102,7 @@ GENERIC_SPEED_OPTS = TdunesOpts(
     f32_phase_tol=1e-4)
 
 
+@pytest.mark.slow
 def test_generic_two_phase_asymmetric_tree():
     """Two-phase + crown kernels on the thesis-example-class ASYMMETRIC
     tree matches the plain f64 XLA path (the reference's speed substrate
@@ -140,6 +141,7 @@ def test_generic_two_phase_asymmetric_tree():
     assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-6
 
 
+@pytest.mark.slow
 def test_generic_two_phase_pruned_tree():
     """Two-phase + crown kernels on a PRUNED (fault-tolerance-class)
     scenario tree: prune a multistage tree to 5 scenarios (asymmetric

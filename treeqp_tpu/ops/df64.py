@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "Df", "from_f64", "to_f64", "from_f32", "zeros_like",
@@ -42,7 +43,10 @@ __all__ = [
     "dot", "where", "clip", "less", "scale_pow2",
 ]
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 (Veltkamp split for f32)
+# 2^12 + 1 (Veltkamp split for f32). np scalar, not jnp: a jnp
+# constant becomes a captured array when these ops trace inside a
+# Pallas kernel (ops/df_eval_kernels.py), which pallas_call rejects.
+_SPLITTER = np.float32(4097.0)
 
 
 class Df(NamedTuple):

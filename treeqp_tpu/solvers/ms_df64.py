@@ -339,12 +339,72 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
     lam_cr0 = _mask(to_df(lam0_crown), nrxm)
     lam_ch0 = to_df(lam0_chain)
 
+    # fully-fused df64 evaluation: chain + crown stage solves, residuals
+    # and dual-value partials in TWO Pallas launches per evaluation
+    # (ops/df_eval_kernels.py) instead of the ~dozens of XLA fusions the
+    # unfused df sequences compile to — the df64 phase analog of the f32
+    # loop's chain_eval/crown_eval fusion.
+    from treeqp_tpu.ops import df_eval_kernels as dek
+    fused_eval = (opts.chain_backend == "pallas"
+                  and opts.stage_solver == "clipping"
+                  and opts.factor_dtype == "float32"
+                  and dek.crown_eval_df_supported(prep_cr)
+                  # hardware only: Pallas interpret mode (CPU) contracts
+                  # FP expressions (FMA/reassociation), breaking the
+                  # error-free transforms the df64 ops rely on; on TPU the
+                  # kernels match the unfused path to ~1e-15 (see
+                  # tests/test_df_eval_kernels.py)
+                  and jax.default_backend() in ("tpu", "axon"))
+    if fused_eval:
+        data_ch = dek.chain_eval_df_data(
+            ms.A, ms.B, ms.q, ms.r, ms.Qd, ms.Rd, ms.xmin, ms.xmax,
+            ms.umin, ms.umax, ms.b)
+        xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
+        data_cr = dek.crown_eval_df_data(ms.crown, prep_cr, xm_cr, um_cr,
+                                         nrxm_cr)
+        NPc = data_cr["ABt"][0].shape[2]
+        nz_ch = ms.A.shape[-1] + ms.B.shape[-1]
+        # root-edge dynamics transposed for the res_part j=0 completion
+        ab0t = df.from_f64(jnp.concatenate(
+            [ms.A.swapaxes(2, 3), ms.B.swapaxes(2, 3)], axis=2)[:, 0])
+        S_ch = ms.b.shape[0]
+        L_ch = ms.b.shape[1]
+
+    def _lane_to_nodes(v: Df, n_keep) -> Df:
+        return Df(jnp.transpose(v.hi[..., :n_keep], (2, 0, 1)),
+                  jnp.transpose(v.lo[..., :n_keep], (2, 0, 1)))
+
+    def fused_stage_solve(lam_cr, lam_ch):
+        ch = dek.chain_eval_df(data_ch, lam_ch)
+        zh = jnp.zeros((nz_ch, NPc), f32)
+        extra = Df(zh.at[:, rid].set(ch["cqr"].hi.T),
+                   zh.at[:, rid].set(ch["cqr"].lo.T))
+        cr = dek.crown_eval_df(data_cr, lam_cr, extra)
+        return cr, ch
+
+    def fused_residuals(cr, ch):
+        res_cr = cr["res"]
+        zr = _cat([Df(cr["x"].hi[rid], cr["x"].lo[rid]),
+                   Df(cr["u"].hi[rid], cr["u"].lo[rid])], 1)  # [S, nz]
+        a0z = _contract(ab0t, zr, axis=1)                     # [S, nx]
+        row0 = df.add(ch["res_part"][:, 0], a0z)
+        res_ch = Df(
+            jnp.concatenate([row0.hi[:, None], ch["res_part"].hi[:, 1:]], 1),
+            jnp.concatenate([row0.lo[:, None], ch["res_part"].lo[:, 1:]], 1))
+        return res_cr, res_ch
+
     def compute_residuals(lam_cr, lam_ch):
+        if fused_eval:
+            cr, ch = fused_stage_solve(lam_cr, lam_ch)
+            res_cr, res_ch = fused_residuals(cr, ch)
+            return cr, ch, res_cr, res_ch
         cr, ch = df_stage_solve(dd, meta, prep_cr, lam_cr, lam_ch)
         res_cr, res_ch = df_residuals(dd, meta, prep_cr, cr, ch)
         return cr, ch, res_cr, res_ch
 
     def residuals_of(cr, ch):
+        if fused_eval:
+            return fused_residuals(cr, ch)
         return df_residuals(dd, meta, prep_cr, cr, ch)
 
     def error_of(res_cr, res_ch):
@@ -354,8 +414,31 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         sq = jnp.sum(res_cr.hi ** 2) + jnp.sum(res_ch.hi ** 2)
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
+    def dual_value_of(lam_cr, lam_ch, cr, ch):
+        if fused_eval:
+            # per-lane partials came out of the eval kernels; one fused
+            # df tree-sum finishes the reduction
+            return _sum_terms([cr["fcr"], ch["fch"]])
+        return df_dual_value(dd, lam_cr, lam_ch, cr, ch)
+
+    def _apply_M_of(cr, ch):
+        """df_apply_M view of the carried stage solution (the fused path
+        carries chain qt/rt in kernel lane layout; the transposes fuse
+        into the df multiplies)."""
+        if not fused_eval:
+            return cr, ch
+        ch2 = dict(ch, qt=_lane_to_nodes(ch["qt"], S_ch),
+                   rt=_lane_to_nodes(ch["rt"], S_ch))
+        return cr, ch2
+
     def factorize(cr, ch):
         # shared with the f64 loop; fused chain kernel on the Pallas path
+        if fused_eval:
+            # chain qt/rt already in the factor kernel's lane layout
+            return tm._ms_factorize(
+                ms, cr["qtilde"].hi, cr["rtilde"].hi, ch["qt"].hi,
+                ch["rt"].hi, opts, prep_cr, g_of, rows, nrxm, f32,
+                chain_lanes={"ABt": data_ch["ABt"][0]})
         return tm._ms_factorize(ms, cr["qtilde"].hi, cr["rtilde"].hi,
                                 ch["qt"].hi, ch["rt"].hi, opts, prep_cr,
                                 g_of, rows, nrxm, f32)
@@ -390,8 +473,10 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         solve = tm._make_ms_solve(fact, meta_ms, prep_cr, opts, f32, nrxm,
                                   g_of, rows, rid, crown_kind, fused)
 
+        cr_m, ch_m = _apply_M_of(cr, ch)
+
         def refine_resid(dcr, dch):
-            mcr, mch = df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch)
+            mcr, mch = df_apply_M(dd, meta, prep_cr, cr_m, ch_m, dcr, dch)
             return df.sub(res_cr, mcr), df.sub(res_ch, mch)
 
         dlam_cr, dlam_ch = solve(res_cr.hi, res_ch.hi)
@@ -443,8 +528,11 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
 
         def f_at(tau):
             lc, lh = lam_at(tau)
-            cr2, ch2 = df_stage_solve(dd, meta, prep_cr, lc, lh)
-            return df_dual_value(dd, lc, lh, cr2, ch2), cr2, ch2
+            if fused_eval:
+                cr2, ch2 = fused_stage_solve(lc, lh)
+            else:
+                cr2, ch2 = df_stage_solve(dd, meta, prep_cr, lc, lh)
+            return dual_value_of(lc, lh, cr2, ch2), cr2, ch2
 
         # noise-aware Armijo (Hager-Zhang-style approximate descent): the
         # df64 dual value carries ~sqrt(Nterms) * 2^-48 relative noise, so
@@ -557,10 +645,19 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
 
     cr0, ch0, rc0, rh0 = compute_residuals(lam_cr0, lam_ch0)
     err0 = error_of(rc0, rh0)
-    f0_init = df_dual_value(dd, lam_cr0, lam_ch0, cr0, ch0)
+    f0_init = dual_value_of(lam_cr0, lam_ch0, cr0, ch0)
     sig0 = active_sig(cr0, ch0)
     if handover is not None:
         fact_h, sig_h = handover
+        if fused_eval:
+            # the coarse phase exports its chain sigs in node layout
+            # [S, L, n]; the fused df64 path keeps them in kernel lane
+            # layout [L, n, S_pad] — relayout once for the pattern compare
+            def to_lane(v):
+                t = jnp.transpose(v, (1, 2, 0))
+                pad = sig0[2].shape[-1] - t.shape[-1]
+                return jnp.pad(t, ((0, 0), (0, 0), (0, pad)))
+            sig_h = (sig_h[0], sig_h[1], to_lane(sig_h[2]), to_lane(sig_h[3]))
         fact0 = jax.lax.cond(tm._pattern_equal(sig0, sig_h),
                              lambda: fact_h, lambda: factorize(cr0, ch0))
     else:
@@ -572,7 +669,25 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
     (lam_cr, lam_ch, it, err, status, _, ls_it), (cr, ch, _, _), _, _, _ = \
         jax.lax.while_loop(cond, body, init)
 
-    # convert to the f64 shapes _ms_newton_loop returns
+    # convert to the f64 shapes _ms_newton_loop returns (the fused path
+    # keeps chain qt/rt/xUnc/uUnc in kernel lane layout and the dual-value
+    # partials in the dicts — normalize/drop once at exit)
+    if fused_eval:
+        ch = dict(ch, qt=_lane_to_nodes(ch["qt"], S_ch),
+                  rt=_lane_to_nodes(ch["rt"], S_ch),
+                  xUnc=_lane_to_nodes(ch["xUnc"], S_ch),
+                  uUnc=_lane_to_nodes(ch["uUnc"], S_ch))
+        ch.pop("fch", None)
+        ch.pop("cqr", None)
+        ch.pop("res_part", None)
+        cr = dict(cr)
+        cr.pop("fcr", None)
+        cr.pop("res", None)
+        Nc = meta_ms.crown_topo.Nn
+        trc = lambda v: Df(jnp.transpose(v.hi[:, :Nc], (1, 0)),
+                           jnp.transpose(v.lo[:, :Nc], (1, 0)))
+        cr["xUnc"] = trc(cr["xUnc"])
+        cr["uUnc"] = trc(cr["uUnc"])
     cr64 = {k: df.to_f64(v) for k, v in cr.items()}
     ch64 = {k: df.to_f64(v) for k, v in ch.items()}
     return (df.to_f64(lam_cr), df.to_f64(lam_ch), it, status, ls_it,

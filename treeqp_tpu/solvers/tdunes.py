@@ -128,6 +128,15 @@ class TdunesOpts:
     # tolerance. Same Newton iterations, same final accuracy. Requires f64
     # data + factor_dtype=float32; 0 disables.
     f32_phase_tol: float = 0.0
+    # Coarse-phase stall patience: exit the f32 phase after this many
+    # consecutive iterations without a >=10% residual improvement. The f32
+    # Armijo noise floor (~sqrt(eps_f32)-scale stationarity) sits ABOVE
+    # f32_phase_tol on large trees, so the coarse phase usually ends on
+    # this stall exit; every patience iteration past the first detection
+    # is wasted work the high-precision phase redoes anyway (measured:
+    # patience 3 -> 1 cuts ~2 no-progress f32 iterations per cold solve
+    # on the headline tree at identical final accuracy).
+    f32_patience: int = 3
     # Run the multistage solver's high-precision phase in df64 (two-f32
     # double-float) arithmetic instead of XLA's emulated f64: same Newton
     # semantics (solvers/ms_df64.py) at f32 op cost — the emulated-f64
@@ -1243,7 +1252,8 @@ def _tdunes_solve_jit(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts(),
             record_history=False)
         histA = (jnp.zeros((1,), jnp.float32), jnp.zeros((1,), jnp.int32))
         lamA, it0, _, _, _, _, wsA = _td_newton_loop(
-            qp32, lam0.astype(jnp.float32), optsA, it0, histA, patience=3)
+            qp32, lam0.astype(jnp.float32), optsA, it0, histA,
+            patience=opts.f32_patience)
         # f32-phase status is discarded: a not-descent there is expected
         # noise near the f32 residual floor, not a failure
         lam0 = lamA.astype(dt) * nrxm

@@ -980,7 +980,8 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
             ls_batch=opts.ls_batch if opts.ls_batch > 0 else 4)
         lamA_cr, lamA_ch, it0, _, _, _, _, _, handover = _ms_newton_loop(
             ms32, lam0_crown.astype(jnp.float32),
-            lam0_chain.astype(jnp.float32), optsA, it0, patience=3)
+            lam0_chain.astype(jnp.float32), optsA, it0,
+            patience=opts.f32_patience)
         # f32-phase status is discarded: a not-descent there is expected
         # noise near the f32 residual floor, not a failure
         lam0_crown = lamA_cr.astype(dt)
@@ -1004,7 +1005,9 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
     chain_out = dict(x=ch["x"], u=ch["u"], lam=lam_ch,
                      mu_x=ms.Qd * (ch["xUnc"] - ch["x"]),
                      mu_u=ms.Rd * (ch["uUnc"] - ch["u"]))
-    info = dict(iter=it, status=status, error=err, ls_iter=ls_it)
+    # iter_f32 = coarse-phase share of iter (phase-split diagnostics)
+    info = dict(iter=it, status=status, error=err, ls_iter=ls_it,
+                iter_f32=it0)
     return crown_out, chain_out, info
 
 
