@@ -1,0 +1,191 @@
+"""System-level TPU benchmark for general-constraint (C/D-row) trees
+(VERDICT r3 #4).
+
+The reference treats general stage QPs as a first-class tdunes
+configuration (qpOASES nodes inside the dual Newton,
+dual_Newton_tree_qpoases.c:401-476) and its tree IPM handles C/D rows
+natively (hpipm_tree.c:376-379). This benchmark runs BOTH engines on the
+SAME 256-scenario quadcopter-class tree with general rows, end to end on
+the TPU, with per-solve convergence asserted and the KKT oracle
+certifying the solution:
+
+* ``tdunes_qpgen``  — dual Newton with the batched general stage-QP
+  solver on every node (ADMM identify -> PDAS -> exact polish,
+  f32-factored working sets);
+* ``tdunes_mixed``  — general rows on every third node, clipping
+  elsewhere (per-node solver dispatch);
+* ``ipm_ms``        — the multistage IPM with dense barrier blocks
+  through the batched chain Riccati.
+
+One mode per subprocess (the remote-TPU session supports one large
+compiled program per process — BENCH_NOTES.md). Writes
+benchmarks/results/general_cd_r4.jsonl when run as a module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_dims = os.environ.get("TREEQP_CD_DIMS")  # "md,Nr,Nh,nm" override (smoke tests)
+if _dims:
+    MD, NR, NH, NM = (int(v) for v in _dims.split(","))
+else:
+    MD, NR, NH, NM = 4, 4, 20, 4   # 256 scenarios, 4437 nodes (bench.py tree)
+CHAIN_R = int(os.environ.get("TREEQP_CD_CHAIN", "4"))
+NREP = int(os.environ.get("TREEQP_CD_NREP", "2"))
+TOL = 1e-8
+
+MODES = ("tdunes_qpgen", "tdunes_mixed", "ipm_ms")
+
+
+def build(mode):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from benchmarks.models import spring_mass_chain, with_general_rows
+    from treeqp_tpu.utils.tree import TreeStructure
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        qp0, _ = spring_mass_chain(nm=NM, md=MD, Nr=NR, Nh=NH)
+        if mode == "tdunes_mixed":
+            # rows on every third node only (clipping handles the rest)
+            topo0 = qp0.topo
+            nc = tuple(1 if (i % 3 == 0 and i > 0) else 0
+                       for i in range(topo0.Nn))
+            topo = TreeStructure.from_parent(topo0.parent, topo0.nx,
+                                             topo0.nu, nc)
+            Nn, ncm = topo.Nn, topo.ncm
+            C = np.zeros((Nn, ncm, topo.nxm))
+            D = np.zeros((Nn, ncm, topo.num))
+            dmin = np.full((Nn, ncm), -1e12)
+            dmax = np.full((Nn, ncm), 1e12)
+            for i in range(Nn):
+                if nc[i]:
+                    C[i, 0, :topo.nx[i]] = 1.0
+                    D[i, 0, :topo.nu[i]] = 0.5
+                    dmin[i, 0], dmax[i, 0] = -0.6, 0.6
+            qp = qp0.replace(C=jnp.asarray(C), D=jnp.asarray(D),
+                             dmin=jnp.asarray(dmin), dmax=jnp.asarray(dmax),
+                             topo=topo)
+        else:
+            qp = with_general_rows(qp0, cmax=0.6)
+    return qp
+
+
+def run_mode(mode):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from treeqp_tpu.core.kkt import max_kkt_residual
+
+    qp = build(mode)
+    dev = jax.devices()[0]
+    qp = jax.device_put(qp, dev)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    if mode.startswith("tdunes"):
+        from treeqp_tpu.solvers.tdunes import TdunesOpts, tdunes_solve
+        opts = TdunesOpts(
+            stage_solver="qpgen" if mode == "tdunes_qpgen" else "mixed",
+            tol=TOL, max_iter=150,
+            factor_dtype="float32" if on_tpu else "same",
+            refine_steps=1 if on_tpu else 0, refine_safeguard=False,
+            qpgen_factor_dtype="float32" if on_tpu else "same",
+            reg_type="always" if on_tpu else "on_the_fly", reg_value=1e-6)
+
+        def solve(qp2):
+            out = tdunes_solve(qp2, None, opts)
+            return (out.info["iter"], out.info["error"], out.info["status"],
+                    max_kkt_residual(qp2, out))
+    else:
+        from treeqp_tpu.solvers.ipm import IpmOpts
+        from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
+        from treeqp_tpu.solvers.tdunes_multistage import (
+            split_multistage, merge_output)
+        opts = IpmOpts(tol=TOL, max_iter=60,
+                       factor_dtype="float32" if on_tpu else "same",
+                       refine_steps=1 if on_tpu else 0,
+                       chain_backend="pallas" if on_tpu else "xla")
+        with jax.default_device(jax.devices("cpu")[0]):
+            ms0 = split_multistage(build(mode))
+        ms0 = jax.device_put(ms0, dev)
+
+        def solve(qp2_ms, qp2):
+            cro, cho, info = ipm_ms_solve(qp2_ms, opts)
+            out = merge_output(qp2_ms, cro, cho, info)
+            return (info["iter"], jnp.max(info["res4"]), info["status"],
+                    max_kkt_residual(qp2, out))
+
+    @jax.jit
+    def run_chain(seed):
+        def body(carry, k):
+            eps = 1e-6 * (k + 1.0) * seed
+            qp2 = dataclasses.replace(qp, b=qp.b + eps)
+            if mode == "ipm_ms":
+                obj = dataclasses.replace(
+                    ms0, b=ms0.b + eps,
+                    crown=dataclasses.replace(ms0.crown, b=ms0.crown.b + eps))
+                it, err, st, kkt = solve(obj, qp2)
+            else:
+                it, err, st, kkt = solve(qp2)
+            return carry + it, (err, st, kkt)
+        tot, (errs, stats, kkts) = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32),
+            jnp.arange(CHAIN_R, dtype=qp.q.dtype))
+        return tot, errs, stats, kkts
+
+    tot, errs, stats, kkts = jax.block_until_ready(run_chain(np.float64(1)))
+    times = []
+    for k in range(NREP):
+        t0 = time.perf_counter()
+        tot, errs, stats, kkts = jax.block_until_ready(
+            run_chain(np.float64(k + 2)))
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    stats = np.asarray(stats)
+    kkts = np.asarray(kkts)
+    assert np.all(stats == 0), f"{mode}: non-optimal solves {stats}"
+    assert np.all(kkts < TOL), f"{mode}: KKT above tol {kkts}"
+    print(json.dumps({
+        "mode": mode, "device": str(dev), "nodes": int(qp.topo.Nn),
+        "scenarios": MD**NR, "nc_rows": int(np.sum(np.asarray(qp.topo.nc))),
+        "solve_ms": round(t / CHAIN_R * 1e3, 2),
+        "iters_per_solve": round(int(tot) / CHAIN_R, 2),
+        "iters_per_sec": round(int(tot) / t, 1),
+        "max_kkt": float(kkts.max()),
+        "chain": CHAIN_R, "nrep": NREP}))
+
+
+def main():
+    rows = []
+    for mode in MODES:
+        env = dict(os.environ, TREEQP_CD_MODE=mode)
+        r = subprocess.run([sys.executable, "-m",
+                            "benchmarks.general_cd_bench"],
+                           env=env, capture_output=True, text=True,
+                           timeout=5400)
+        out = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if out:
+            print(out[-1])
+            rows.append(json.loads(out[-1]))
+        else:
+            print(f"{mode}: FAILED\n{r.stdout[-2000:]}{r.stderr[-2000:]}")
+    with open("benchmarks/results/general_cd_r4.jsonl", "w") as f:
+        for r_ in rows:
+            f.write(json.dumps(r_) + "\n")
+
+
+if __name__ == "__main__":
+    mode = os.environ.get("TREEQP_CD_MODE")
+    if mode:
+        run_mode(mode)
+    else:
+        main()

@@ -105,3 +105,51 @@ def test_crown_eval_df_and_residuals_match_unfused(setup):
     # dual value from the in-kernel partials
     fsum = md._sum_terms([cr["fcr"], ch["fch"]])
     assert abs(float(df.to_f64(fsum)) - float(df.to_f64(f0))) < TOL
+
+
+def test_apply_kernels_match_df_apply_M(setup):
+    ms, prep, dd, meta, rid, lam_cr, lam_ch = setup
+    cr0, ch0 = md.df_stage_solve(dd, meta, prep, lam_cr, lam_ch)
+    dcr = (0.1 * jax.random.normal(jax.random.PRNGKey(2), lam_cr.hi.shape)
+           ).astype(jnp.float32) * dd["nrxm"]
+    dch = (0.1 * jax.random.normal(jax.random.PRNGKey(3), lam_ch.hi.shape)
+           ).astype(jnp.float32)
+    mcr0, mch0 = md.df_apply_M(dd, meta, prep, cr0, ch0, dcr, dch)
+
+    data_ch = dek.chain_eval_df_data(
+        ms.A, ms.B, ms.q, ms.r, ms.Qd, ms.Rd, ms.xmin, ms.xmax,
+        ms.umin, ms.umax, ms.b)
+    xm, um, nrxm = td._masks(ms.crown)
+    data_cr = dek.crown_eval_df_data(ms.crown, prep, xm, um, nrxm)
+    ch = dek.chain_eval_df(data_ch, lam_ch)
+    NPc = data_cr["ABt"][0].shape[2]
+    nz = ms.A.shape[-1] + ms.B.shape[-1]
+    zh = jnp.zeros((nz, NPc), jnp.float32)
+    extra0 = df.Df(zh.at[:, rid].set(ch["cqr"].hi.T),
+                   zh.at[:, rid].set(ch["cqr"].lo.T))
+    cr = dek.crown_eval_df(data_cr, lam_cr, extra0)
+
+    cha = dek.chain_apply_df(data_ch, ch["qt"], ch["rt"], dch)
+    extra = df.Df(zh.at[:, rid].set(cha["cqr"].hi.T),
+                  zh.at[:, rid].set(cha["cqr"].lo.T))
+
+    def lane(v):
+        pad = NPc - v.hi.shape[0]
+        t = lambda w: jnp.pad(jnp.transpose(w, (1, 0)), ((0, 0), (0, pad)))
+        return df.Df(t(v.hi), t(v.lo))
+
+    cra = dek.crown_apply_df(data_cr, lane(cr["qtilde"]),
+                             lane(cr["rtilde"]), dcr, extra)
+    mcr = df.neg(cra["res"])
+    zr = md._cat([df.Df(cra["xl"].hi[rid], cra["xl"].lo[rid]),
+                  df.Df(cra["ul"].hi[rid], cra["ul"].lo[rid])], 1)
+    ab0t = df.from_f64(jnp.concatenate(
+        [ms.A.swapaxes(2, 3), ms.B.swapaxes(2, 3)], axis=2)[:, 0])
+    a0z = md._contract(ab0t, zr, axis=1)
+    row0 = df.add(cha["res_part"][:, 0], a0z)
+    res_lin = df.Df(
+        jnp.concatenate([row0.hi[:, None], cha["res_part"].hi[:, 1:]], 1),
+        jnp.concatenate([row0.lo[:, None], cha["res_part"].lo[:, 1:]], 1))
+    mch = df.neg(res_lin)
+    assert _dmax(mcr, mcr0) < TOL
+    assert _dmax(mch, mch0) < TOL

@@ -226,6 +226,94 @@ def chain_eval_df(data_l, lam: Df):
 
 
 # ---------------------------------------------------------------------------
+# chain side: Hessian action (iterative-refinement apply)
+
+
+def chain_apply_df(data_l, qt: Df, rt: Df, dch):
+    """Fused df64 chain part of the dual-Hessian action M d
+    (mirror of ms_df64.df_apply_M's chain half): linear stage response
+    xl = qt (d - A'd_up), ul = rt (-B'd_up), its linearized chain
+    residual (j=0 row missing the crown term, like chain_eval_df), and
+    the root contributions of d into the crown.
+
+    ``qt``/``rt``: Df in kernel lane layout (straight from
+    chain_eval_df). ``dch``: plain f32 ``[S, L, nx]``. Returns
+    res_part ``[S, L, nx]`` node-layout Df, cqr Df ``[S, nz]``, and
+    xl/ul (lane layout Df) for the caller's root completion."""
+    ABh, ABl = data_l["ABt"]
+    L, nx, nz, S_pad = ABh.shape
+    S = dch.shape[0]
+    nu = nz - nx
+    d_l = _pad_s(jnp.transpose(dch.astype(jnp.float32), (1, 2, 0)), S_pad)
+
+    def kernel(ABh_ref, ABl_ref, qth, qtl, rth, rtl, d_ref,
+               xlh_o, xll_o, ulh_o, ull_o, resh_o, resl_o,
+               cqrh_o, cqrl_o):
+        xl_prev = ul_prev = None
+        for j in range(L):
+            d_j = d_ref[j]                                # [nx, T] f32
+            qml = Df(d_j, jnp.zeros_like(d_j))
+            rml = Df(jnp.zeros((nu, d_j.shape[-1]), jnp.float32),
+                     jnp.zeros((nu, d_j.shape[-1]), jnp.float32))
+            if j < L - 1:
+                ABn = Df(ABh_ref[j + 1], ABl_ref[j + 1])
+                d_n = d_ref[j + 1]
+                up = df.mul_f32(ABn[0], d_n[0:1])
+                for row in range(1, nx):
+                    up = df.add(up, df.mul_f32(ABn[row], d_n[row:row + 1]))
+                qml = df.sub(qml, up[:nx])
+                rml = df.sub(rml, up[nx:])
+            xl = df.mul(Df(qth[j], qtl[j]), qml)
+            ul = df.mul(Df(rth[j], rtl[j]), rml)
+            xlh_o[j], xll_o[j] = xl.hi, xl.lo
+            ulh_o[j], ull_o[j] = ul.hi, ul.lo
+            res_j = df.neg(xl)
+            if j > 0:
+                ABj = Df(ABh_ref[j], ABl_ref[j])
+                for i in range(nx):
+                    res_j = df.add(res_j, df.mul(
+                        Df(ABj.hi[:, i], ABj.lo[:, i]),
+                        Df(xl_prev.hi[i:i + 1], xl_prev.lo[i:i + 1])))
+                for i in range(nu):
+                    res_j = df.add(res_j, df.mul(
+                        Df(ABj.hi[:, nx + i], ABj.lo[:, nx + i]),
+                        Df(ul_prev.hi[i:i + 1], ul_prev.lo[i:i + 1])))
+            resh_o[j], resl_o[j] = res_j.hi, res_j.lo
+            xl_prev, ul_prev = xl, ul
+        AB0 = Df(ABh_ref[0], ABl_ref[0])
+        cqr = df.mul_f32(AB0[0], d_ref[0][0:1])
+        for row in range(1, nx):
+            cqr = df.add(cqr, df.mul_f32(AB0[row], d_ref[0][row:row + 1]))
+        cqrh_o[...], cqrl_o[...] = cqr.hi, cqr.lo
+
+    sAB = pl.BlockSpec((L, nx, nz, _TS), lambda i: (0, 0, 0, i),
+                       memory_space=pltpu.VMEM)
+    s3 = lambda n: pl.BlockSpec((L, n, _TS), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+    scq = pl.BlockSpec((nz, _TS), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = [sAB, sAB, s3(nx), s3(nx), s3(nu), s3(nu), s3(nx)]
+    out_specs = (s3(nx), s3(nx), s3(nu), s3(nu), s3(nx), s3(nx), scq, scq)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(sh, jnp.float32) for sh in
+        ((L, nx, S_pad),) * 2 + ((L, nu, S_pad),) * 2
+        + ((L, nx, S_pad),) * 2 + ((nz, S_pad),) * 2)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel, grid=(S_pad // _TS,),
+            in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+            interpret=_interpret(),
+        )(ABh, ABl, qt.hi, qt.lo, rt.hi, rt.lo, d_l)
+    xlh, xll, ulh, ull, resh, resl, cqh, cql = outs
+    tr = lambda h, l: Df(jnp.transpose(h[..., :S], (2, 0, 1)),
+                         jnp.transpose(l[..., :S], (2, 0, 1)))
+    return dict(
+        xl=Df(xlh, xll), ul=Df(ulh, ull),
+        res_part=tr(resh, resl),
+        cqr=Df(jnp.transpose(cqh[..., :S], (1, 0)),
+               jnp.transpose(cql[..., :S], (1, 0))))
+
+
+# ---------------------------------------------------------------------------
 # crown side
 
 
@@ -449,3 +537,103 @@ def crown_eval_df(data, lam: Df, extra: Df):
         xUnc=Df(xUh, xUl), uUnc=Df(uUh, uUl),
         res=tr(resh, resl),
         fcr=Df(fh[0], fl[0]))
+
+
+# ---------------------------------------------------------------------------
+# crown side: Hessian action
+
+
+def crown_apply_df(data, qtilde: Df, rtilde: Df, dcr, extra: Df):
+    """Fused df64 crown part of M d (ms_df64.df_apply_M's crown half).
+
+    ``qtilde``/``rtilde``: Df lane layout ``[rows, NPc]`` (transpose of
+    crown_eval_df's node-layout outputs — the transposes fuse into this
+    call's operand preparation). ``dcr``: plain f32 ``[Nn, nxm]``
+    (pre-masked). ``extra``: Df ``[nz, NPc]`` chain root contributions of
+    the chain direction. Returns node-layout Df res (the linearized
+    masked residual) and xl/ul (node layout, for the chains' j=0
+    completion)."""
+    ABh, ABl = data["ABt"]
+    nxm, nz, NPc = ABh.shape
+    num = nz - nxm
+    Nn = dcr.shape[0]
+    K = data["P_kid"].shape[0]
+    d_l = jnp.pad(jnp.transpose(dcr.astype(jnp.float32), (1, 0)),
+                  ((0, 0), (0, NPc - Nn)))
+
+    def kernel(ABh_ref, ABl_ref, Pp_ref, Pk_ref, qth, qtl, rth, rtl,
+               xm_ref, um_ref, nr_ref, d_ref, exh, exl,
+               xlh_o, xll_o, ulh_o, ull_o, resh_o, resl_o):
+        ABd = Df(ABh_ref[...], ABl_ref[...])
+        d_m = d_ref[...]
+        xmk = xm_ref[...]
+        umk = um_ref[...]
+        nr = nr_ref[...]
+        rows = []
+        for i in range(nz):
+            acc = df.mul_f32(Df(ABd.hi[0, i][None], ABd.lo[0, i][None]),
+                             d_m[0:1])
+            for j in range(1, nxm):
+                acc = df.add(acc, df.mul_f32(
+                    Df(ABd.hi[j, i][None], ABd.lo[j, i][None]),
+                    d_m[j:j + 1]))
+            rows.append(acc)
+        AtBtL = Df(jnp.concatenate([a.hi for a in rows], axis=0),
+                   jnp.concatenate([a.lo for a in rows], axis=0))
+        sum_AB = Df(exh[...], exl[...])
+        for k in range(K):
+            Pk = Pk_ref[k]
+            gk = Df(jax.lax.dot(AtBtL.hi, Pk,
+                                precision=jax.lax.Precision.HIGHEST),
+                    jax.lax.dot(AtBtL.lo, Pk,
+                                precision=jax.lax.Precision.HIGHEST))
+            sum_AB = df.add(sum_AB, gk)
+        mA = lambda v: Df(v.hi * xmk, v.lo * xmk)
+        mB = lambda v: Df(v.hi * umk, v.lo * umk)
+        qml = df.sub(Df(d_m, jnp.zeros_like(d_m)), sum_AB[:nxm])
+        xl = mA(df.mul(Df(qth[...], qtl[...]), qml))
+        ul = mB(df.mul(Df(rth[...], rtl[...]), df.neg(sum_AB[nxm:])))
+        xlh_o[...], xll_o[...] = xl.hi, xl.lo
+        ulh_o[...], ull_o[...] = ul.hi, ul.lo
+        Pp = Pp_ref[...]
+        zh = jnp.concatenate([xl.hi, ul.hi], axis=0)
+        zl = jnp.concatenate([xl.lo, ul.lo], axis=0)
+        zp = Df(jax.lax.dot(zh, Pp, precision=jax.lax.Precision.HIGHEST),
+                jax.lax.dot(zl, Pp, precision=jax.lax.Precision.HIGHEST))
+        res_rows = []
+        for i in range(nxm):
+            acc = df.mul(Df(ABd.hi[i, 0][None], ABd.lo[i, 0][None]),
+                         Df(zp.hi[0:1], zp.lo[0:1]))
+            for c in range(1, nz):
+                acc = df.add(acc, df.mul(
+                    Df(ABd.hi[i, c][None], ABd.lo[i, c][None]),
+                    Df(zp.hi[c:c + 1], zp.lo[c:c + 1])))
+            res_rows.append(acc)
+        res = Df(jnp.concatenate([a.hi for a in res_rows], axis=0),
+                 jnp.concatenate([a.lo for a in res_rows], axis=0))
+        res = df.sub(res, xl)
+        resh_o[...], resl_o[...] = res.hi * nr, res.lo * nr
+
+    spec = lambda shape: pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    sv = lambda rows: spec((rows, NPc))
+    in_specs = ([spec((nxm, nz, NPc))] * 2
+                + [spec((NPc, NPc)), spec((K, NPc, NPc))]
+                + [sv(nxm), sv(nxm), sv(num), sv(num)]
+                + [sv(nxm), sv(num), sv(nxm), sv(nxm)]
+                + [sv(nz), sv(nz)])
+    out_specs = (sv(nxm), sv(nxm), sv(num), sv(num), sv(nxm), sv(nxm))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((rows, NPc), jnp.float32) for rows in
+        (nxm, nxm, num, num, nxm, nxm))
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, interpret=_interpret(),
+        )(ABh, ABl, data["P_par"], data["P_kid"], qtilde.hi, qtilde.lo,
+          rtilde.hi, rtilde.lo, data["xm"], data["um"], data["nrxm"],
+          d_l, extra.hi, extra.lo)
+    xlh, xll, ulh, ull, resh, resl = outs
+    tr = lambda h, l: Df(jnp.transpose(h[:, :Nn], (1, 0)),
+                         jnp.transpose(l[:, :Nn], (1, 0)))
+    return dict(xl=tr(xlh, xll), ul=tr(ulh, ull), res=tr(resh, resl))

@@ -421,15 +421,32 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
             return _sum_terms([cr["fcr"], ch["fch"]])
         return df_dual_value(dd, lam_cr, lam_ch, cr, ch)
 
-    def _apply_M_of(cr, ch):
-        """df_apply_M view of the carried stage solution (the fused path
-        carries chain qt/rt in kernel lane layout; the transposes fuse
-        into the df multiplies)."""
+    def _to_lane_cr(v: Df) -> Df:
+        pad = NPc - v.hi.shape[0]
+        t = lambda w: jnp.pad(jnp.transpose(w, (1, 0)), ((0, 0), (0, pad)))
+        return Df(t(v.hi), t(v.lo))
+
+    def apply_M_of(cr, ch, dcr, dch):
+        """Dual-Hessian action M d — fused kernel pair on the Pallas
+        path (chain_apply_df + crown_apply_df, same two-launch dataflow
+        as the evaluation), unfused df_apply_M otherwise."""
         if not fused_eval:
-            return cr, ch
-        ch2 = dict(ch, qt=_lane_to_nodes(ch["qt"], S_ch),
-                   rt=_lane_to_nodes(ch["rt"], S_ch))
-        return cr, ch2
+            return df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch)
+        cha = dek.chain_apply_df(data_ch, ch["qt"], ch["rt"], dch)
+        zh = jnp.zeros((nz_ch, NPc), f32)
+        extra = Df(zh.at[:, rid].set(cha["cqr"].hi.T),
+                   zh.at[:, rid].set(cha["cqr"].lo.T))
+        cra = dek.crown_apply_df(data_cr, _to_lane_cr(cr["qtilde"]),
+                                 _to_lane_cr(cr["rtilde"]), dcr, extra)
+        mcr = df.neg(cra["res"])
+        zr = _cat([Df(cra["xl"].hi[rid], cra["xl"].lo[rid]),
+                   Df(cra["ul"].hi[rid], cra["ul"].lo[rid])], 1)
+        a0z = _contract(ab0t, zr, axis=1)
+        row0 = df.add(cha["res_part"][:, 0], a0z)
+        res_lin = Df(
+            jnp.concatenate([row0.hi[:, None], cha["res_part"].hi[:, 1:]], 1),
+            jnp.concatenate([row0.lo[:, None], cha["res_part"].lo[:, 1:]], 1))
+        return mcr, df.neg(res_lin)
 
     def factorize(cr, ch):
         # shared with the f64 loop; fused chain kernel on the Pallas path
@@ -473,10 +490,8 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         solve = tm._make_ms_solve(fact, meta_ms, prep_cr, opts, f32, nrxm,
                                   g_of, rows, rid, crown_kind, fused)
 
-        cr_m, ch_m = _apply_M_of(cr, ch)
-
         def refine_resid(dcr, dch):
-            mcr, mch = df_apply_M(dd, meta, prep_cr, cr_m, ch_m, dcr, dch)
+            mcr, mch = apply_M_of(cr, ch, dcr, dch)
             return df.sub(res_cr, mcr), df.sub(res_ch, mch)
 
         dlam_cr, dlam_ch = solve(res_cr.hi, res_ch.hi)
