@@ -434,6 +434,10 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         # wrong-sign working-set multipliers are also KKT violations
         bad_mu = jnp.maximum(-mu * m_up, 0.0) + jnp.maximum(mu * m_dn, 0.0)
         res_node = jnp.maximum(jnp.max(viol, axis=1), jnp.max(bad_mu, axis=1))
+        # a non-finite factor (numerically semidefinite working set in the
+        # factor dtype) must register as infinitely bad, not poison the
+        # keep-best safeguard downstream (ADVICE r3)
+        res_node = jnp.where(jnp.isfinite(res_node), res_node, jnp.inf)
         return z, mu, t, m_act, res_node
 
     def pdas_from(m_up, m_dn, n_sweeps):
@@ -451,7 +455,9 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
                     jnp.where(better, mu, best[1]),
                     jnp.where(better, t, best[2]),
                     jnp.where(better, m_act, best[3]),
-                    jnp.minimum(res_node, best[4]),
+                    # where(), not minimum(): a NaN res_node (singular
+                    # factor) must not poison the carried best
+                    jnp.where(better[:, 0], res_node, best[4]),
                     jnp.where(better, m_up, best[5]),
                     jnp.where(better, m_dn, best[6]))
         return best
@@ -477,7 +483,13 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         _, _, lm = jax.lax.fori_loop(0, opts.qpgen_iters, admm_step,
                                      (z0, y0, jnp.zeros_like(y0)))
         mu_admm = rho_row * lm.astype(dt)
-        tol_act = 1e-9
+        # activity threshold scaled to the identification dtype's noise
+        # floor (f32 ADMM multipliers carry ~1e-7*scale noise; a fixed
+        # 1e-9 would classify marginal constraints from noise — ADVICE
+        # r3). PDAS + exact polish recover the exact set either way.
+        tol_rel = 1e-9 if adt == jnp.float64 else 1e-5
+        tol_act = tol_rel * jnp.maximum(
+            1.0, jnp.max(jnp.abs(mu_admm), axis=1, keepdims=True))
         m_up = ((mu_admm > tol_act) & (m_hi > 0)).astype(dt) * (1.0 - m_eq)
         m_dn = ((mu_admm < -tol_act) & (m_lo > 0)).astype(dt) * (1.0 - m_eq)
         return pdas_from(m_up, m_dn, 3)
@@ -508,6 +520,14 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         for _ in range(2):
             Minv = Minv + Minv @ (eyeb - Mfull @ Minv)
         Minv = 0.5 * (Minv + Minv.swapaxes(1, 2))
+        # guard: Newton-Schulz diverges when kappa(Mfull) ~ 1/eps_f32
+        # (near-dependent active rows) and a corrupted P is invisible to
+        # the z/mu KKT guard (ADVICE r3). Check the inverse residual and
+        # fall back to the data-dtype inverse when it exceeds threshold.
+        ns_res = jnp.max(jnp.abs(eyeb - Mfull @ Minv))
+        Minv = jax.lax.cond(
+            jnp.isfinite(ns_res) & (ns_res < 1e-6),
+            lambda: Minv, lambda: _batched_inverse_spd(Mfull))
     else:
         Minv = _batched_inverse_spd(Mfull)
     HG_act = Hinv @ G.swapaxes(1, 2) * m_act[:, None, :]   # [n, nz, ng]

@@ -917,6 +917,269 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             (fact_f, sig_f))
 
 
+def _mega_applicable(prep_cr, meta, opts) -> bool:
+    """Mega-kernel coarse-phase applicability (ops/iter_kernel.py)."""
+    if (opts.chain_backend != "pallas" or opts.stage_solver != "clipping"
+            or opts.factor_dtype != "float32"
+            or opts.termination != "infnorm" or opts.refine_steps != 0):
+        return False
+    from treeqp_tpu.ops import iter_kernel as ik
+    return ik.iter_supported(prep_cr, meta, opts)
+
+
+def _ms_newton_loop_mega(ms: MultistageQP, lam0_crown, lam0_chain,
+                         opts: TdunesOpts, it0, patience: int = 0):
+    """f32 coarse-phase Newton loop built on the whole-iteration
+    mega-kernel (ops/iter_kernel.py): the common path of every iteration
+    — system solve, tau=1 trial, stage evaluation, residuals, error — is
+    ONE Pallas launch; only acceptance bookkeeping, the reject-only
+    batched line search (vmapped eval-mode kernel calls) and the
+    factorize-on-active-set-change remain outside. Semantics match
+    _ms_newton_loop (same Armijo rule, restart, patience); used only as
+    the coarse phase, so it returns (lam_cr, lam_ch, it, status, ls_it,
+    err, handover) without the stage-solution export.
+    """
+    from treeqp_tpu.ops import chain_kernels as ck
+    from treeqp_tpu.ops import crown_kernels as ckr
+    from treeqp_tpu.ops import iter_kernel as ik
+
+    meta = ms.meta
+    prep_cr = td._get_prep(meta.crown_topo)
+    f32 = jnp.float32
+    dt = f32
+    xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
+    rid = np.asarray(meta.root_ids)
+    g_of = prep_cr.group_of_node[rid]
+    slot = prep_cr.slot_of_node[rid]
+    nxm = meta.crown_topo.nxm
+    rows = slot[:, None] * nxm + np.arange(nxm)[None, :]
+
+    data_l = ck.chain_eval_data(ms.A, ms.B, ms.q, ms.r, ms.Qd, ms.Rd,
+                                ms.xmin, ms.xmax, ms.umin, ms.umax, ms.b)
+    crown_ed = ckr.crown_eval_data(ms.crown, prep_cr, xm_cr, um_cr, nrxm_cr)
+    NPc, _ = ckr._get_eval_sched(prep_cr)
+    SP = data_l["ABt"].shape[-1]
+    Nn = meta.crown_topo.Nn
+    S = meta.S
+    L = ms.b.shape[1]
+    nx = ms.A.shape[-1]
+
+    lane_cr = lambda v: jnp.pad(v.T, ((0, 0), (0, NPc - Nn)))
+    lane_ch = lambda v: ck._pad_s(jnp.transpose(v, (1, 2, 0)), SP)
+    un_cr = lambda v: v[:, :Nn].T
+    un_ch = lambda v: jnp.transpose(v[..., :S], (2, 0, 1))
+
+    lam_cr_l0 = lane_cr(lam0_crown.astype(f32) * nrxm_cr)
+    lam_ch_l0 = lane_ch(lam0_chain.astype(f32))
+
+    zero_fact = dict(
+        Lt=jnp.zeros((L, nx, nx, SP), f32),
+        CUt=jnp.zeros((L, nx, nx, SP), f32),
+        CholW=jnp.zeros((prep_cr.G, prep_cr.G, ckr._NP), f32),
+        CholUt=jnp.zeros((nxm, prep_cr.G, ckr._NP), f32),
+        s_node=jnp.zeros((Nn, nxm), f32),
+        sc=jnp.zeros((S, L, nx), f32),
+        s_node_l=jnp.zeros((nxm, NPc), f32),
+        sc_l=jnp.zeros((L, nx, SP), f32))
+
+    def kcall(fact_l, lam_cr_l, lam_ch_l, res_cr_l, res_ch_l, mode):
+        state = dict(lam_cr=lam_cr_l, lam_ch=lam_ch_l,
+                     res_cr=res_cr_l, res_ch=res_ch_l)
+        return ik.newton_iter(data_l, crown_ed, fact_l, state, prep_cr,
+                              meta.root_ids, meta, mode=mode)
+
+    def scal(p):
+        return jnp.sum(p[0]) + jnp.sum(p[1])
+
+    def errof(p):
+        return jnp.maximum(jnp.max(p[0]), jnp.max(p[1]))
+
+    def factorize_l(qtilde_l, rtilde_l, qt_l, rt_l):
+        fact = _ms_factorize(ms, un_cr(qtilde_l), un_cr(rtilde_l), qt_l,
+                             rt_l, opts, prep_cr, g_of, rows, nrxm_cr,
+                             f32, chain_lanes=data_l)
+        # carry node-layout scales too: the df64/f64 phase's solve wrapper
+        # (handover consumer) reads fact["s_node"] / fact["sc"]
+        return dict(Lt=fact["Ls"], CUt=fact["CUs"], CholW=fact["CholW"],
+                    CholUt=fact["CholUt"], s_node=fact["s_node"],
+                    sc=fact["sc"], s_node_l=lane_cr(fact["s_node"]),
+                    sc_l=lane_ch(fact["sc"]))
+
+    def sig_equal(a, b):
+        eq = [jnp.all(x == y) for x, y in zip(a, b)]
+        out = eq[0]
+        for e in eq[1:]:
+            out = out & e
+        return out
+
+    # ---- initial evaluation (factors unused in eval mode)
+    out0 = kcall(zero_fact, lam_cr_l0, lam_ch_l0,
+                 jnp.zeros((nxm, NPc), f32), jnp.zeros((L, nx, SP), f32),
+                 "eval")
+    res_cr0, res_ch0 = out0["res2_cr"], out0["res2_ch"]
+    f0_init = scal(out0["f1p"])
+    err0 = errof(out0["errp"])
+    sets0 = (out0["qtilde"], out0["rtilde"], out0["qt"], out0["rt"])
+    fact0 = factorize_l(*sets0)
+
+    T = min(opts.ls_batch if opts.ls_batch > 0 else 4, opts.ls_max_iter)
+    one = jnp.ones((), f32)
+
+    def newton_step(carry):
+        (lam_cr_l, lam_ch_l, it, err, status, restart, ls_it), \
+            (res_cr_l, res_ch_l, sets), f0, fact_l, sig = carry
+
+        out = kcall(fact_l, lam_cr_l, lam_ch_l, res_cr_l, res_ch_l, "iter")
+        f1 = scal(out["f1p"])
+        dot = scal(out["dotp"])
+        err1 = errof(out["errp"])
+        descent_ok = dot < 1e-10
+        eta = jnp.asarray(2.0 ** -45, dt) * jnp.abs(f0)
+
+        def accepts(f2, tau):
+            return f2 <= f0 + opts.ls_gamma * tau * dot + eta
+
+        acc1 = accepts(f1, one)
+        cand1 = (out["lam2_cr"], out["lam2_ch"], out["res2_cr"],
+                 out["res2_ch"],
+                 (out["qtilde"], out["rtilde"], out["qt"], out["rt"]),
+                 f1, err1)
+
+        def f_at(tau):
+            oe = kcall(fact_l, lam_cr_l + tau * out["dcr"],
+                       lam_ch_l + tau * out["dch"], res_cr_l, res_ch_l,
+                       "eval")
+            return oe
+
+        def quick_path():
+            return cand1 + (jnp.ones((), jnp.int32), jnp.ones((), bool))
+
+        def batch_path():
+            taus = opts.ls_beta ** jnp.arange(1, T + 1, dtype=dt)
+            outs = jax.vmap(f_at)(taus)
+            fs = jnp.sum(outs["f1p"][0], axis=(1, 2)) \
+                + jnp.sum(outs["f1p"][1], axis=(1, 2))
+            errs = jnp.maximum(jnp.max(outs["errp"][0], axis=(1, 2)),
+                               jnp.max(outs["errp"][1], axis=(1, 2)))
+            accs = accepts(fs, taus)
+            any_acc = jnp.any(accs)
+            idx = jnp.argmax(accs)
+            at = lambda a: a[idx]
+
+            def seq_cond(c):
+                tau, f, i, acc, *_ = c
+                return (~acc) & (i < opts.ls_max_iter)
+
+            def seq_body(c):
+                tau, f, i, acc, *_ = c
+                tau2 = opts.ls_beta * tau
+                oe = f_at(tau2)
+                f2 = scal(oe["f1p"])
+                return (tau2, f2, i + 1, accepts(f2, tau2),
+                        lam_cr_l + tau2 * out["dcr"],
+                        lam_ch_l + tau2 * out["dch"],
+                        oe["res2_cr"], oe["res2_ch"],
+                        oe["qtilde"], oe["rtilde"], oe["qt"], oe["rt"],
+                        errof(oe["errp"]))
+
+            init = (taus[-1], fs[-1], jnp.full((), T + 1, jnp.int32),
+                    any_acc,
+                    lam_cr_l + taus[-1] * out["dcr"],
+                    lam_ch_l + taus[-1] * out["dch"],
+                    at(outs["res2_cr"]), at(outs["res2_ch"]),
+                    at(outs["qtilde"]), at(outs["rtilde"]),
+                    at(outs["qt"]), at(outs["rt"]), errs[idx])
+            sq = jax.lax.while_loop(seq_cond, seq_body, init)
+            tau_b = jnp.where(any_acc, taus[idx], sq[0])
+            ls_b = jnp.where(any_acc, (idx + 2).astype(jnp.int32), sq[2])
+            acc_b = sq[3]
+            sel = lambda a, b: jnp.where(any_acc, a, b)
+            lam2c = sel(lam_cr_l + taus[idx] * out["dcr"], sq[4])
+            lam2h = sel(lam_ch_l + taus[idx] * out["dch"], sq[5])
+            rc = sel(at(outs["res2_cr"]), sq[6])
+            rh = sel(at(outs["res2_ch"]), sq[7])
+            sets_b = (sel(at(outs["qtilde"]), sq[8]),
+                      sel(at(outs["rtilde"]), sq[9]),
+                      sel(at(outs["qt"]), sq[10]),
+                      sel(at(outs["rt"]), sq[11]))
+            f_b = sel(fs[idx], sq[1])
+            err_b = sel(errs[idx], sq[12])
+            return (lam2c, lam2h, rc, rh, sets_b, f_b, err_b, ls_b, acc_b)
+
+        lam2c, lam2h, rc2, rh2, sets2, f_t, err2, ls_it2, acc = \
+            jax.lax.cond(acc1, quick_path, batch_path)
+
+        maxed = ~acc
+        restart = jnp.where(maxed, restart + 1, 0)
+        full_step = (opts.ls_restart_trigger > 0) & \
+            (restart >= opts.ls_restart_trigger)
+        restart = jnp.where(full_step, 0, restart)
+        sel_fs = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(full_step, x, y), a, b)
+        lam2c, lam2h = sel_fs((cand1[0], cand1[1]), (lam2c, lam2h))
+        rc2, rh2 = sel_fs((cand1[2], cand1[3]), (rc2, rh2))
+        sets2 = sel_fs(cand1[4], sets2)
+        f_t = jnp.where(full_step, cand1[5], f_t)
+        err2 = jnp.where(full_step, cand1[6], err2)
+
+        keep = descent_ok
+        selk = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(keep, x, y), a, b)
+        lam_cr2, lam_ch2 = selk((lam2c, lam2h), (lam_cr_l, lam_ch_l))
+        rc2, rh2 = selk((rc2, rh2), (res_cr_l, res_ch_l))
+        sets2 = selk(sets2, sets)
+        f_t = jnp.where(keep, f_t, f0)
+        err2 = jnp.where(keep, err2, err)
+        status = jnp.where(keep, status, TDUNES_NOT_DESCENT)
+
+        sig2 = sets2
+        if opts.reuse_factorization:
+            fact2 = jax.lax.cond(sig_equal(sig2, sig),
+                                 lambda: fact_l, lambda: factorize_l(*sig2))
+        else:
+            fact2 = factorize_l(*sig2)
+        return ((lam_cr2, lam_ch2, it + 1, err2, status, restart, ls_it2),
+                (rc2, rh2, sets2), f_t, fact2, sig2)
+
+    def cond(carry):
+        (_, _, it, err, status, _, _), _, _, _, _, (best, noimp) = carry
+        ok = (err >= opts.tol) & (status == TDUNES_OPTIMAL) & \
+            (it < opts.max_iter)
+        if patience > 0:
+            ok = ok & (noimp < patience)
+        return ok
+
+    def body(carry):
+        core, res_sets, f0, fact_l, sig, (best, noimp) = carry
+        core2, res_sets2, f2, fact2, sig2 = newton_step(
+            (core, res_sets, f0, fact_l, sig))
+        err2 = core2[3]
+        improved = err2 < 0.9 * best
+        best = jnp.minimum(best, err2)
+        noimp = jnp.where(improved, 0, noimp + 1)
+        return core2, res_sets2, f2, fact2, sig2, (best, noimp)
+
+    init = ((lam_cr_l0, lam_ch_l0, jnp.asarray(it0, jnp.int32), err0,
+             jnp.full((), TDUNES_OPTIMAL, jnp.int32),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            (res_cr0, res_ch0, sets0), f0_init, fact0, sets0,
+            (err0, jnp.zeros((), jnp.int32)))
+    (lam_cr_l, lam_ch_l, it, err, status, _, ls_it), (_, _, sets_f), \
+        _, fact_f, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # handover in the layouts the high-precision phase expects: fact with
+    # node-layout scales, sig as (crown qtilde/rtilde [Nn, *], chain qt/rt
+    # node layout [S, L, *])
+    sig_h = (un_cr(sets_f[0]), un_cr(sets_f[1]),
+             un_ch(sets_f[2]), un_ch(sets_f[3]))
+    fact_h = dict(Ls=fact_f["Lt"], CUs=fact_f["CUt"],
+                  CholW=fact_f["CholW"], CholUt=fact_f["CholUt"],
+                  s_node=fact_f["s_node"], sc=fact_f["sc"])
+    lam_cr = un_cr(lam_cr_l)
+    lam_ch = un_ch(lam_ch_l)
+    return lam_cr, lam_ch, it, status, ls_it, err, (fact_h, sig_h)
+
+
 def _pattern_equal(sig_a, sig_b):
     """Active-set PATTERN equality across representations: the masked
     inverses are value-or-0, so (x != 0) is the active-set pattern even
@@ -978,10 +1241,18 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         optsA = dataclasses.replace(
             opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol),
             ls_batch=opts.ls_batch if opts.ls_batch > 0 else 4)
-        lamA_cr, lamA_ch, it0, _, _, _, _, _, handover = _ms_newton_loop(
-            ms32, lam0_crown.astype(jnp.float32),
-            lam0_chain.astype(jnp.float32), optsA, it0,
-            patience=opts.f32_patience)
+        if _mega_applicable(prep_cr, meta, optsA):
+            # whole-iteration mega-kernel loop: ONE launch per common-path
+            # Newton iteration (ops/iter_kernel.py)
+            lamA_cr, lamA_ch, it0, _, _, _, handover = _ms_newton_loop_mega(
+                ms32, lam0_crown.astype(jnp.float32),
+                lam0_chain.astype(jnp.float32), optsA, it0,
+                patience=opts.f32_patience)
+        else:
+            lamA_cr, lamA_ch, it0, _, _, _, _, _, handover = _ms_newton_loop(
+                ms32, lam0_crown.astype(jnp.float32),
+                lam0_chain.astype(jnp.float32), optsA, it0,
+                patience=opts.f32_patience)
         # f32-phase status is discarded: a not-descent there is expected
         # noise near the f32 residual floor, not a failure
         lam0_crown = lamA_cr.astype(dt)
