@@ -16,6 +16,9 @@ from treeqp_tpu.ops import crown_kernels as ckr
     pytest.param(4, 4, 4, 8, 1, marks=pytest.mark.slow),
     (3, 2, 3, 4, 1),
     pytest.param(2, 3, 5, 5, 2, marks=pytest.mark.slow),
+    # 341 lambda-groups: beyond the old 128-lane cap (VERDICT r3 #8,
+    # lifted by the collapsed per-slot scatter matrices)
+    pytest.param(4, 5, 5, 4, 1, marks=pytest.mark.slow),
 ])
 def test_crown_factor_solve_matches_xla(md, Nr, Nh, nx, nu):
     topo = TreeStructure.multistage(md=md, Nr=Nr, Nh=Nh, nx=nx, nu=nu)
@@ -40,10 +43,17 @@ def test_crown_factor_solve_matches_xla(md, Nr, Nh, nx, nu):
 
 
 def test_crown_unsupported_falls_back():
-    """A tree with > 128 lambda-groups must not take the kernel path."""
-    topo = TreeStructure.multistage(md=2, Nr=1, Nh=80, nx=2, nu=1)
-    prep = td._get_prep(topo)
+    """The lambda-group cap is now a VMEM budget on the slot scatter
+    matrices, not the 128-lane width: a 159-group tree takes the kernel
+    path (it used to fall back), while a 1365-group tree exceeds the
+    budget and must fall back."""
     o_pal = TdunesOpts(factor_dtype="float32", reg_type="always",
                        chain_backend="pallas")
+    topo = TreeStructure.multistage(md=2, Nr=1, Nh=80, nx=2, nu=1)
+    prep = td._get_prep(topo)
     assert prep.NpG > 128
-    assert not ckr.crown_supported(prep, o_pal)
+    assert ckr.crown_supported(prep, o_pal)
+    big = TreeStructure.multistage(md=4, Nr=6, Nh=6, nx=2, nu=1)
+    prep_big = td._get_prep(big)
+    assert prep_big.NpG > 512
+    assert not ckr.crown_supported(prep_big, o_pal)

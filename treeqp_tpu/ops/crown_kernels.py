@@ -58,8 +58,15 @@ class _CrownSched:
     G: int
     nxm: int
     NpG: int
-    P: np.ndarray         # [n_lev, K, _NP, _NP] f32 child->parent permutations
-    masks: np.ndarray     # [n_lev + 1, 1, _NP] f32 commit masks (last = root)
+    NPg: int              # group-lane width (multiple of 128, >= NpG)
+    # [K, NPg, NPg] f32 child->parent permutations, ONE per kid slot for
+    # ALL levels: the level loops mask their inputs/commits with `masks`,
+    # so off-level entries scatter/gather zeros (or masked-away values)
+    # and the per-level matrices of the original design collapse — that
+    # removes the n_lev memory factor and lifts the 128-lambda-group cap
+    # (VERDICT r3 #8) to a VMEM-budget bound.
+    P: np.ndarray
+    masks: np.ndarray     # [n_lev + 1, 1, NPg] f32 commit masks (last = root)
 
 
 def _get_sched(prep) -> _CrownSched:
@@ -68,10 +75,10 @@ def _get_sched(prep) -> _CrownSched:
     if sched is not None:
         return sched
     NpG, K, G, nxm = prep.NpG, prep.K, prep.G, prep.nxm
-    assert NpG <= _NP
+    NPg = max(_NP, ((NpG + _NP - 1) // _NP) * _NP)
     n_lev = prep.n_sweep
-    P = np.zeros((max(n_lev, 1), K, _NP, _NP), np.float32)
-    masks = np.zeros((n_lev + 1, 1, _NP), np.float32)
+    P = np.zeros((K, NPg, NPg), np.float32)
+    masks = np.zeros((n_lev + 1, 1, NPg), np.float32)
     for r in range(n_lev):
         idx = prep.bwd_idx[r]
         dad = prep.bwd_dad[r]
@@ -80,19 +87,22 @@ def _get_sched(prep) -> _CrownSched:
         for g, d, s, v in zip(idx, dad, slot, valid):
             if not v:
                 continue
-            P[r, s, g, d] = 1.0
+            P[s, g, d] = 1.0
             masks[r, 0, g] = 1.0
     masks[n_lev, 0, 0] = 1.0  # root group
-    sched = _CrownSched(n_lev=n_lev, K=K, G=G, nxm=nxm, NpG=NpG,
+    sched = _CrownSched(n_lev=n_lev, K=K, G=G, nxm=nxm, NpG=NpG, NPg=NPg,
                         P=P, masks=masks)
     prep._crown_sched = sched
     return sched
 
 
 def crown_supported(prep, opts) -> bool:
-    """Kernel applicability: <=128 groups, moderate block dim, f32 path,
-    static regularization (always/none)."""
-    return (prep.NpG <= _NP and prep.G <= 64
+    """Kernel applicability: lambda-group lanes bounded by the VMEM
+    budget of the slot permutation matrices (K * NPg^2 f32 <= ~4.5 MB —
+    512 lanes at K = 4), moderate block dim, f32 path, static
+    regularization (always/none)."""
+    NPg = max(_NP, ((prep.NpG + _NP - 1) // _NP) * _NP)
+    return (prep.K * NPg * NPg * 4 <= 4_500_000 and prep.G <= 64
             and opts.factor_dtype == "float32"
             and opts.reg_type in ("always", "none"))
 
@@ -170,8 +180,8 @@ def _lane_mm_t(x, P):
 # kernels
 
 
-def _pad_lanes(x, fill=0.0):
-    pad = _NP - x.shape[-1]
+def _pad_lanes(x, fill=0.0, lanes=_NP):
+    pad = lanes - x.shape[-1]
     if pad == 0:
         return x
     cfg = [(0, 0)] * x.ndim
@@ -179,7 +189,8 @@ def _pad_lanes(x, fill=0.0):
     return jnp.pad(x, cfg, constant_values=fill)
 
 
-def _factor_levels(Wv, Utv, P_ref, M_ref, G, nxm, n_lev, K, reg):
+def _factor_levels(Wv, Utv, P_ref, M_ref, G, nxm, n_lev, K, reg,
+                   NPg=_NP):
     """The level-synchronous factorization loop shared by crown_factor and
     crown_blocks_factor (values in, lane-layout factors out)."""
     # identity init: lanes never committed (padding / leaf-stage slots)
@@ -188,8 +199,8 @@ def _factor_levels(Wv, Utv, P_ref, M_ref, G, nxm, n_lev, K, reg):
     rowi = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 0)
     coli = jax.lax.broadcasted_iota(jnp.int32, (G, G, 1), 1)
     CholWv = jnp.where(rowi == coli, jnp.ones((), Wv.dtype), 0.0) \
-        * jnp.ones((1, 1, _NP), Wv.dtype)
-    CholUtv = jnp.zeros((nxm, G, _NP), Wv.dtype)
+        * jnp.ones((1, 1, NPg), Wv.dtype)
+    CholUtv = jnp.zeros((nxm, G, NPg), Wv.dtype)
     for r in range(n_lev):
         Lf = _chol(Wv, G, reg)
         CU = _rtrsm_t(Lf, Utv, G)
@@ -200,12 +211,12 @@ def _factor_levels(Wv, Utv, P_ref, M_ref, G, nxm, n_lev, K, reg):
         CUm = CU * m[None]
         S = sum(CUm[:, k][:, None, :] * CU[:, k][None, :, :]
                 for k in range(G))
-        S2 = S.reshape(nxm * nxm, _NP)
-        # assemble the K slot updates as one block-diagonal [G, G, NP]
+        S2 = S.reshape(nxm * nxm, NPg)
+        # assemble the K slot updates as one block-diagonal [G, G, NPg]
         # (Mosaic has no value-level dynamic_update_slice)
-        upds = [_lane_mm(S2, P_ref[r, s]).reshape(nxm, nxm, _NP)
+        upds = [_lane_mm(S2, P_ref[s]).reshape(nxm, nxm, NPg)
                 for s in range(K)]
-        zero = jnp.zeros((nxm, nxm, _NP), Wv.dtype)
+        zero = jnp.zeros((nxm, nxm, NPg), Wv.dtype)
         rows = [jnp.concatenate([upds[s] if t == s else zero
                                  for t in range(K)], axis=1)
                 for s in range(K)]
@@ -223,18 +234,20 @@ def crown_factor(W, Ut, prep, reg=0.0):
     CholUt [nxm, G, 128]) for crown_solve."""
     sched = _get_sched(prep)
     G, nxm, n_lev, K = sched.G, sched.nxm, sched.n_lev, sched.K
-    Wt = _pad_lanes(jnp.transpose(W, (1, 2, 0)))       # [G, G, NP]
+    NPg = sched.NPg
+    Wt = _pad_lanes(jnp.transpose(W, (1, 2, 0)), lanes=NPg)  # [G, G, NPg]
     # identity on empty lanes keeps the all-lane factorization finite
-    lane_pad = (jnp.arange(_NP) >= sched.NpG)[None, None, :]
+    lane_pad = (jnp.arange(NPg) >= sched.NpG)[None, None, :]
     eye = jnp.eye(G, dtype=W.dtype)[:, :, None]
     Wt = Wt + jnp.where(lane_pad, eye, 0.0)
-    Utt = _pad_lanes(jnp.transpose(Ut, (1, 2, 0)))     # [nxm, G, NP]
-    Pm = jnp.asarray(sched.P)                          # [n_lev, K, NP, NP]
-    Mm = jnp.asarray(sched.masks)                      # [n_lev+1, 1, NP]
+    Utt = _pad_lanes(jnp.transpose(Ut, (1, 2, 0)), lanes=NPg)
+    Pm = jnp.asarray(sched.P)                          # [K, NPg, NPg]
+    Mm = jnp.asarray(sched.masks)                      # [n_lev+1, 1, NPg]
 
     def kernel(W_ref, Ut_ref, P_ref, M_ref, CholW_ref, CholUt_ref):
         CholWv, CholUtv = _factor_levels(W_ref[...], Ut_ref[...], P_ref,
-                                         M_ref, G, nxm, n_lev, K, reg)
+                                         M_ref, G, nxm, n_lev, K, reg,
+                                         NPg=NPg)
         CholW_ref[...] = CholWv
         CholUt_ref[...] = CholUtv
 
@@ -243,11 +256,11 @@ def crown_factor(W, Ut, prep, reg=0.0):
     with jax.enable_x64(False):  # Mosaic needs i32 index maps
         CholW, CholUt = pl.pallas_call(
             kernel,
-            in_specs=[spec((G, G, _NP)), spec((nxm, G, _NP)),
+            in_specs=[spec((G, G, NPg)), spec((nxm, G, NPg)),
                       spec(Pm.shape), spec(Mm.shape)],
-            out_specs=(spec((G, G, _NP)), spec((nxm, G, _NP))),
-            out_shape=(jax.ShapeDtypeStruct((G, G, _NP), W.dtype),
-                       jax.ShapeDtypeStruct((nxm, G, _NP), W.dtype)),
+            out_specs=(spec((G, G, NPg)), spec((nxm, G, NPg))),
+            out_shape=(jax.ShapeDtypeStruct((G, G, NPg), W.dtype),
+                       jax.ShapeDtypeStruct((nxm, G, NPg), W.dtype)),
             interpret=_interpret(),
         )(Wt, Utt, Pm, Mm)
     return CholW, CholUt
@@ -259,7 +272,8 @@ def crown_solve(CholW, CholUt, rg, prep):
     rg [NpG, G] f32 -> dlam [NpG, G] f32."""
     sched = _get_sched(prep)
     G, nxm, n_lev, K = sched.G, sched.nxm, sched.n_lev, sched.K
-    rt = _pad_lanes(jnp.transpose(rg, (1, 0)))         # [G, NP]
+    NPg = sched.NPg
+    rt = _pad_lanes(jnp.transpose(rg, (1, 0)), lanes=NPg)   # [G, NPg]
     Pm = jnp.asarray(sched.P)
     Mm = jnp.asarray(sched.masks)
 
@@ -267,24 +281,24 @@ def crown_solve(CholW, CholUt, rg, prep):
         Lv = L_ref[...]
         CUv = CU_ref[...]
         rv = r_ref[...]
-        ysv = jnp.zeros((G, _NP), rv.dtype)
+        ysv = jnp.zeros((G, NPg), rv.dtype)
         # backward RHS sweep
         for r in range(n_lev):
             y = _ltrsv(Lv, rv, G)
             m = M_ref[r]
             ysv = jnp.where(m, y, ysv)
             ym = y * m
-            radd = sum(CUv[:, g] * ym[g:g + 1] for g in range(G))  # [nxm, NP]
+            radd = sum(CUv[:, g] * ym[g:g + 1] for g in range(G))  # [nxm, NPg]
             rv = rv - jnp.concatenate(
-                [_lane_mm(radd, P_ref[r, s]) for s in range(K)], axis=0)
+                [_lane_mm(radd, P_ref[s]) for s in range(K)], axis=0)
         # root: L y = r, L' dl = y
         y0 = _ltrsv(Lv, rv, G)
         ysv = jnp.where(M_ref[n_lev], y0, ysv)
         dlv = jnp.where(M_ref[n_lev], _uttrsv(Lv, ysv, G), 0.0)
         # forward substitution, top level (nearest root) first
         for r in range(n_lev - 1, -1, -1):
-            dp = sum(_lane_mm_t(dlv[s * nxm:(s + 1) * nxm], P_ref[r, s])
-                     for s in range(K))                  # [nxm, NP]
+            dp = sum(_lane_mm_t(dlv[s * nxm:(s + 1) * nxm], P_ref[s])
+                     for s in range(K))                  # [nxm, NPg]
             d = ysv - sum(CUv[i] * dp[i:i + 1] for i in range(nxm))
             dl = _uttrsv(Lv, d, G)
             dlv = jnp.where(M_ref[r], dl, dlv)
@@ -295,10 +309,10 @@ def crown_solve(CholW, CholUt, rg, prep):
     with jax.enable_x64(False):
         dl = pl.pallas_call(
             kernel,
-            in_specs=[spec((G, G, _NP)), spec((nxm, G, _NP)),
-                      spec(Pm.shape), spec(Mm.shape), spec((G, _NP))],
-            out_specs=spec((G, _NP)),
-            out_shape=jax.ShapeDtypeStruct((G, _NP), CholW.dtype),
+            in_specs=[spec((G, G, NPg)), spec((nxm, G, NPg)),
+                      spec(Pm.shape), spec(Mm.shape), spec((G, NPg))],
+            out_specs=spec((G, NPg)),
+            out_shape=jax.ShapeDtypeStruct((G, NPg), CholW.dtype),
             interpret=_interpret(),
         )(CholW, CholUt, Pm, Mm, rt)
     return jnp.transpose(dl[:, :sched.NpG], (1, 0))
@@ -320,14 +334,15 @@ def crown_blocks_factor(ABk, ztp, dvals, sW, sUt, Wadd, prep, reg=0.0):
     """
     sched = _get_sched(prep)
     G, nxm, n_lev, K = sched.G, sched.nxm, sched.n_lev, sched.K
+    NPg = sched.NPg
     nz = ABk.shape[-1]
     f32 = jnp.float32
-    ABk_t = _pad_lanes(jnp.transpose(ABk, (1, 2, 3, 0)).astype(f32))
-    ztp_t = _pad_lanes(jnp.transpose(ztp, (1, 0)).astype(f32))
-    dv_t = _pad_lanes(jnp.transpose(dvals, (1, 0)).astype(f32), fill=1.0)
-    sW_t = _pad_lanes(jnp.transpose(sW, (1, 0)).astype(f32), fill=1.0)
-    sUt_t = _pad_lanes(jnp.transpose(sUt, (1, 0)).astype(f32), fill=1.0)
-    Wadd_t = _pad_lanes(jnp.transpose(Wadd, (1, 2, 0)).astype(f32))
+    ABk_t = _pad_lanes(jnp.transpose(ABk, (1, 2, 3, 0)).astype(f32), lanes=NPg)
+    ztp_t = _pad_lanes(jnp.transpose(ztp, (1, 0)).astype(f32), lanes=NPg)
+    dv_t = _pad_lanes(jnp.transpose(dvals, (1, 0)).astype(f32), fill=1.0, lanes=NPg)
+    sW_t = _pad_lanes(jnp.transpose(sW, (1, 0)).astype(f32), fill=1.0, lanes=NPg)
+    sUt_t = _pad_lanes(jnp.transpose(sUt, (1, 0)).astype(f32), fill=1.0, lanes=NPg)
+    Wadd_t = _pad_lanes(jnp.transpose(Wadd, (1, 2, 0)).astype(f32), lanes=NPg)
     Pm = jnp.asarray(sched.P)
     Mm = jnp.asarray(sched.masks)
 
@@ -360,7 +375,7 @@ def crown_blocks_factor(ABk, ztp, dvals, sW, sUt, Wadd, prep, reg=0.0):
         Utv = jnp.concatenate(Ut_blocks, axis=1)        # [nxm, G, NP]
         Utv = Utv * sUt_ref[...][:, None, :] * sWv[None, :, :]
         CholWv, CholUtv = _factor_levels(Wv, Utv, P_ref, M_ref,
-                                         G, nxm, n_lev, K, reg)
+                                         G, nxm, n_lev, K, reg, NPg=NPg)
         CholW_ref[...] = CholWv
         CholUt_ref[...] = CholUtv
 
@@ -369,12 +384,12 @@ def crown_blocks_factor(ABk, ztp, dvals, sW, sUt, Wadd, prep, reg=0.0):
     with jax.enable_x64(False):
         CholW, CholUt = pl.pallas_call(
             kernel,
-            in_specs=[spec((K, nxm, nz, _NP)), spec((nz, _NP)),
-                      spec((G, _NP)), spec((G, _NP)), spec((nxm, _NP)),
-                      spec((G, G, _NP)), spec(Pm.shape), spec(Mm.shape)],
-            out_specs=(spec((G, G, _NP)), spec((nxm, G, _NP))),
-            out_shape=(jax.ShapeDtypeStruct((G, G, _NP), f32),
-                       jax.ShapeDtypeStruct((nxm, G, _NP), f32)),
+            in_specs=[spec((K, nxm, nz, NPg)), spec((nz, NPg)),
+                      spec((G, NPg)), spec((G, NPg)), spec((nxm, NPg)),
+                      spec((G, G, NPg)), spec(Pm.shape), spec(Mm.shape)],
+            out_specs=(spec((G, G, NPg)), spec((nxm, G, NPg))),
+            out_shape=(jax.ShapeDtypeStruct((G, G, NPg), f32),
+                       jax.ShapeDtypeStruct((nxm, G, NPg), f32)),
             interpret=_interpret(),
         )(ABk_t, ztp_t, dv_t, sW_t, sUt_t, Wadd_t, Pm, Mm)
     return CholW, CholUt

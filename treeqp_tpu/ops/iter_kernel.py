@@ -54,8 +54,9 @@ def iter_sched(prep, root_ids, S):
         return cached[1]
     NPc, _ = _get_eval_sched(prep)
     K, NpG = prep.K, prep.NpG
+    NPg = _get_sched(prep).NPg
     SP = max(_TS, ((S + _TS - 1) // _TS) * _TS)
-    N2G = np.zeros((K, NPc, _NP), np.float32)
+    N2G = np.zeros((K, NPc, NPg), np.float32)
     for g in range(NpG):
         for k in range(K):
             if prep.kvalid[g, k]:
@@ -94,6 +95,7 @@ def newton_iter(data_ch, data_cr, fact_l, state, prep, root_ids, meta,
     """
     sched = _get_sched(prep)
     G, nxm, n_lev, K = sched.G, sched.nxm, sched.n_lev, sched.K
+    NPg = sched.NPg
     ABt = data_ch["ABt"]
     L, nx, nz, SP = ABt.shape
     nu = nz - nx
@@ -240,7 +242,7 @@ def newton_iter(data_ch, data_cr, fact_l, state, prep, root_ids, meta,
         # ---- 3. crown tree solve (cf. system_kernels.system_solve)
         Lv = CW_ref[...]
         CUv = CUc_ref[...]
-        ysv = jnp.zeros((G, _NP), rv.dtype)
+        ysv = jnp.zeros((G, NPg), rv.dtype)
         for r_lev in range(n_lev):
             yc = _ltrsv(Lv, rv, G)
             m = Mm_ref[r_lev]
@@ -248,12 +250,12 @@ def newton_iter(data_ch, data_cr, fact_l, state, prep, root_ids, meta,
             ym = yc * m
             ra = sum(CUv[:, g] * ym[g:g + 1] for g in range(G))
             rv = rv - jnp.concatenate(
-                [_lane_mm(ra, Pm_ref[r_lev, s]) for s in range(K)], axis=0)
+                [_lane_mm(ra, Pm_ref[s]) for s in range(K)], axis=0)
         y0 = _ltrsv(Lv, rv, G)
         ysv = jnp.where(Mm_ref[n_lev], y0, ysv)
         dlv = jnp.where(Mm_ref[n_lev], _uttrsv(Lv, ysv, G), 0.0)
         for r_lev in range(n_lev - 1, -1, -1):
-            dp = sum(_lane_mm_t(dlv[s * nxm:(s + 1) * nxm], Pm_ref[r_lev, s])
+            dp = sum(_lane_mm_t(dlv[s * nxm:(s + 1) * nxm], Pm_ref[s])
                      for s in range(K))
             d = ysv - sum(CUv[i] * dp[i:i + 1] for i in range(nxm))
             dlc = _uttrsv(Lv, d, G)

@@ -53,8 +53,9 @@ def ms_sched(prep, root_ids, S):
     g_of = np.asarray(prep.group_of_node)[rid]
     slot = np.asarray(prep.slot_of_node)[rid]
     K = prep.K
+    NPg = _get_sched(prep).NPg
     SP = max(_TS, ((S + _TS - 1) // _TS) * _TS)
-    J = np.zeros((K, SP, _NP), np.float32)
+    J = np.zeros((K, SP, NPg), np.float32)
     for s in range(S):
         J[slot[s], s, g_of[s]] = 1.0
     prep._ms_sys_sched_cache = (key, J)
@@ -87,7 +88,8 @@ def system_solve(Lt, CUt, CholW, CholUt, rg, rch, prep, root_ids):
     Pm = jnp.asarray(sched.P)
     Mm = jnp.asarray(sched.masks)
     rt_ch = _pad_s(jnp.transpose(rch.astype(Lt.dtype), (1, 2, 0)), SP)
-    rt_cr = _pad_lanes(jnp.transpose(rg.astype(Lt.dtype), (1, 0)))
+    NPg = sched.NPg
+    rt_cr = _pad_lanes(jnp.transpose(rg.astype(Lt.dtype), (1, 0)), lanes=NPg)
 
     def kernel(Lc_ref, CU_ref, CW_ref, CUc_ref, P_ref, M_ref, J_ref,
                rch_ref, rcr_ref, dl_ref, dls_ref):
@@ -104,7 +106,7 @@ def system_solve(Lt, CUt, CholW, CholUt, rg, rch, prep, root_ids):
         # --- 3. crown tree solve (cf. crown_kernels.crown_solve)
         Lv = CW_ref[...]
         CUv = CUc_ref[...]
-        ysv = jnp.zeros((G, _NP), rv.dtype)
+        ysv = jnp.zeros((G, NPg), rv.dtype)
         for r in range(n_lev):
             yc = _ltrsv(Lv, rv, G)
             m = M_ref[r]
@@ -112,12 +114,12 @@ def system_solve(Lt, CUt, CholW, CholUt, rg, rch, prep, root_ids):
             ym = yc * m
             ra = sum(CUv[:, g] * ym[g:g + 1] for g in range(G))
             rv = rv - jnp.concatenate(
-                [_lane_mm(ra, P_ref[r, s]) for s in range(K)], axis=0)
+                [_lane_mm(ra, P_ref[s]) for s in range(K)], axis=0)
         y0 = _ltrsv(Lv, rv, G)
         ysv = jnp.where(M_ref[n_lev], y0, ysv)
         dlv = jnp.where(M_ref[n_lev], _uttrsv(Lv, ysv, G), 0.0)
         for r in range(n_lev - 1, -1, -1):
-            dp = sum(_lane_mm_t(dlv[s * nxm:(s + 1) * nxm], P_ref[r, s])
+            dp = sum(_lane_mm_t(dlv[s * nxm:(s + 1) * nxm], P_ref[s])
                      for s in range(K))
             d = ysv - sum(CUv[i] * dp[i:i + 1] for i in range(nxm))
             dlc = _uttrsv(Lv, d, G)
@@ -143,8 +145,8 @@ def system_solve(Lt, CUt, CholW, CholUt, rg, rch, prep, root_ids):
             in_specs=[spec(Lt.shape), spec(CUt.shape), spec(CholW.shape),
                       spec(CholUt.shape), spec(Pm.shape), spec(Mm.shape),
                       spec(J.shape), spec(rt_ch.shape), spec(rt_cr.shape)],
-            out_specs=(spec((G, _NP)), spec((L, n, SP))),
-            out_shape=(jax.ShapeDtypeStruct((G, _NP), Lt.dtype),
+            out_specs=(spec((G, NPg)), spec((L, n, SP))),
+            out_shape=(jax.ShapeDtypeStruct((G, NPg), Lt.dtype),
                        jax.ShapeDtypeStruct((L, n, SP), Lt.dtype)),
             interpret=_interpret(),
         )(Lt, CUt, CholW, CholUt, Pm, Mm, J, rt_ch, rt_cr)

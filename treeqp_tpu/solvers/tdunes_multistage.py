@@ -972,11 +972,12 @@ def _ms_newton_loop_mega(ms: MultistageQP, lam0_crown, lam0_chain,
     lam_cr_l0 = lane_cr(lam0_crown.astype(f32) * nrxm_cr)
     lam_ch_l0 = lane_ch(lam0_chain.astype(f32))
 
+    NPg = ckr._get_sched(prep_cr).NPg
     zero_fact = dict(
         Lt=jnp.zeros((L, nx, nx, SP), f32),
         CUt=jnp.zeros((L, nx, nx, SP), f32),
-        CholW=jnp.zeros((prep_cr.G, prep_cr.G, ckr._NP), f32),
-        CholUt=jnp.zeros((nxm, prep_cr.G, ckr._NP), f32),
+        CholW=jnp.zeros((prep_cr.G, prep_cr.G, NPg), f32),
+        CholUt=jnp.zeros((nxm, prep_cr.G, NPg), f32),
         s_node=jnp.zeros((Nn, nxm), f32),
         sc=jnp.zeros((S, L, nx), f32),
         s_node_l=jnp.zeros((nxm, NPc), f32),
