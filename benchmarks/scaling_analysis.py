@@ -125,6 +125,26 @@ def main(argv=None):
                  "comm_share_of_iter": round(audited / ICI_BW / T_ITER_F32, 3),
                  "note": "GSPMD-auto jit path, compiled at 256 scenarios "
                          "on an 8-device mesh; see tests/test_hlo_audit.py"})
+    # the explicit-SPMD shard_map path (parallel/shard_solver.py): the
+    # solver inserts the boundary collectives itself (all-gathered chain
+    # root contributions [S, nz] / Schur complements [S, nx, nx] + scalar
+    # psums) — audited at ~0.42 MB/iter static (includes the f64 phase,
+    # refinement gathers and the rarely-taken sequential line-search
+    # branch), 15x below GSPMD-auto and within ~6x of this model's
+    # single-phase minimal count. Weak-scaling predictions apply to THIS
+    # path.
+    audited_shmap = 420_996
+    rows.append({"kind": "hlo-audit-shard-map", "devices": 8,
+                 "scenarios": MD**NR, "link": "ici",
+                 "collective_bytes_per_iter": audited_shmap,
+                 "comm_time_us": round(audited_shmap / ICI_BW * 1e6, 2),
+                 "comm_share_of_iter":
+                     round(audited_shmap / ICI_BW / T_ITER_F32, 4),
+                 "note": "explicit-SPMD shard_map path "
+                         "(parallel/shard_solver.py), compiled at 256 "
+                         "scenarios on an 8-device mesh; "
+                         "tests/test_hlo_audit.py::"
+                         "test_shard_map_path_reaches_model_bytes"})
 
     if not args.skip_virtual:
         # virtual-device measurement (labeled: shared-core-confounded)

@@ -153,6 +153,16 @@ class TdunesOpts:
     # remaining iterations skip the dominant per-iteration cost.
     # Multistage solver only.
     reuse_factorization: bool = True
+    # Explicit-SPMD mesh axis for running the MULTISTAGE solver inside
+    # jax.shard_map with chains sharded over this axis and the crown
+    # replicated: cross-device traffic becomes the explicit psums of the
+    # chain-root contributions / Schur complements / reduction scalars —
+    # the minimal boundary bytes of the communication model — instead of
+    # GSPMD's auto-partitioned collectives (parallel/shard_solver.py;
+    # tests/test_hlo_audit.py documents the gap). None = single-device /
+    # GSPMD path. The mega-kernel / fused-system / df64 paths are
+    # per-device-global and are bypassed under an axis.
+    axis_name: str | None = None
     # Banded-chain sweep backend for the multistage solver: "pallas" fuses
     # each whole sweep into one lane-batched TPU kernel (requires
     # factor_dtype=float32); "xla" is the portable scan path.

@@ -218,28 +218,79 @@ def _chain_stage_solve(ms: MultistageQP, lam_ch):
     return dict(qmod=qmod, rmod=rmod, x=x, u=u, xUnc=xUnc, uUnc=uUnc, qt=qt, rt=rt)
 
 
-def _chain_root_contrib(ms: MultistageQP, lam_ch):
+class _Shard:
+    """Explicit-SPMD context for running the multistage solver body inside
+    ``jax.shard_map`` with the chains sharded over a mesh axis and the
+    crown replicated (SURVEY 5.8; parallel/shard_solver.py wraps it).
+
+    Inside shard_map the chain arrays are the LOCAL shard; the crown data
+    and every crown computation are replicated. All cross-device traffic
+    is explicit here: the chain-root contributions / Schur complements
+    sum into the replicated crown via ``psum`` — exactly the minimal
+    boundary bytes the communication model counts
+    (benchmarks/scaling_analysis.py) — instead of the chain-shaped
+    gathers GSPMD's auto-partitioner inserts (tests/test_hlo_audit.py,
+    round-4 finding). Reference analog: the OpenMP scenario fork-join of
+    dual_Newton_scenarios.c:528-563 with shared-memory coupling."""
+
+    def __init__(self, meta, axis: str, S_local: int, prep_cr):
+        self.axis = axis
+        rid = jnp.asarray(np.asarray(meta.root_ids))
+        ax = jax.lax.axis_index(axis)
+        start = ax * S_local
+        self.rid_l = jax.lax.dynamic_slice(rid, (start,), (S_local,))
+        nxm = meta.crown_topo.nxm
+        self.g_of_l = jnp.asarray(np.asarray(prep_cr.group_of_node))[self.rid_l]
+        slot_l = jnp.asarray(np.asarray(prep_cr.slot_of_node))[self.rid_l]
+        self.rows_l = slot_l[:, None] * nxm + jnp.arange(nxm)[None, :]
+
+    def psum(self, v):
+        return jax.lax.psum(v, self.axis)
+
+    def gather_s(self, v):
+        """All-gather a per-scenario array along dim 0 (the compact
+        boundary form: S*rows bytes instead of a crown-shaped dense
+        psum — the byte count the communication model assumes)."""
+        return jax.lax.all_gather(v, self.axis, axis=0, tiled=True)
+
+    def all_true(self, flag):
+        # globally-agreed boolean (predicates guarding collectives must
+        # not diverge across devices)
+        return self.psum(1 - flag.astype(jnp.int32)) == 0
+
+
+def _rid_of(ms, shard: "_Shard | None"):
+    if shard is not None:
+        return shard.rid_l
+    return np.asarray(ms.meta.root_ids)
+
+
+def _chain_root_contrib(ms: MultistageQP, lam_ch, shard=None):
     """-A0'lam0 / -B0'lam0 terms to inject into the crown stage-Nr nodes'
-    modified gradients, in crown [Ncrown, nxm/num] layout (all-gathered)."""
+    modified gradients, in crown [Ncrown, nxm/num] layout (all-gathered;
+    psummed over the mesh axis under shard_map)."""
     nx = ms.A.shape[-1]
     AB0 = jnp.concatenate([ms.A, ms.B], axis=3)[:, 0]
     cqr = jnp.einsum("sjn,sj->sn", AB0, lam_ch[:, 0])
     cq, cr = cqr[..., :nx], cqr[..., nx:]  # [S, nxm] / [S, num]
     Ncrown = ms.meta.crown_topo.Nn
     rid = np.asarray(ms.meta.root_ids)
+    if shard is not None:
+        cq, cr = shard.gather_s(cq), shard.gather_s(cr)  # [S, *]
     extra_q = jnp.zeros((Ncrown, cq.shape[-1]), cq.dtype).at[rid].set(cq)
     extra_r = jnp.zeros((Ncrown, cr.shape[-1]), cr.dtype).at[rid].set(cr)
     return extra_q, extra_r
 
 
-def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown, AT=None, BT=None):
+def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown, AT=None, BT=None,
+                    shard=None):
     """res[s,j] = A x_parent + B u_parent + b - x  over all chain edges.
 
     ``AT``/``BT`` are pre-transposed copies of ms.A/ms.B (swapaxes(2, 3)):
     einsums contracting over the minor-most dim are pathologically slow in
     emulated f64 on TPU (layout changes); passing the transpose once per
     solve keeps the contraction on the fast axis."""
-    rid = np.asarray(ms.meta.root_ids)
+    rid = _rid_of(ms, shard)
     if AT is None:
         AT, BT = ms.A.swapaxes(2, 3), ms.B.swapaxes(2, 3)
     xp = jnp.concatenate([x_crown[rid][:, None], ch["x"][:, :-1]], axis=1)
@@ -250,7 +301,8 @@ def _chain_residual(ms: MultistageQP, ch, x_crown, u_crown, AT=None, BT=None):
     return jnp.einsum("sljn,slj->sln", ABT, zp) + ms.b - ch["x"]
 
 
-def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown, dtype=None):
+def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown, dtype=None,
+                  shard=None):
     """Dual-Hessian chain blocks Wc [S,L,nx,nx] / Utc [S,L,nx,nx].
 
     Wc[s,j]  = A_j qt_p A_j' + B_j rt_p B_j' + qt_j   (p = parent of node j)
@@ -260,7 +312,7 @@ def _chain_blocks(ms: MultistageQP, ch, qt_crown, rt_crown, dtype=None):
     only the (f32) factorization; the exact Hessian action for refinement is
     applied separately in f64 (_ms_apply_M).
     """
-    rid = np.asarray(ms.meta.root_ids)
+    rid = _rid_of(ms, shard)
     A, B = ms.A, ms.B
     qt_p = jnp.concatenate([qt_crown[rid][:, None], ch["qt"][:, :-1]], axis=1)
     rt_p = jnp.concatenate([rt_crown[rid][:, None], ch["rt"][:, :-1]], axis=1)
@@ -369,16 +421,17 @@ def _chain_dual_terms(ms: MultistageQP, ch, lam_ch):
 # full solve
 
 
-def _ms_stage_solve(ms: MultistageQP, crown_data, lam_cr, lam_ch, opts, prep_cr):
+def _ms_stage_solve(ms: MultistageQP, crown_data, lam_cr, lam_ch, opts,
+                    prep_cr, shard=None):
     ch = _chain_stage_solve(ms, lam_ch)
-    extra_q, extra_r = _chain_root_contrib(ms, lam_ch)
+    extra_q, extra_r = _chain_root_contrib(ms, lam_ch, shard)
     cr = td._stage_solve(ms.crown, lam_cr, crown_data, opts, prep_cr,
                          extra_q, extra_r)
     return cr, ch
 
 
 def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr,
-                trans=None):
+                trans=None, shard=None):
     """Apply the exact dual Hessian M = J P J' to a direction, in the data
     dtype. Used for iterative refinement of f32-factored Newton solves:
     M d = -(linearized dynamics residual of the linear stage response).
@@ -397,7 +450,7 @@ def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr,
     sum_AB = jax.ops.segment_sum(AtBtL[1:], prep_cr.par[1:],
                                  num_segments=prep_cr.Nn)
     sum_A, sum_B = sum_AB[..., :nxc], sum_AB[..., nxc:]
-    eq, er = _chain_root_contrib(ms, dlam_ch)
+    eq, er = _chain_root_contrib(ms, dlam_ch, shard)
     xl = cr["qtilde"] * (dlam_cr - sum_A - eq) * xm
     ul = cr["rtilde"] * (-sum_B - er) * um
     # chain linear stage response
@@ -413,7 +466,7 @@ def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr,
     ABTr = jnp.concatenate([trans["ATr"], trans["BTr"]], axis=1)
     zpr = jnp.concatenate([xl[prep_cr.par], ul[prep_cr.par]], axis=1)
     res_cr = (jnp.einsum("nji,nj->ni", ABTr, zpr) - xl) * nrxm
-    rid = np.asarray(ms.meta.root_ids)
+    rid = _rid_of(ms, shard)
     xp = jnp.concatenate([xl[rid][:, None], xlc[:, :-1]], axis=1)
     up = jnp.concatenate([ul[rid][:, None], ulc[:, :-1]], axis=1)
     ABTc = jnp.concatenate([trans["ATc"], trans["BTc"]], axis=2)
@@ -422,14 +475,19 @@ def _ms_apply_M(ms: MultistageQP, cr, ch, dlam_cr, dlam_ch, prep_cr,
     return -res_cr, -res_ch
 
 
-def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts):
+def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts,
+                   shard=None):
     f_cr = td._dual_value(ms.crown, lam_cr, cr, crown_data, opts)
-    return f_cr + _chain_dual_terms(ms, ch, lam_ch)
+    f_ch = _chain_dual_terms(ms, ch, lam_ch)
+    if shard is not None:
+        f_ch = shard.psum(f_ch)  # crown term replicated, chains sharded
+    return f_cr + f_ch
 
 
 
 def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
-                  g_of, rows, nrxm_cr, s_node_dt, chain_lanes=None):
+                  g_of, rows, nrxm_cr, s_node_dt, chain_lanes=None,
+                  shard=None):
     """Shared factorize of the crown+chains dual Hessian (f64 and df64
     loops): blocks + Jacobi equilibration + chain/crown factorization.
 
@@ -444,7 +502,7 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
     fdt = f32 if opts.factor_dtype == "float32" else None
     prep = prep_cr
     nxm = meta.crown_topo.nxm
-    rid = np.asarray(meta.root_ids)
+    rid = _rid_of(ms, shard)
     ar = np.arange(nxm)
     rows_all = prep.gslot[:, None] * nxm + ar[None, :]
     dad_safe = np.maximum(prep.gdad, 0)
@@ -482,12 +540,19 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
         sUt_rows = sW[dad_safe[:, None], rows_all]
         W = W * sW[:, :, None] * sW[:, None, :]
         Ut = Ut * sUt_rows[:, :, None] * sW[:, None, :]
-    s_root = sW[g_of[:, None], rows]
+    # local-scenario view for the chain-side uses (ztp_root/scp); the
+    # crown-side Schur scatter keeps the GLOBAL indices (post all-gather)
+    if shard is not None:
+        g_of_loc, rows_loc = shard.g_of_l, shard.rows_l
+    else:
+        g_of_loc, rows_loc = g_of, rows
+    s_root = sW[g_of_loc[:, None], rows_loc]
     s_node = td._group_to_nodes(sW, prep, s_node_dt) * nrxm_cr
 
     if fused_chain:
         from treeqp_tpu.ops import chain_kernels as ck
-        ztp_root = jnp.concatenate([qtilde_cr[rid], rtilde_cr[rid]],
+        rid_loc = _rid_of(ms, shard)
+        ztp_root = jnp.concatenate([qtilde_cr[rid_loc], rtilde_cr[rid_loc]],
                                    axis=-1).astype(f32)
         if chain_lanes is not None:
             # qt_ch / rt_ch arrive in the eval kernel's LANE layout — feed
@@ -504,7 +569,7 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
                 ABt, ztp_c, qt_ch.astype(f32), s_root.astype(f32))
     else:
         Wc, Utc = _chain_blocks(ms, {"qt": qt_ch, "rt": rt_ch},
-                                qtilde_cr, rtilde_cr, dtype=fdt)
+                                qtilde_cr, rtilde_cr, dtype=fdt, shard=shard)
         sc = 1.0 / jnp.sqrt(jnp.maximum(
             jnp.diagonal(Wc, axis1=2, axis2=3), 1e-12))
         scp = jnp.concatenate([s_root[:, None].astype(sc.dtype),
@@ -515,6 +580,8 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
 
     if fused_crown:
         sUt_rows = sW[dad_safe[:, None], rows_all]
+        if shard is not None:
+            schur0 = shard.gather_s(schur0)  # [S, nx, nx] boundary form
         Wadd = jnp.zeros((prep.NpG, prep.G, prep.G), f32)
         Wadd = Wadd.at[g_of[:, None, None], rows[:, :, None],
                        rows[:, None, :]].add(-schur0.astype(f32))
@@ -523,6 +590,8 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
             ABk, ztp, dvals, sW, sUt_rows, Wadd, prep, reg=reg)
         crown_fact = dict(kind="pallas", CholW=CholW, CholUt=CholUt)
     else:
+        if shard is not None:
+            schur0 = shard.gather_s(schur0)  # [S, nx, nx] boundary form
         W = W.at[g_of[:, None, None], rows[:, :, None],
                  rows[:, None, :]].add(-schur0.astype(W.dtype))
         crown_fact = td._tree_chol_factor(W, Ut, opts, prep)
@@ -543,7 +612,7 @@ def _solve_backends(prep_cr, meta, opts):
 
 
 def _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr, g_of, rows, rid,
-                   crown_kind, fused):
+                   crown_kind, fused, shard=None):
     """Build solve(rcr, rch) -> (dcr, dch) from stored factors.
 
     Shared by the f32/f64 loop (_ms_newton_loop) and the df64 loop
@@ -570,14 +639,18 @@ def _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr, g_of, rows, rid,
     if crown_kind:
         crown_fact["kind"] = crown_kind
 
+    rid_loc = shard.rid_l if shard is not None else rid
+
     def solve(rcr, rch):
         rcr_s, rch_s = rcr * s_node, rch * sc
         ys, radd0 = _chain_solve_bwd(Ls, CUs, rch_s, opts)
+        if shard is not None:
+            radd0 = shard.gather_s(radd0)  # [S, nx] boundary form
         rg = td._nodes_to_group(rcr_s, prep_cr)
         rg = rg.at[g_of[:, None], rows].add(-radd0)
         dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
         dcr_s = td._group_to_nodes(dg, prep_cr, dt) * nrxm_cr
-        dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid], opts)
+        dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid_loc], opts)
         return dcr_s * s_node, dch_s * sc
     return solve
 
@@ -597,6 +670,9 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     dt = ms.q.dtype
     crown_data = td._stage_data(ms.crown, opts)
     xm_cr, um_cr, nrxm_cr = td._masks(ms.crown)
+    # explicit-SPMD context under shard_map (chains = local shard)
+    shard = (_Shard(meta, opts.axis_name, ms.b.shape[0], prep_cr)
+             if opts.axis_name else None)
     # pre-transposed dynamics: f64 einsums contracting the minor-most dim
     # are pathologically slow on TPU; computed once, hoisted out of the loop
     trans = dict(ATc=ms.A.swapaxes(2, 3), BTc=ms.B.swapaxes(2, 3),
@@ -616,7 +692,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
     # kernel) — the f32 coarse phase on the Pallas clipping path
     fused_eval = (opts.chain_backend == "pallas"
                   and opts.stage_solver == "clipping"
-                  and opts.factor_dtype == "float32" and dt == jnp.float32)
+                  and opts.factor_dtype == "float32" and dt == jnp.float32
+                  and shard is None)
     if fused_eval:
         from treeqp_tpu.ops import chain_kernels as ck
         from treeqp_tpu.ops import crown_kernels as ckr
@@ -653,7 +730,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             cr = td._stage_solve(ms.crown, lam_cr, crown_data, opts,
                                  prep_cr, extra_q, extra_r)
             return cr, ch
-        return _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts, prep_cr)
+        return _ms_stage_solve(ms, crown_data, lam_cr, lam_ch, opts,
+                               prep_cr, shard)
 
     def dual_value(lam_cr, lam_ch, cr, ch):
         if fused_eval:
@@ -661,7 +739,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
                 return cr["fcr"] + ch["fch"]
             return td._dual_value(ms.crown, lam_cr, cr, crown_data, opts) \
                 + ch["fch"]
-        return _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts)
+        return _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts,
+                              shard)
 
     def residuals_of(cr, ch):
         if "res" in cr:  # crown residual came out of the fused eval kernel
@@ -676,7 +755,8 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
                 jnp.einsum("sir,si->sr", ab0t, zr.astype(ab0t.dtype)))
         else:
             res_ch = _chain_residual(ms, ch, cr["x"], cr["u"],
-                                     AT=trans["ATc"], BT=trans["BTc"])
+                                     AT=trans["ATc"], BT=trans["BTc"],
+                                     shard=shard)
         return res_cr, res_ch
 
     def compute_residuals(lam_cr, lam_ch):
@@ -685,8 +765,14 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
 
     def error_of(res_cr, res_ch):
         if opts.termination == "infnorm":
-            return jnp.maximum(jnp.max(jnp.abs(res_cr)), jnp.max(jnp.abs(res_ch)))
-        sq = jnp.sum(res_cr**2) + jnp.sum(res_ch**2)
+            e_ch = jnp.max(jnp.abs(res_ch))
+            if shard is not None:
+                e_ch = jax.lax.pmax(e_ch, shard.axis)
+            return jnp.maximum(jnp.max(jnp.abs(res_cr)), e_ch)
+        sq_ch = jnp.sum(res_ch**2)
+        if shard is not None:
+            sq_ch = shard.psum(sq_ch)
+        sq = jnp.sum(res_cr**2) + sq_ch
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
     def factorize(cr, ch):
@@ -694,9 +780,11 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         # kernel on the Pallas clipping path) — see _ms_factorize
         return _ms_factorize(ms, cr["qtilde"], cr["rtilde"], ch["qt"],
                              ch["rt"], opts, prep_cr, g_of, rows, nrxm_cr,
-                             dt, chain_lanes=data_l)
+                             dt, chain_lanes=data_l, shard=shard)
 
     crown_kind, fused = _solve_backends(prep_cr, meta, opts)
+    if shard is not None:
+        fused = False  # whole-system kernel needs the global scenario set
 
     def active_sig(cr, ch):
         # With clipping, qtilde/rtilde are Qinv-or-0: exact array equality
@@ -709,11 +797,16 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         out = eq[0]
         for e in eq[1:]:
             out = out & e
+        if shard is not None:
+            # globally-agreed predicate: the factorize under this cond
+            # contains a psum (crown Schur), so the branch choice must
+            # not diverge across devices
+            out = shard.all_true(out)
         return out
 
     def make_solve(fact):
         return _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr,
-                              g_of, rows, rid, crown_kind, fused)
+                              g_of, rows, rid, crown_kind, fused, shard)
 
     def newton_step(carry, f0, cr, ch, res_cr, res_ch, fact_prev, sig_prev):
         # f0 = f(lam) carried from the previous line search's accepted
@@ -729,15 +822,18 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
         solve = make_solve(fact)
 
         def newton_resnorm(dcr, dch):
-            mcr, mch = _ms_apply_M(ms, cr, ch, dcr, dch, prep_cr, trans)
-            return (jnp.sum((res_cr - mcr) ** 2) + jnp.sum((res_ch - mch) ** 2),
-                    mcr, mch)
+            mcr, mch = _ms_apply_M(ms, cr, ch, dcr, dch, prep_cr, trans,
+                                   shard)
+            n_ch = jnp.sum((res_ch - mch) ** 2)
+            if shard is not None:
+                n_ch = shard.psum(n_ch)
+            return (jnp.sum((res_cr - mcr) ** 2) + n_ch, mcr, mch)
 
         dlam_cr, dlam_ch = solve(res_cr, res_ch)
         if opts.refine_steps > 0 and not opts.refine_safeguard:
             for _ in range(opts.refine_steps):
                 mcr, mch = _ms_apply_M(ms, cr, ch, dlam_cr, dlam_ch, prep_cr,
-                                       trans)
+                                       trans, shard)
                 ccr, cch = solve(res_cr - mcr, res_ch - mch)
                 dlam_cr = dlam_cr + ccr
                 dlam_ch = dlam_ch + cch
@@ -760,7 +856,10 @@ def _ms_newton_loop(ms: MultistageQP, lam0_crown, lam0_chain,
             dlam_cr, dlam_ch = best_cr, best_ch
 
         # --- Armijo line search on f = -g over (crown, chain) jointly
-        dot = -(jnp.sum(res_cr * dlam_cr) + jnp.sum(res_ch * dlam_ch))
+        dot_ch = jnp.sum(res_ch * dlam_ch)
+        if shard is not None:
+            dot_ch = shard.psum(dot_ch)
+        dot = -(jnp.sum(res_cr * dlam_cr) + dot_ch)
         descent_ok = dot < 1e-10  # see tdunes.py: documented < 0 deviation
 
         def f_at(tau):
@@ -1242,7 +1341,7 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         optsA = dataclasses.replace(
             opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol),
             ls_batch=opts.ls_batch if opts.ls_batch > 0 else 4)
-        if _mega_applicable(prep_cr, meta, optsA):
+        if opts.axis_name is None and _mega_applicable(prep_cr, meta, optsA):
             # whole-iteration mega-kernel loop: ONE launch per common-path
             # Newton iteration (ops/iter_kernel.py)
             lamA_cr, lamA_ch, it0, _, _, _, handover = _ms_newton_loop_mega(
@@ -1260,7 +1359,7 @@ def tdunes_ms_solve(ms: MultistageQP, lam0_crown=None, lam0_chain=None,
         lam0_chain = lamA_ch.astype(dt)
 
     if (opts.df64_phase and dt == jnp.float64
-            and opts.factor_dtype == "float32"):
+            and opts.factor_dtype == "float32" and opts.axis_name is None):
         from treeqp_tpu.solvers.ms_df64 import ms_newton_loop_df
         lam_cr, lam_ch, it, status, ls_it, cr, ch, err = ms_newton_loop_df(
             ms, lam0_crown, lam0_chain, opts, it0, handover=handover)
