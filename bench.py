@@ -63,7 +63,7 @@ MD, NR, NH, NM = 4, 4, 20, 4  # md^Nr = 256 scenarios, nx = 8, Nh = 20
 NREP = 5
 # solves chained inside one jit per timed dispatch (env-overridable for
 # protocol experiments)
-CHAIN_R = int(os.environ.get("TREEQP_BENCH_CHAIN", "96"))
+CHAIN_R = int(os.environ.get("TREEQP_BENCH_CHAIN", "192"))
 TOL = 1e-8
 # per-solve multiplicative perturbation amplitude of the dynamics offsets
 PERT = 0.02
@@ -302,6 +302,21 @@ def main():
                 "iters_per_solve_max": int(cold["iters"].max()),
                 "iters_per_solve_mean": round(float(cold["iters"].mean()), 2),
                 "max_error": float(cold["errs"].max()),
+            },
+            "roofline": {
+                # per-iteration work measured by XLA cost analysis of the
+                # component programs (BENCH_NOTES round 4): the workload
+                # is bound by serial sweep structure, not MXU/HBM
+                "flops_per_iter_reuse_hit": 4.1e6,
+                "flops_per_iter_refactorize": 15.1e6,
+                "achieved_gflops_cold": round(
+                    4.1e6 * iters_per_sec / 1e9, 1),
+                "v5e_mxu_bf16_peak_tflops": 197.0,
+                "hbm_gbps_estimate": 28.0,
+                "hbm_peak_gbps": 819.0,
+                "bound": "serial banded-sweep/tree-level dependency "
+                         "chains on the VPU (8x8 blocks); launch bound "
+                         "removed by the fusion ladder",
             },
             "warm": {
                 "iters_per_sec": round(warm["iters_per_sec"], 1),

@@ -233,3 +233,27 @@ def test_sdunes_sharded_matches_unsharded():
     out = scenario_output(sqp, sol, lam, mu, info)
     assert float(max_kkt_residual(qp, out_s)) < 1e-8
     assert float(jnp.max(jnp.abs(out_s.x - out.x))) < 1e-9
+
+
+@pytest.mark.slow
+def test_sdunes_df64_phase_matches_f64():
+    """The df64 final phase (solvers/sd_df64.py, VERDICT r3 #3) must
+    reproduce the emulated-f64 phase's solution at the same certified
+    KKT quality — the sdunes mirror of the tdunes_ms precision
+    schedule."""
+    from treeqp_tpu.core.kkt import max_kkt_residual
+    from benchmarks.models import spring_mass_chain
+
+    qp, _ = spring_mass_chain(nm=2, md=2, Nr=3, Nh=8)
+    sqp = scenario_data(qp)
+    base = dict(tol=1e-8, max_iter=120, factor_dtype="float32",
+                refine_steps=1, f32_phase_tol=1e-3, reg_type="always",
+                reg_value=1e-6)
+    sol, lam, mu, info = sdunes_solve(sqp, None, None, SdunesOpts(**base))
+    out = scenario_output(sqp, sol, lam, mu, info)
+    sol2, lam2, mu2, info2 = sdunes_solve(
+        sqp, None, None, SdunesOpts(**base, df64_phase=True))
+    out2 = scenario_output(sqp, sol2, lam2, mu2, info2)
+    assert int(info2["status"]) == 0
+    assert float(max_kkt_residual(qp, out2)) < 1e-8
+    assert float(jnp.max(jnp.abs(out.x - out2.x))) < 1e-7

@@ -81,6 +81,11 @@ class SdunesOpts:
     # (scenarios on the lane dimension — the identical layout to the
     # multistage chains); "xla" is the portable scan path.
     chain_backend: str = "xla"  # xla | pallas
+    # run the final (data-dtype) phase in df64 two-f32 double-float
+    # arithmetic instead of XLA-emulated f64 (solvers/sd_df64.py — the
+    # sdunes mirror of the tdunes_ms df64 phase, VERDICT r3 #3).
+    # Requires f64 data + factor_dtype="float32".
+    df64_phase: bool = False
 
     def _as_tdunes(self) -> TdunesOpts:
         return TdunesOpts(reg_type=self.reg_type, reg_tol=self.reg_tol,
@@ -712,8 +717,14 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
         lam0 = lamA.astype(dt)
         mu0 = muA.astype(dt)
 
-    lam, mu, it, err, status, ls_it = _sd_newton_loop(
-        sqp, lam0, mu0, opts, it0)
+    if (opts.df64_phase and dt == jnp.float64
+            and opts.factor_dtype == "float32"):
+        from treeqp_tpu.solvers.sd_df64 import sd_newton_loop_df
+        lam, mu, it, err, status, ls_it = sd_newton_loop_df(
+            sqp, lam0, mu0, opts, it0)
+    else:
+        lam, mu, it, err, status, ls_it = _sd_newton_loop(
+            sqp, lam0, mu0, opts, it0)
 
     sol = _stage_solve(sqp, mu, lam, cmask)
     r_mu, r_lam = _residuals(sqp, sol, cmask)
