@@ -101,14 +101,7 @@ def run_mode(mode):
             tol=TOL / 4, max_iter=150,
             factor_dtype="float32" if on_tpu else "same",
             refine_steps=1 if on_tpu else 0, refine_safeguard=False,
-            # stage-QP factors in the data dtype for the CERTIFIED runs:
-            # the f32-factored stage multipliers leave an oracle-KKT floor
-            # that scales with the node count (~1.3e-8 at 133 nodes ->
-            # ~2.1e-7 at 1109 on TPU) — the speed/accuracy tradeoff is
-            # documented in BENCH_NOTES; override via TREEQP_CD_QPGEN32=1
-            qpgen_factor_dtype=("float32"
-                                if os.environ.get("TREEQP_CD_QPGEN32")
-                                else "same"),
+            qpgen_factor_dtype="float32" if on_tpu else "same",
             reg_type="always" if on_tpu else "on_the_fly", reg_value=1e-6)
 
         def solve(qp2):

@@ -1,0 +1,89 @@
+"""1024-scenario measured bench point (VERDICT r3 #8 done-criterion).
+
+md=4, Nr=5, Nh=20 -> 1024 scenarios, 17749 nodes; the crown has 341
+lambda-groups — beyond the old 128-lane kernel cap, on the Pallas path
+via the collapsed per-slot scatter matrices (ops/crown_kernels.py round
+4). The crown EVAL fusion caps at 1024 node-lanes (the 1365-node crown
+falls back to the XLA stage solve); chain eval/factor/solve and the
+crown factor/solve kernels run fused.
+
+Cold-chain protocol as bench.py at a reduced CHAIN_R. Prints one JSON
+line; run on the TPU.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHAIN_R = int(os.environ.get("TREEQP_1024_CHAIN", "24"))
+NREP = 3
+TOL = 1e-8
+
+
+def main():
+    from benchmarks.models import spring_mass_chain
+    from treeqp_tpu.solvers.tdunes import TdunesOpts
+    from treeqp_tpu.solvers.tdunes_multistage import (
+        split_multistage, tdunes_ms_solve)
+    import bench
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        qp, _ = spring_mass_chain(nm=4, md=4, Nr=5, Nh=20)
+        ms = split_multistage(qp)
+    dev = jax.devices()[0]
+    ms = jax.device_put(ms, dev)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    opts = TdunesOpts(stage_solver="clipping", tol=TOL, max_iter=150,
+                      factor_dtype="float32" if on_tpu else "same",
+                      refine_steps=2 if on_tpu else 0,
+                      refine_safeguard=False,
+                      chain_backend="pallas" if on_tpu else "xla",
+                      reg_type="always" if on_tpu else "on_the_fly",
+                      reg_value=1e-6,
+                      f32_phase_tol=1e-4 if on_tpu else 0.0,
+                      df64_phase=on_tpu)
+
+    meta = ms.meta
+    lam0c = jnp.zeros((meta.crown_topo.Nn, meta.crown_topo.nxm), ms.q.dtype)
+    lam0h = jnp.zeros_like(ms.q)
+
+    @jax.jit
+    def run_chain(seed):
+        def body(carry, k):
+            ms_k = bench.perturb_ms(ms, bench.perturb_factor(k, seed))
+            cro, cho, inf = tdunes_ms_solve(ms_k, lam0c, lam0h, opts)
+            return 0.0, (inf["iter"], inf["error"], inf["status"])
+        _, (iters, errs, stats) = jax.lax.scan(
+            body, 0.0, jnp.arange(CHAIN_R, dtype=ms.q.dtype))
+        return iters, errs, stats
+
+    out = jax.block_until_ready(run_chain(np.float64(0)))
+    times = []
+    for k in range(NREP):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run_chain(np.float64(k + 1)))
+        times.append(time.perf_counter() - t0)
+    iters, errs, stats = (np.asarray(v) for v in out)
+    t = min(times)
+    assert np.all(stats == 0), stats
+    assert np.all(errs < TOL), errs.max()
+    print(json.dumps(dict(
+        metric="tdunes_ms_1024scen", scenarios=1024, nodes=qp.topo.Nn,
+        crown_lambda_groups=341, device=str(dev),
+        ms_per_solve=round(t / CHAIN_R * 1e3, 2),
+        iters_per_solve=round(float(iters.mean()), 2),
+        iters_per_sec=round(float(iters.sum()) / t, 1),
+        max_err=float(errs.max()), chain=CHAIN_R, nrep=NREP)))
+
+
+if __name__ == "__main__":
+    main()

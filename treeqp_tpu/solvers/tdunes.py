@@ -413,6 +413,15 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         d_act = (m_up * hi_c + m_dn * lo_c + m_eq * lo_c) * m_act
         Mfull = (m_act[:, :, None] * GHG * m_act[:, None, :]
                  + eye * (1.0 - m_act)[:, :, None] + regM * eye)
+        # refinement target WITHOUT the shift: the factor of the
+        # regularized system is only a preconditioner. Refining against
+        # Mfull itself leaves active rows regM*mu off their bounds — a
+        # complementarity gap that is invisible to the one-sided
+        # violation guard and scales with the Hessian magnitude (for
+        # probability-split tree weights: linearly with the node count;
+        # measured 2.1e-7 at 1109 nodes before this fix).
+        Mres = (m_act[:, :, None] * GHG * m_act[:, None, :]
+                + eye * (1.0 - m_act)[:, :, None])
         rhs = m_act * (w - d_act)
         # Cholesky-based solve: Mfull is SPD by construction (masked GHG +
         # identity on inactive rows + reg), and XLA's LU (jnp.linalg.solve)
@@ -435,7 +444,7 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         # active rows ~1e-10 off their bounds; 3 passes under the f32
         # factor, 1 under the native factor)
         for _ in range(n_refine):
-            mu = mu + spd_solve(rhs - jnp.einsum("nij,nj->ni", Mfull, mu))
+            mu = mu + spd_solve(rhs - jnp.einsum("nij,nj->ni", Mres, mu))
         mu = m_act * mu
         z = jnp.einsum("nij,nj->ni", Hinv,
                        hmod - jnp.einsum("ngz,ng->nz", G, mu))
@@ -443,7 +452,12 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
         viol = jnp.maximum(jnp.maximum(t - hi_c, lo_c - t), 0.0) * mask
         # wrong-sign working-set multipliers are also KKT violations
         bad_mu = jnp.maximum(-mu * m_up, 0.0) + jnp.maximum(mu * m_dn, 0.0)
-        res_node = jnp.maximum(jnp.max(viol, axis=1), jnp.max(bad_mu, axis=1))
+        # active rows must SIT on their bounds (two-sided): slack there is
+        # a complementarity error the one-sided viol term cannot see
+        slack = jnp.abs(t - d_act) * m_act * mask
+        res_node = jnp.maximum(jnp.max(viol, axis=1),
+                               jnp.maximum(jnp.max(bad_mu, axis=1),
+                                           jnp.max(slack, axis=1)))
         # a non-finite factor (numerically semidefinite working set in the
         # factor dtype) must register as infinitely bad, not poison the
         # keep-best safeguard downstream (ADVICE r3)
