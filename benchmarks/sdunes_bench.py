@@ -38,7 +38,8 @@ CHAIN_R = int(os.environ.get("TREEQP_SDUNES_CHAIN", "48"))
 NREP = 3
 TOL = 1e-8
 
-MODES = ("sdunes_boot", "sdunes_f32", "tdunes_ms", "tdunes_ms_f32")
+MODES = ("sdunes_boot", "sdunes_boot_df64", "sdunes_f32", "tdunes_ms",
+         "tdunes_ms_f32")
 
 
 def build():
@@ -118,7 +119,7 @@ def run_mode(mode):
             return dc.replace(sqp, xmin=sqp.xmin.at[:, 0].multiply(fac),
                               xmax=sqp.xmax.at[:, 0].multiply(fac))
 
-        if mode == "sdunes_boot":
+        if mode.startswith("sdunes_boot"):
             import jax.numpy as jnp
             from treeqp_tpu.solvers.tdunes_multistage import (
                 split_multistage, merge_output, tdunes_ms_solve)
@@ -126,7 +127,9 @@ def run_mode(mode):
             with jax.default_device(cpu):
                 ms = split_multistage(qp)
             ms = jax.device_put(ms, dev)
-            opts = _sdunes_opts(on_tpu)
+            # _df64 variant: final phase in two-f32 double-float
+            # arithmetic (solvers/sd_df64.py) instead of emulated f64
+            opts = _sdunes_opts(on_tpu, df64_phase=mode.endswith("df64"))
             # coarse tdunes_ms bootstrap (cheaper than the IPM at loose
             # tolerance: the barrier schedule cannot shortcut, the dual
             # Newton can) mapped EXACTLY onto scenario duals

@@ -97,12 +97,17 @@ def _get_sched(prep) -> _CrownSched:
 
 
 def crown_supported(prep, opts) -> bool:
-    """Kernel applicability: lambda-group lanes bounded by the VMEM
-    budget of the slot permutation matrices (K * NPg^2 f32 <= ~4.5 MB —
-    512 lanes at K = 4), moderate block dim, f32 path, static
-    regularization (always/none)."""
+    """Kernel applicability: the scoped-VMEM footprint of the factor
+    kernels — slot scatter matrices K*NPg^2 plus ~9 W-shaped working
+    copies G^2*NPg plus the blocks/coupling operands — must fit the 16 MB
+    scoped limit with margin (measured on a v5e: G=16/NPg=384 fits at
+    ~6 MB est, G=32/NPg=384 OOMs at 22.6 MB actual vs 15.7 MB est).
+    Plus moderate block dim, f32 path, static regularization."""
     NPg = max(_NP, ((prep.NpG + _NP - 1) // _NP) * _NP)
-    return (prep.K * NPg * NPg * 4 <= 4_500_000 and prep.G <= 64
+    nz = prep.nxm + 8  # conservative stand-in for nxm+num operands
+    est = (prep.K * NPg * NPg + 9 * prep.G * prep.G * NPg
+           + prep.K * prep.nxm * nz * NPg + 4 * prep.nxm * prep.G * NPg) * 4
+    return (est <= 12_000_000 and prep.G <= 64
             and opts.factor_dtype == "float32"
             and opts.reg_type in ("always", "none"))
 
