@@ -26,6 +26,8 @@ from treeqp_tpu.solvers.tdunes import TdunesOpts
 
 TOL = 1e-6  # interpret-mode contraction noise; ~1e-15 on real TPU
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel runs, ~1 min
+
 
 @pytest.fixture(scope="module")
 def setup():
