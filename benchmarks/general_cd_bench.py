@@ -127,6 +127,44 @@ def run_mode(mode):
             return (info["iter"], jnp.max(info["res4"]), info["status"],
                     max_kkt_residual(qp2, out))
 
+    if os.environ.get("TREEQP_CD_PROTO") == "single":
+        # single-solve protocol: the scan-chained multi-solve program
+        # reliably faults the TPU device at the 4437-node size (a
+        # program-level issue — the identical solve+oracle runs alone;
+        # BENCH_NOTES round 4), so this mode times individually
+        # dispatched solves with the oracle in-program.
+        @jax.jit
+        def run_one(eps):
+            qp2 = dataclasses.replace(qp, b=qp.b + eps)
+            if mode == "ipm_ms":
+                ms2 = dataclasses.replace(
+                    ms0, b=ms0.b + eps,
+                    crown=dataclasses.replace(ms0.crown,
+                                              b=ms0.crown.b + eps))
+                it, err, st, kkt = solve(ms2, qp2)
+            else:
+                it, err, st, kkt = solve(qp2)
+            return it, err, st, kkt
+        jax.block_until_ready(run_one(np.float64(0.0)))
+        ts, its, kkts, stats = [], [], [], []
+        for k in range(max(NREP, 3)):
+            t0 = time.perf_counter()
+            it, err, st, kkt = jax.block_until_ready(
+                run_one(np.float64(1e-7 * (k + 1))))
+            ts.append(time.perf_counter() - t0)
+            its.append(int(it)); kkts.append(float(kkt))
+            stats.append(int(st))
+        assert all(s_ == 0 for s_ in stats), stats
+        assert max(kkts) < TOL, kkts
+        print(json.dumps({
+            "mode": mode, "protocol": "single", "device": str(dev),
+            "nodes": int(qp.topo.Nn), "scenarios": MD**NR,
+            "nc_rows": int(np.sum(np.asarray(qp.topo.nc))),
+            "solve_ms": round(min(ts) * 1e3, 2),
+            "iters_per_solve": round(float(np.mean(its)), 2),
+            "max_kkt": max(kkts), "nrep": max(NREP, 3)}))
+        return
+
     @jax.jit
     def run_chain(seed):
         def body(carry, k):
