@@ -314,9 +314,12 @@ def main():
                 "v5e_mxu_bf16_peak_tflops": 197.0,
                 "hbm_gbps_estimate": 28.0,
                 "hbm_peak_gbps": 819.0,
-                "bound": "serial banded-sweep/tree-level dependency "
-                         "chains on the VPU (8x8 blocks); launch bound "
-                         "removed by the fusion ladder",
+                "bound": "common-path iteration is one mega-kernel "
+                         "launch (~27 us) + refactorize (~98 us when the "
+                         "active set changed) + glue; the former "
+                         "scatter bottleneck (BENCH_NOTES 'the scatter "
+                         "was the floor') is replaced by static slot "
+                         "matmuls",
             },
             "warm": {
                 "iters_per_sec": round(warm["iters_per_sec"], 1),

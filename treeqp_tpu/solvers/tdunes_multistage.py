@@ -485,6 +485,65 @@ def _ms_dual_value(ms, crown_data, lam_cr, lam_ch, cr, ch, opts,
 
 
 
+_SLOT_MAT_CACHE = {}
+
+
+def _slot_mats(g_of, rows, NpG, nxm):
+    """Static per-slot scenario->group one-hot matrices [K, S, NpG]:
+    mats[k][s, g] = 1 iff chain root s sits in group g at kid slot k.
+    Cached per (g_of, rows) pattern."""
+    g_of = np.asarray(g_of)
+    rows = np.asarray(rows)
+    key = (g_of.tobytes(), rows.tobytes(), NpG, nxm)
+    hit = _SLOT_MAT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    slot = rows[:, 0] // nxm
+    K = int(slot.max()) + 1 if slot.size else 1
+    S = g_of.shape[0]
+    mats = np.zeros((K, S, NpG), np.float32)
+    mats[slot, np.arange(S), g_of] = 1.0
+    _SLOT_MAT_CACHE[key] = mats
+    return mats
+
+
+def _schur_scatter(schur0, g_of, rows, prep, nxm, dtype):
+    """Scatter the per-scenario [nxm, nxm] chain-root Schur blocks into
+    the [NpG, G, G] crown-group layout (each block lands on its group's
+    kid-slot diagonal block) as K static slot matmuls + static block
+    writes. Replaces a `.at[g_of, rows, rows].add` scatter, which XLA
+    serializes on TPU (~180 us for 256 blocks — the dominant cost of the
+    whole factorize program, scripts/prof_fact.py)."""
+    NpG, G = prep.NpG, prep.G
+    S = schur0.shape[0]
+    mats = _slot_mats(g_of, rows, NpG, nxm)
+    flat = schur0.reshape(S, nxm * nxm).astype(dtype)
+    out = jnp.zeros((NpG, G, G), dtype)
+    for k in range(mats.shape[0]):
+        if not mats[k].any():
+            continue
+        Wk = jnp.einsum("sg,sa->ga", jnp.asarray(mats[k], dtype), flat)
+        out = out.at[:, k * nxm:(k + 1) * nxm,
+                     k * nxm:(k + 1) * nxm].set(Wk.reshape(NpG, nxm, nxm))
+    return out
+
+
+def _rhs_scatter(radd0, g_of, rows, prep, nxm, dtype):
+    """Vector form of _schur_scatter: per-scenario [nxm] chain-root RHS
+    contributions into the [NpG, G] group layout via the same static slot
+    matmuls (replaces `rg.at[g_of, rows].add`)."""
+    NpG, G = prep.NpG, prep.G
+    mats = _slot_mats(g_of, rows, NpG, nxm)
+    flat = radd0.astype(dtype)
+    out = jnp.zeros((NpG, G), dtype)
+    for k in range(mats.shape[0]):
+        if not mats[k].any():
+            continue
+        vk = jnp.einsum("sg,sa->ga", jnp.asarray(mats[k], dtype), flat)
+        out = out.at[:, k * nxm:(k + 1) * nxm].set(vk)
+    return out
+
+
 def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
                   g_of, rows, nrxm_cr, s_node_dt, chain_lanes=None,
                   shard=None):
@@ -582,9 +641,7 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
         sUt_rows = sW[dad_safe[:, None], rows_all]
         if shard is not None:
             schur0 = shard.gather_s(schur0)  # [S, nx, nx] boundary form
-        Wadd = jnp.zeros((prep.NpG, prep.G, prep.G), f32)
-        Wadd = Wadd.at[g_of[:, None, None], rows[:, :, None],
-                       rows[:, None, :]].add(-schur0.astype(f32))
+        Wadd = -_schur_scatter(schur0, g_of, rows, prep, nxm, f32)
         reg = opts.reg_value if opts.reg_type == "always" else 0.0
         CholW, CholUt = ckr.crown_blocks_factor(
             ABk, ztp, dvals, sW, sUt_rows, Wadd, prep, reg=reg)
@@ -592,8 +649,7 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
     else:
         if shard is not None:
             schur0 = shard.gather_s(schur0)  # [S, nx, nx] boundary form
-        W = W.at[g_of[:, None, None], rows[:, :, None],
-                 rows[:, None, :]].add(-schur0.astype(W.dtype))
+        W = W - _schur_scatter(schur0, g_of, rows, prep, nxm, W.dtype)
         crown_fact = td._tree_chol_factor(W, Ut, opts, prep)
     return dict(Ls=Ls, CUs=CUs, CholW=crown_fact["CholW"],
                 CholUt=crown_fact["CholUt"], s_node=s_node, sc=sc)
@@ -647,7 +703,8 @@ def _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr, g_of, rows, rid,
         if shard is not None:
             radd0 = shard.gather_s(radd0)  # [S, nx] boundary form
         rg = td._nodes_to_group(rcr_s, prep_cr)
-        rg = rg.at[g_of[:, None], rows].add(-radd0)
+        rg = rg - _rhs_scatter(radd0, g_of, rows, prep_cr,
+                               meta.crown_topo.nxm, rg.dtype)
         dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
         dcr_s = td._group_to_nodes(dg, prep_cr, dt) * nrxm_cr
         dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid_loc], opts)
