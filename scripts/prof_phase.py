@@ -37,6 +37,16 @@ def main():
     opts = bench.bench_opts(jax.default_backend() in ("tpu", "axon"))
     if variant == "coarse":
         opts = dataclasses.replace(opts, tol=1e-4)
+    elif variant == "fixed":
+        # tol so large both phase loops exit after their initial
+        # evaluation: measures the per-solve FIXED skeleton (phase setup,
+        # data prep, handover, export)
+        opts = dataclasses.replace(opts, tol=1e30, f32_phase_tol=1e30)
+    elif variant == "nodf":
+        # f32 phase only (no df64 phase): fixed + f32 iterations
+        opts = dataclasses.replace(opts, df64_phase=False, tol=1e-4,
+                                   f32_phase_tol=0.0,
+                                   factor_dtype="float32")
     elif variant.startswith("ptol"):
         opts = dataclasses.replace(opts, f32_phase_tol=float(variant[4:]))
 

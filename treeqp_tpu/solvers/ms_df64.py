@@ -369,6 +369,25 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
             [ms.A.swapaxes(2, 3), ms.B.swapaxes(2, 3)], axis=2)[:, 0])
         S_ch = ms.b.shape[0]
         L_ch = ms.b.shape[1]
+        # static one-hot root scatter/gather matrices: `.at[:, rid].set`
+        # and `[rid]` gathers serialize on TPU (the scatter lesson of the
+        # f32 phase, BENCH_NOTES "the scatter was the floor"); one-hot
+        # matmuls are exact and ride the MXU
+        Nn_cr = meta_ms.crown_topo.Nn
+        _Rsc = np.zeros((S_ch, NPc), np.float32)
+        _Rsc[np.arange(S_ch), rid] = 1.0
+        Rs_cols = jnp.asarray(_Rsc)          # [S, NPc] scatter to lanes
+        _Rg = np.zeros((S_ch, Nn_cr), np.float32)
+        _Rg[np.arange(S_ch), rid] = 1.0
+        Rg_rows = jnp.asarray(_Rg)           # [S, Nn] gather root rows
+
+    def _scat_root_cols(v: Df) -> Df:
+        """[S, m] df64 -> [m, NPc] with column rid[s] = row s (exact)."""
+        return Df(v.hi.T @ Rs_cols, v.lo.T @ Rs_cols)
+
+    def _gather_root_rows(v: Df) -> Df:
+        """[Nn, m] df64 -> [S, m] rows rid (exact one-hot matmul)."""
+        return Df(Rg_rows @ v.hi, Rg_rows @ v.lo)
 
     def _lane_to_nodes(v: Df, n_keep) -> Df:
         return Df(jnp.transpose(v.hi[..., :n_keep], (2, 0, 1)),
@@ -376,16 +395,14 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
 
     def fused_stage_solve(lam_cr, lam_ch):
         ch = dek.chain_eval_df(data_ch, lam_ch)
-        zh = jnp.zeros((nz_ch, NPc), f32)
-        extra = Df(zh.at[:, rid].set(ch["cqr"].hi.T),
-                   zh.at[:, rid].set(ch["cqr"].lo.T))
+        extra = _scat_root_cols(ch["cqr"])
         cr = dek.crown_eval_df(data_cr, lam_cr, extra)
         return cr, ch
 
     def fused_residuals(cr, ch):
         res_cr = cr["res"]
-        zr = _cat([Df(cr["x"].hi[rid], cr["x"].lo[rid]),
-                   Df(cr["u"].hi[rid], cr["u"].lo[rid])], 1)  # [S, nz]
+        zr = _cat([_gather_root_rows(cr["x"]),
+                   _gather_root_rows(cr["u"])], 1)  # [S, nz]
         a0z = _contract(ab0t, zr, axis=1)                     # [S, nx]
         row0 = df.add(ch["res_part"][:, 0], a0z)
         res_ch = Df(
@@ -433,14 +450,12 @@ def ms_newton_loop_df(ms: tm.MultistageQP, lam0_crown, lam0_chain,
         if not fused_eval:
             return df_apply_M(dd, meta, prep_cr, cr, ch, dcr, dch)
         cha = dek.chain_apply_df(data_ch, ch["qt"], ch["rt"], dch)
-        zh = jnp.zeros((nz_ch, NPc), f32)
-        extra = Df(zh.at[:, rid].set(cha["cqr"].hi.T),
-                   zh.at[:, rid].set(cha["cqr"].lo.T))
+        extra = _scat_root_cols(cha["cqr"])
         cra = dek.crown_apply_df(data_cr, _to_lane_cr(cr["qtilde"]),
                                  _to_lane_cr(cr["rtilde"]), dcr, extra)
         mcr = df.neg(cra["res"])
-        zr = _cat([Df(cra["xl"].hi[rid], cra["xl"].lo[rid]),
-                   Df(cra["ul"].hi[rid], cra["ul"].lo[rid])], 1)
+        zr = _cat([_gather_root_rows(cra["xl"]),
+                   _gather_root_rows(cra["ul"])], 1)
         a0z = _contract(ab0t, zr, axis=1)
         row0 = df.add(cha["res_part"][:, 0], a0z)
         res_lin = Df(

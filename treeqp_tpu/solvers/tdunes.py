@@ -989,9 +989,9 @@ def _newton_direction(W, Ut, rg, opts: TdunesOpts, prep: _Prep,
     dt = qp.dtype
 
     def M_g(dg):
-        d_nodes = _group_to_nodes(dg, prep, dt) * _masks(qp)[2]
-        return _nodes_to_group(_apply_M_nodes(qp, sol, data, d_nodes, opts, prep),
-                               prep)
+        d_nodes = _group_to_nodes_mm(dg, prep, dt) * _masks(qp)[2]
+        return _nodes_to_group_mm(
+            _apply_M_nodes(qp, sol, data, d_nodes, opts, prep), prep)
 
     if not opts.refine_safeguard:
         for _ in range(opts.refine_steps):
@@ -1021,6 +1021,57 @@ def _nodes_to_group(v_n, prep: _Prep):
     """Gather per-node rows into the grouped layout [NpG, G]."""
     kv = np.repeat(prep.kvalid, prep.nxm, axis=1)
     return v_n[prep.kidsP].reshape(prep.NpG, prep.G) * jnp.asarray(kv, v_n.dtype)
+
+
+# one-hot matmul variants of the two layout converters: gathers/scatters
+# serialize on TPU (BENCH_NOTES "the scatter was the floor"); a static
+# one-hot matmul is exact (each output element receives exactly one
+# summand) and rides the MXU. Used on hot per-iteration paths; the
+# gather versions stay for host/one-off use and very large trees.
+_GN_MAT_LIMIT = 32_000_000  # max K*NpG*Nn elements for the static mats
+
+
+def _gn_mats(prep: _Prep):
+    """[K, NpG, Nn] one-hot slot matrices E[k, g, n] = 1 iff node n is
+    kid k of lambda-group g. Cached on the prep object."""
+    mats = getattr(prep, "_gn_mats_cache", None)
+    if mats is not None:
+        return mats
+    K, NpG, Nn = prep.K, prep.NpG, prep.group_of_node.shape[0]
+    mats = np.zeros((K, NpG, Nn), np.float32)
+    for g in range(NpG):
+        for k in range(K):
+            if prep.kvalid[g, k]:
+                mats[k, g, prep.kidsP[g, k]] = 1.0
+    prep._gn_mats_cache = mats
+    return mats
+
+
+def _gn_mm_ok(prep: _Prep) -> bool:
+    return (prep.K * prep.NpG * prep.group_of_node.shape[0]
+            <= _GN_MAT_LIMIT)
+
+
+def _group_to_nodes_mm(v_g, prep: _Prep, dt):
+    if not _gn_mm_ok(prep):
+        return _group_to_nodes(v_g, prep, dt)
+    mats = _gn_mats(prep)
+    nxm = prep.nxm
+    out = None
+    for k in range(prep.K):
+        Ek = jnp.asarray(mats[k], v_g.dtype)
+        blk = Ek.T @ v_g[:, k * nxm:(k + 1) * nxm]
+        out = blk if out is None else out + blk
+    return out.astype(dt)
+
+
+def _nodes_to_group_mm(v_n, prep: _Prep):
+    if not _gn_mm_ok(prep):
+        return _nodes_to_group(v_n, prep)
+    mats = _gn_mats(prep)
+    return jnp.concatenate(
+        [jnp.asarray(mats[k], v_n.dtype) @ v_n for k in range(prep.K)],
+        axis=1)
 
 
 def _line_search(qp, lam, dlam_nodes, sol0, dlam_g, rg, data, opts, prep, restart,
@@ -1215,10 +1266,10 @@ def _td_newton_loop(qp: TreeQPIn, lam0, opts: TdunesOpts, it0, hist0,
     def newton_step(carry, sol, res):
         lam, it, err, status, restart, ls_it, ws = carry
         W, Ut = _build_dual_hessian(qp, sol, data, opts, prep)
-        rg = _nodes_to_group(res, prep)
+        rg = _nodes_to_group_mm(res, prep)
         dlam_g = _newton_direction(W, Ut, rg, opts, prep,
                                    qp=qp, sol=sol, data=data)
-        dlam_nodes = _group_to_nodes(dlam_g, prep, dt) * nrxm
+        dlam_nodes = _group_to_nodes_mm(dlam_g, prep, dt) * nrxm
         lam_new, ls_it, descent_ok, restart = _line_search(
             qp, lam, dlam_nodes, sol, dlam_g, rg, data, opts, prep, restart,
             inner_ws=ws if use_ws else None)

@@ -606,7 +606,7 @@ def _ms_factorize(ms, qtilde_cr, rtilde_cr, qt_ch, rt_ch, opts, prep_cr,
     else:
         g_of_loc, rows_loc = g_of, rows
     s_root = sW[g_of_loc[:, None], rows_loc]
-    s_node = td._group_to_nodes(sW, prep, s_node_dt) * nrxm_cr
+    s_node = td._group_to_nodes_mm(sW, prep, s_node_dt) * nrxm_cr
 
     if fused_chain:
         from treeqp_tpu.ops import chain_kernels as ck
@@ -683,11 +683,11 @@ def _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr, g_of, rows, rid,
 
         def solve(rcr, rch):
             rcr_s, rch_s = rcr * s_node, rch * sc
-            rg = td._nodes_to_group(rcr_s, prep_cr)
+            rg = td._nodes_to_group_mm(rcr_s, prep_cr)
             dg, dch_s = sk.system_solve(
                 Ls, CUs, fact["CholW"], fact["CholUt"],
                 rg, rch_s, prep_cr, meta.root_ids)
-            dcr_s = td._group_to_nodes(dg.astype(dt), prep_cr, dt) * nrxm_cr
+            dcr_s = td._group_to_nodes_mm(dg.astype(dt), prep_cr, dt) * nrxm_cr
             return dcr_s * s_node, dch_s.astype(dt) * sc
         return solve
 
@@ -702,11 +702,11 @@ def _make_ms_solve(fact, meta, prep_cr, opts, dt, nrxm_cr, g_of, rows, rid,
         ys, radd0 = _chain_solve_bwd(Ls, CUs, rch_s, opts)
         if shard is not None:
             radd0 = shard.gather_s(radd0)  # [S, nx] boundary form
-        rg = td._nodes_to_group(rcr_s, prep_cr)
+        rg = td._nodes_to_group_mm(rcr_s, prep_cr)
         rg = rg - _rhs_scatter(radd0, g_of, rows, prep_cr,
                                meta.crown_topo.nxm, rg.dtype)
         dg = td._tree_chol_solve(crown_fact, rg, opts, prep_cr)
-        dcr_s = td._group_to_nodes(dg, prep_cr, dt) * nrxm_cr
+        dcr_s = td._group_to_nodes_mm(dg, prep_cr, dt) * nrxm_cr
         dch_s = _chain_forward(Ls, CUs, ys, dcr_s[rid_loc], opts)
         return dcr_s * s_node, dch_s * sc
     return solve
