@@ -335,7 +335,16 @@ def _jay_solve(diag, off, rhs, opts: SdunesOpts):
     shift = (opts.reg_value * scJ * scJ).astype(fdt) \
         if opts.reg_type != "none" else None
     reg_tol = opts.reg_tol if opts.reg_type == "on_the_fly" else -1.0
-    x = tridiag_cr_solve(dg, of, r, shift=shift, reg_tol=reg_tol)
+    from treeqp_tpu.ops.jay_kernel import jay_supported, jay_cr_solve
+    import os
+    P, b = dg.shape[0], dg.shape[-1]
+    if (opts.chain_backend == "pallas" and jay_supported(P, b)
+            and not os.environ.get("TREEQP_NO_JAY_KERNEL")):
+        # single-launch Pallas cyclic reduction (~200 us -> ~25 us at
+        # Ns = 256; the XLA level recursion is launch-bound)
+        x = jay_cr_solve(dg, of, r, shift=shift, reg_tol=reg_tol)
+    else:
+        x = tridiag_cr_solve(dg, of, r, shift=shift, reg_tol=reg_tol)
     return x.astype(out_dt) * scJ
 
 
@@ -352,9 +361,11 @@ def _sd_factor(D, Ssub, topts: TdunesOpts):
         # scale (dual_Newton_common.c:81-123) — adding it after Jacobi
         # equilibration would amplify the null-space direction components
         # by 1/diag. Per-row conditional shift on the raw diagonal.
-        rows = jnp.arange(D.shape[-1])
         shift = jnp.where(dg < topts.reg_tol, topts.reg_value, 0.0)
-        D = D.at[..., rows, rows].add(shift)
+        # diagonal add as an eye broadcast (a dynamic-index diagonal
+        # scatter serializes on TPU — BENCH_NOTES "the scatter was the
+        # floor")
+        D = D + shift[..., :, None] * jnp.eye(D.shape[-1], dtype=D.dtype)
         dg = dg + shift
     sc = jax.lax.rsqrt(jnp.maximum(dg, 1e-12))
     Ds = D * sc[..., :, None] * sc[..., None, :]
