@@ -29,7 +29,12 @@ def _random_system(P, b, seed, singular=False):
             jnp.asarray(rhs, f32))
 
 
-@pytest.mark.parametrize("P,b", [(5, 4), (100, 3), (255, 4), (127, 8)])
+@pytest.mark.parametrize("P,b", [
+    (5, 4),
+    pytest.param(100, 3, marks=pytest.mark.slow),
+    (255, 4),
+    pytest.param(127, 8, marks=pytest.mark.slow),
+])
 def test_jay_kernel_parity(P, b):
     assert jay_supported(P, b)
     diag, off, rhs = _random_system(P, b, seed=P + b)
@@ -67,6 +72,7 @@ def test_jay_kernel_ill_conditioned_residual():
     assert resid(out) < 10.0 * max(resid(ref), 1e-6)
 
 
+@pytest.mark.slow
 def test_jay_kernel_shift_always():
     diag, off, rhs = _random_system(64, 4, seed=7)
     shift = jnp.full((64, 4), 1e-3, jnp.float32)

@@ -373,6 +373,15 @@ def _qpgen_batch(hmod, H, Hinv, G, lo, hi, m_lo, m_hi, rho_row, L_admm,
     """
     dt = hmod.dtype
     ng = G.shape[1]
+    from treeqp_tpu.ops.qpgen_lanes import (
+        qpgen_lanes_enabled, qpgen_solve_lanes)
+    if qpgen_lanes_enabled(opts, dt):
+        # lane-major pipeline (nodes on the lane axis, Pallas ADMM, df64
+        # exact polish) — the node-major path below wastes ~92% of the
+        # lanes and runs emulated f64 (BENCH_NOTES round 4)
+        return qpgen_solve_lanes(hmod, H, Hinv, G, lo, hi, m_lo, m_hi,
+                                 rho_row, L_admm, opts, ws=ws, GH=GH,
+                                 GHG=GHG)
     # f32 factorization + refinement of the working-set systems (the
     # qpgen_factor_dtype option): the batched emulated-f64 Cholesky is the
     # dominant warm stage-solve cost on TPU
