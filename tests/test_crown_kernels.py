@@ -43,17 +43,21 @@ def test_crown_factor_solve_matches_xla(md, Nr, Nh, nx, nu):
 
 
 def test_crown_unsupported_falls_back():
-    """The lambda-group cap is now a VMEM budget on the slot scatter
+    """The lambda-group cap is a VMEM budget on the slot scatter
     matrices, not the 128-lane width: a 159-group tree takes the kernel
-    path (it used to fall back), while a 1365-group tree exceeds the
-    budget and must fall back."""
+    path (it used to fall back), while a 5461-group tree exceeds the
+    raised budget and must fall back."""
     o_pal = TdunesOpts(factor_dtype="float32", reg_type="always",
                        chain_backend="pallas")
     topo = TreeStructure.multistage(md=2, Nr=1, Nh=80, nx=2, nu=1)
     prep = td._get_prep(topo)
     assert prep.NpG > 128
     assert ckr.crown_supported(prep, o_pal)
-    big = TreeStructure.multistage(md=4, Nr=6, Nh=6, nx=2, nu=1)
+    # raised scoped-VMEM budget (vmem_limit_bytes=100 MB): a 1365-group
+    # tree now FITS; a 5461-group tree still exceeds it
+    mid = TreeStructure.multistage(md=4, Nr=6, Nh=6, nx=2, nu=1)
+    assert ckr.crown_supported(td._get_prep(mid), o_pal)
+    big = TreeStructure.multistage(md=4, Nr=7, Nh=7, nx=2, nu=1)
     prep_big = td._get_prep(big)
-    assert prep_big.NpG > 512
+    assert prep_big.NpG > 4096
     assert not ckr.crown_supported(prep_big, o_pal)

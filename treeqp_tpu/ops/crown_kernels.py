@@ -96,18 +96,23 @@ def _get_sched(prep) -> _CrownSched:
     return sched
 
 
+_VMEM_LIMIT = 100 * 1024 * 1024   # v5e has 128 MB VMEM; the default
+# scoped limit is 16 MB — these kernels request more via CompilerParams
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def crown_supported(prep, opts) -> bool:
     """Kernel applicability: the scoped-VMEM footprint of the factor
     kernels — slot scatter matrices K*NPg^2 plus ~9 W-shaped working
-    copies G^2*NPg plus the blocks/coupling operands — must fit the 16 MB
-    scoped limit with margin (measured on a v5e: G=16/NPg=384 fits at
-    ~6 MB est, G=32/NPg=384 OOMs at 22.6 MB actual vs 15.7 MB est).
+    copies G^2*NPg plus the blocks/coupling operands — must fit the
+    raised scoped-VMEM limit (vmem_limit_bytes=100 MB vs the 16 MB
+    default; actual usage measured ~1.4x the estimate, so budget 64 MB).
     Plus moderate block dim, f32 path, static regularization."""
     NPg = max(_NP, ((prep.NpG + _NP - 1) // _NP) * _NP)
     nz = prep.nxm + 8  # conservative stand-in for nxm+num operands
     est = (prep.K * NPg * NPg + 9 * prep.G * prep.G * NPg
            + prep.K * prep.nxm * nz * NPg + 4 * prep.nxm * prep.G * NPg) * 4
-    return (est <= 12_000_000 and prep.G <= 64
+    return (est <= 64_000_000 and prep.G <= 64
             and opts.factor_dtype == "float32"
             and opts.reg_type in ("always", "none"))
 
@@ -266,7 +271,7 @@ def crown_factor(W, Ut, prep, reg=0.0):
             out_specs=(spec((G, G, NPg)), spec((nxm, G, NPg))),
             out_shape=(jax.ShapeDtypeStruct((G, G, NPg), W.dtype),
                        jax.ShapeDtypeStruct((nxm, G, NPg), W.dtype)),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(Wt, Utt, Pm, Mm)
     return CholW, CholUt
 
@@ -318,7 +323,7 @@ def crown_solve(CholW, CholUt, rg, prep):
                       spec(Pm.shape), spec(Mm.shape), spec((G, NPg))],
             out_specs=spec((G, NPg)),
             out_shape=jax.ShapeDtypeStruct((G, NPg), CholW.dtype),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(CholW, CholUt, Pm, Mm, rt)
     return jnp.transpose(dl[:, :sched.NpG], (1, 0))
 
@@ -395,7 +400,7 @@ def crown_blocks_factor(ABk, ztp, dvals, sW, sUt, Wadd, prep, reg=0.0):
             out_specs=(spec((G, G, NPg)), spec((nxm, G, NPg))),
             out_shape=(jax.ShapeDtypeStruct((G, G, NPg), f32),
                        jax.ShapeDtypeStruct((nxm, G, NPg), f32)),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(ABk_t, ztp_t, dv_t, sW_t, sUt_t, Wadd_t, Pm, Mm)
     return CholW, CholUt
 
@@ -532,7 +537,7 @@ def crown_eval(data, lam, extra):
             out_shape=tuple(jax.ShapeDtypeStruct((rows, NPc), jnp.float32)
                             for rows in (nxm, num, nxm, num, nxm, num,
                                          nxm, 1)),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(ABt, P_par, data["q"], data["r"], data["b"], data["Qd"],
           data["Rd"], data["Qinv"], data["Rinv"], data["xmin"],
           data["xmax"], data["umin"], data["umax"], data["xm"], data["um"],

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from treeqp_tpu.ops.chain_kernels import _TS, _interpret
 from treeqp_tpu.ops.crown_kernels import (
-    _NP, _get_sched, _get_eval_sched, _ltrsv, _uttrsv, _lane_mm,
+    _NP, _PARAMS, _get_sched, _get_eval_sched, _ltrsv, _uttrsv, _lane_mm,
     _lane_mm_t)
 from treeqp_tpu.ops.system_kernels import ms_sched
 
@@ -336,7 +336,7 @@ def newton_iter(data_ch, data_cr, fact_l, state, prep, root_ids, meta,
             kernel, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((L, nx, SP), jnp.float32)],
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(*args)
     (dcr, dch, lam2c, lam2h, res2c, res2h, qt, rt, qtl, rtl,
      x, u, cx, cu, f1s, f1c, dots, dotc, errs, errc) = outs

@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from treeqp_tpu.ops.chain_kernels import _TS, _pad_s, _interpret
 from treeqp_tpu.ops.crown_kernels import (
-    _NP, _get_sched, _ltrsv, _uttrsv, _lane_mm, _lane_mm_t, _pad_lanes)
+    _NP, _PARAMS, _get_sched, _ltrsv, _uttrsv, _lane_mm, _lane_mm_t,
+    _pad_lanes)
 
 __all__ = ["ms_sched", "system_supported", "system_solve"]
 
@@ -148,7 +149,7 @@ def system_solve(Lt, CUt, CholW, CholUt, rg, rch, prep, root_ids):
             out_specs=(spec((G, NPg)), spec((L, n, SP))),
             out_shape=(jax.ShapeDtypeStruct((G, NPg), Lt.dtype),
                        jax.ShapeDtypeStruct((L, n, SP), Lt.dtype)),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(Lt, CUt, CholW, CholUt, Pm, Mm, J, rt_ch, rt_cr)
     dg = jnp.transpose(dl[:, :prep.NpG], (1, 0))
     dch = jnp.transpose(dls[..., :S], (2, 0, 1))
