@@ -150,6 +150,75 @@ def _chain_riccati_fwd(fact, p, k, rb, z_root):
     return dz.swapaxes(0, 1), dlam.swapaxes(0, 1)
 
 
+_ONEHOT_CACHE = {}
+
+
+def _use_onehot() -> bool:
+    """One-hot matmul index ops only on TPU: there `.at[idx]` scatters /
+    segment_sum serialize (BENCH_NOTES "the scatter was the floor") and
+    the ~2^-48 split accuracy is far below the solver tolerances; on CPU
+    the native index ops are exact AND fast, so keep them (also keeps
+    the CPU tests' iteration-count parity bit-stable)."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _onehot_mats(par, rid, Nc, S):
+    """Static one-hot matrices for the tree-index scatters/gathers of
+    the residual assembly. The parent segment-sum is decomposed into
+    per-kid-slot PERMUTATION matrices (<= 1 summand per output row —
+    f32 products are exact; the cross-slot sum happens in f64), because
+    a plain one-hot matmul would accumulate the hi words in f32."""
+    key = (par.tobytes(), rid.tobytes(), Nc, S)
+    hit = _ONEHOT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    slot = np.zeros(Nc, np.int64)
+    count = {}
+    for n in range(1, Nc):
+        slot[n] = count.get(par[n], 0)
+        count[par[n]] = slot[n] + 1
+    K = max(count.values()) if count else 1
+    Slots = np.zeros((K, Nc, Nc), np.float32)   # segsum to parents, n>=1
+    Pg = np.zeros((Nc, Nc), np.float32)         # gather v[par]
+    for n in range(Nc):
+        if n >= 1:
+            Slots[slot[n], par[n], n] = 1.0
+        Pg[n, par[n]] = 1.0
+    Rt = np.zeros((Nc, S), np.float32)          # scatter chain-root rows
+    Rg = np.zeros((S, Nc), np.float32)          # gather chain-root rows
+    for sx, n in enumerate(rid):
+        Rt[n, sx] = 1.0
+        Rg[sx, n] = 1.0
+    out = (Slots, Pg, Rt, Rg)
+    _ONEHOT_CACHE[key] = out
+    return out
+
+
+def _oh(M32, v):
+    """Permutation-one-hot matmul (<= 1 nonzero per row): f64 operands
+    ride two f32 MXU matmuls via a hi/lo split — each output element
+    receives exactly one summand, so the f32 products are exact and the
+    value is reconstructed to ~2^-48 relative (the split residual)."""
+    M = jnp.asarray(M32)
+    flat = v.reshape(v.shape[0], -1)
+    if v.dtype == jnp.float64:
+        hi = flat.astype(jnp.float32)
+        lo = (flat - hi.astype(jnp.float64)).astype(jnp.float32)
+        out = (M @ hi).astype(jnp.float64) + (M @ lo).astype(jnp.float64)
+    else:
+        out = (M @ flat.astype(M.dtype)).astype(flat.dtype)
+    return out.reshape((M.shape[0],) + v.shape[1:])
+
+
+def _oh_segsum(Slots, v):
+    """Parent segment-sum as per-slot permutation matmuls, summed in the
+    data dtype."""
+    out = _oh(Slots[0], v)
+    for k in range(1, Slots.shape[0]):
+        out = out + _oh(Slots[k], v)
+    return out
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     """Mehrotra predictor-corrector IPM in crown+chains layout.
@@ -211,6 +280,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     AB_ch = jnp.concatenate([ms.A, ms.B], axis=3)          # [S, L, nxm, nz]
     par = prep.par.copy()
     par[0] = 0
+    Slots, Pg, Rt, Rg = _onehot_mats(par, rid, Nc, S)
+    use_oh = _use_onehot()
 
     # --- general C/D rows (static: present iff split carried them)
     HG = ms.C is not None
@@ -267,19 +338,25 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                                        st["lhi_chg"] - st["llo_chg"])
         rg_cr = rg_cr.at[:, :nxm].add(-lam_cr * nrxm)
         contrib = jnp.einsum("nxz,nx->nz", AB_cr, lam_cr * nrxm)
-        rg_cr = rg_cr + jax.ops.segment_sum(contrib[1:], par[1:],
-                                            num_segments=Nc)
+        if use_oh:
+            rg_cr = rg_cr + _oh_segsum(Slots, contrib)
+        else:
+            rg_cr = rg_cr + jax.ops.segment_sum(contrib[1:], par[1:],
+                                                num_segments=Nc)
         # chain-root lambdas pull on their crown parents
         c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], lam_ch[:, 0])
-        rg_cr = (rg_cr.at[rid].add(c0)) * zmask_cr
+        rg_cr = ((rg_cr + _oh(Rt, c0)) if use_oh
+                 else rg_cr.at[rid].add(c0)) * zmask_cr
         # chain res_g: -lam_j (x rows) + AB_{j+1}' lam_{j+1}
         rg_ch = rg_ch.at[:, :, :nxm].add(-lam_ch)
         up = jnp.einsum("slxz,slx->slz", AB_ch[:, 1:], lam_ch[:, 1:])
         rg_ch = (rg_ch.at[:, :-1].add(up)) * zmask_ch
         # res_b
-        rb_cr = (jnp.einsum("nxz,nz->nx", AB_cr, z_cr[par]) + qp.b
+        z_par = _oh(Pg, z_cr) if use_oh else z_cr[par]
+        rb_cr = (jnp.einsum("nxz,nz->nx", AB_cr, z_par) + qp.b
                  - z_cr[:, :nxm]) * nrxm
-        zp = jnp.concatenate([z_cr[rid][:, None], z_ch[:, :-1]], axis=1)
+        z_rid = _oh(Rg, z_cr) if use_oh else z_cr[rid]
+        zp = jnp.concatenate([z_rid[:, None], z_ch[:, :-1]], axis=1)
         rb_ch = jnp.einsum("slxz,slz->slx", AB_ch, zp) + ms.b \
             - z_ch[:, :, :nxm]
         # per-section res_d / res_m
@@ -341,10 +418,14 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             r1_cr = r1_cr + jnp.einsum("ncz,nc->nz", Gc_cr, g_crg * t)
         r1_cr = r1_cr.at[:, :nxm].add(-dlc * nrxm)
         contrib = jnp.einsum("nxz,nx->nz", AB_cr, dlc * nrxm)
-        r1_cr = r1_cr + jax.ops.segment_sum(contrib[1:], par[1:],
-                                            num_segments=Nc)
+        if use_oh:
+            r1_cr = r1_cr + _oh_segsum(Slots, contrib)
+        else:
+            r1_cr = r1_cr + jax.ops.segment_sum(contrib[1:], par[1:],
+                                                num_segments=Nc)
         c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], dlh[:, 0])
-        r1_cr = (r1_cr.at[rid].add(c0)) * zmask_cr
+        r1_cr = ((r1_cr + _oh(Rt, c0)) if use_oh
+                 else r1_cr.at[rid].add(c0)) * zmask_cr
         r1_ch = hb_ch_d * dzh
         if HG:
             th = jnp.einsum("slcz,slz->slc", Gc_ch, dzh)
@@ -352,9 +433,11 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         r1_ch = r1_ch.at[:, :, :nxm].add(-dlh)
         up = jnp.einsum("slxz,slx->slz", AB_ch[:, 1:], dlh[:, 1:])
         r1_ch = (r1_ch.at[:, :-1].add(up)) * zmask_ch
+        dz_par = _oh(Pg, dzc) if use_oh else dzc[par]
         r2_cr = (dzc[:, :nxm]
-                 - jnp.einsum("nxz,nz->nx", AB_cr, dzc[par])) * nrxm
-        zp = jnp.concatenate([dzc[rid][:, None], dzh[:, :-1]], axis=1)
+                 - jnp.einsum("nxz,nz->nx", AB_cr, dz_par)) * nrxm
+        dz_rid = _oh(Rg, dzc) if use_oh else dzc[rid]
+        zp = jnp.concatenate([dz_rid[:, None], dzh[:, :-1]], axis=1)
         r2_ch = dzh[:, :, :nxm] - jnp.einsum("slxz,slz->slx", AB_ch, zp)
         return r1_cr, r1_ch, r2_cr, r2_ch
 
@@ -370,7 +453,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                 p_ch, k_ch, w0 = rk.ric_chain_bwd(fact_ch, rhs_ch_, rb_ch_)
             else:
                 p_ch, k_ch, w0 = _chain_riccati_bwd(fact_ch, rhs_ch_, rb_ch_)
-            wsum0 = jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0)
+            wsum0 = (_oh(Rt, w0) if use_oh else
+                     jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0))
             if "crown_shape" in fact_cr:  # Pallas crown factors
                 from treeqp_tpu.ops import crown_riccati as ck
                 dz_cr, dlam_cr = ck.crown_ric_solve(
@@ -506,7 +590,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         else:
             fact_ch = _chain_riccati_factor(hbar_ch, AB_ch, opts, fdt)
             W0ch = fact_ch["W0"]
-        Wsum0 = jnp.zeros((Nc, nz, nz), W0ch.dtype).at[rid].set(W0ch)
+        Wsum0 = (_oh(Rt, W0ch) if use_oh else
+                 jnp.zeros((Nc, nz, nz), W0ch.dtype).at[rid].set(W0ch))
         from treeqp_tpu.ops import crown_riccati as ck
         if pallas_f32 and not HG and ck.crown_ric_supported(prep, nz):
             fact_cr = ck.crown_ric_factor(
