@@ -37,11 +37,23 @@
 #include <math.h>
 #include <time.h>
 
+/* dims overridable at compile time (-DNX=6 -DNU=4 builds the true-
+ * quadcopter denominator; defaults are the spring-mass proxy tree) */
+#ifndef MD
 #define MD 4
+#endif
+#ifndef NR
 #define NR 4
+#endif
+#ifndef NH
 #define NH 20
+#endif
+#ifndef NX
 #define NX 8
+#endif
+#ifndef NU
 #define NU 1
+#endif
 #define NEWTON_ITERS 10
 #define LS_EVALS 2   /* avg Armijo evals per Newton iter (VERDICT/BENCH_NOTES) */
 #define NREP 5

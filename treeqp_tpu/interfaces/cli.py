@@ -125,7 +125,7 @@ def solve_request(j_in: dict, init: dict | None = None, nrep_arg=None,
     topo = qp.topo
     options = extras.get("options", {})
     solver = options.get("solver", "tdunes")
-    nrep = nrep_arg or int(options.get("NREP", 1))
+    nrep = int(nrep_arg) if nrep_arg is not None else int(options.get("NREP", 1))
 
     init = init or {}
     if "x0" in init and topo.nx[0] > 0:

@@ -519,6 +519,10 @@ class SolverSession {
   // current directory) must contain the treeqp_tpu package.
   void Start() {
     if (running()) return;
+    // If the server child dies, the next write() would raise SIGPIPE whose
+    // default action kills the embedding host; ignore it so the failure
+    // surfaces as the documented runtime_error in Request()/Stop().
+    signal(SIGPIPE, SIG_IGN);
     int to_child[2], from_child[2];
     if (pipe(to_child) != 0 || pipe(from_child) != 0)
       throw std::runtime_error("treeqp: pipe() failed");

@@ -62,6 +62,8 @@ def _sched(P, PP):
     hit = _SCHED_CACHE.get(key)
     if hit is not None:
         return hit
+    while len(_SCHED_CACHE) >= 32:   # bound for long-lived --serve processes
+        _SCHED_CACHE.pop(next(iter(_SCHED_CACHE)))
     L = int(np.log2(PP))
     Sup = np.zeros((L, PP, PP), np.float32)   # out lane d = in lane d-h
     Sdn = np.zeros((L, PP, PP), np.float32)   # out lane d = in lane d+h

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from treeqp_tpu.ops import df64 as df
 from treeqp_tpu.ops.df64 import Df
+from treeqp_tpu.core.qp_data import TREEQP_INF
 from treeqp_tpu.ops.crown_kernels import _ltrsv, _uttrsv
 
 __all__ = ["qpgen_lanes_enabled", "qpgen_solve_lanes"]
@@ -44,8 +45,6 @@ __all__ = ["qpgen_lanes_enabled", "qpgen_solve_lanes"]
 _TL = 128
 _PIVOT_FLOOR = 1e-12
 f32 = jnp.float32
-
-TREEQP_INF = 1e12
 
 
 def _interpret():

@@ -172,6 +172,10 @@ def _onehot_mats(par, rid, Nc, S):
     hit = _ONEHOT_CACHE.get(key)
     if hit is not None:
         return hit
+    # bound the cache: a long-lived --serve process may see many distinct
+    # topologies; each entry is O(Nc^2) floats (advisor round 4)
+    while len(_ONEHOT_CACHE) >= 32:
+        _ONEHOT_CACHE.pop(next(iter(_ONEHOT_CACHE)))
     slot = np.zeros(Nc, np.int64)
     count = {}
     for n in range(1, Nc):

@@ -498,6 +498,8 @@ def _slot_mats(g_of, rows, NpG, nxm):
     hit = _SLOT_MAT_CACHE.get(key)
     if hit is not None:
         return hit
+    while len(_SLOT_MAT_CACHE) >= 32:  # bound for long-lived --serve processes
+        _SLOT_MAT_CACHE.pop(next(iter(_SLOT_MAT_CACHE)))
     slot = rows[:, 0] // nxm
     K = int(slot.max()) + 1 if slot.size else 1
     S = g_of.shape[0]
@@ -1239,13 +1241,17 @@ def _ms_newton_loop_mega(ms: MultistageQP, lam0_crown, lam0_chain,
                         oe["qtilde"], oe["rtilde"], oe["qt"], oe["rt"],
                         errof(oe["errp"]))
 
+            # the whole carry is initialized at tau = taus[-1] so that if the
+            # sequential fallback cannot run (T + 1 >= ls_max_iter) the
+            # committed (lam, res, sets, f, err) tuple is self-consistent;
+            # when any_acc holds, `sel` below picks the at(idx) values anyway
             init = (taus[-1], fs[-1], jnp.full((), T + 1, jnp.int32),
                     any_acc,
                     lam_cr_l + taus[-1] * out["dcr"],
                     lam_ch_l + taus[-1] * out["dch"],
-                    at(outs["res2_cr"]), at(outs["res2_ch"]),
-                    at(outs["qtilde"]), at(outs["rtilde"]),
-                    at(outs["qt"]), at(outs["rt"]), errs[idx])
+                    outs["res2_cr"][-1], outs["res2_ch"][-1],
+                    outs["qtilde"][-1], outs["rtilde"][-1],
+                    outs["qt"][-1], outs["rt"][-1], errs[-1])
             sq = jax.lax.while_loop(seq_cond, seq_body, init)
             tau_b = jnp.where(any_acc, taus[idx], sq[0])
             ls_b = jnp.where(any_acc, (idx + 2).astype(jnp.int32), sq[2])
