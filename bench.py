@@ -49,17 +49,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Measured single-core treeQP+BLASFEO dual-Newton iteration rate on the
-# 256-scenario quadcopter-class tree: 189 it/s measured by the plain-C
-# kernel-sequence replica (benchmarks/c_baseline/, best of 6 runs) times a
-# reference-favorable 2.1x BLASFEO-headroom factor. See BENCH_NOTES.md
-# ("Baseline measurement") for the sensitivity of vs_baseline to that
-# factor: at 189 it/s (replica, no headroom) the denominator is 189; the
-# 2.1x cap is argued, not measured.
-BASELINE_ITERS_PER_SEC = 400.0
+# Measured single-core treeQP+BLASFEO dual-Newton iteration rates on the
+# 256-scenario trees, by the plain-C kernel-sequence replica
+# (benchmarks/c_baseline/, best of 6 runs) times a reference-favorable
+# 2.1x BLASFEO-headroom factor. See BENCH_NOTES.md ("Baseline
+# measurement") for the sensitivity of vs_baseline to that factor.
+#   quadcopter (nx=6, nu=4): 264.1 it/s replica (make run_quad) -> 554.6
+#   spring-mass proxy (nx=8, nu=1): 189.2 it/s replica -> 400.0
+_BASELINES = {"quadcopter": 554.6, "spring_mass": 400.0}
 
-# quadcopter-class workload (BASELINE.md north star): 256 scenarios
-MD, NR, NH, NM = 4, 4, 20, 4  # md^Nr = 256 scenarios, nx = 8, Nh = 20
+# workload: the TRUE quadcopter (nx=6, nu=4 — BASELINE.md north star) is
+# the round-5 headline; the round-1..4 spring-mass proxy stays selectable
+# for cross-round comparability (TREEQP_BENCH_WORKLOAD=spring_mass)
+WORKLOAD = os.environ.get("TREEQP_BENCH_WORKLOAD", "quadcopter")
+BASELINE_ITERS_PER_SEC = _BASELINES[WORKLOAD]
+
+# 256-scenario robust-MPC tree (BASELINE.md north star)
+MD, NR, NH, NM = 4, 4, 20, 4  # md^Nr = 256 scenarios, Nh = 20
 NREP = 5
 # solves chained inside one jit per timed dispatch (env-overridable for
 # protocol experiments)
@@ -75,10 +81,14 @@ def build_problem():
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        from benchmarks.models import spring_mass_chain
         from treeqp_tpu.solvers.tdunes_multistage import split_multistage
 
-        qp, _ = spring_mass_chain(nm=NM, md=MD, Nr=NR, Nh=NH)
+        if WORKLOAD == "quadcopter":
+            from benchmarks.models import quadcopter
+            qp = quadcopter(md=MD, Nr=NR, Nh=NH).qp
+        else:
+            from benchmarks.models import spring_mass_chain
+            qp, _ = spring_mass_chain(nm=NM, md=MD, Nr=NR, Nh=NH)
         ms = split_multistage(qp)
     return qp, ms
 
@@ -273,16 +283,26 @@ def main():
     warm = timed_mode(1.0)
 
     iters_per_sec = cold["iters_per_sec"]
+    metric = ("tdunes_iters_per_sec_quadcopter_256scen"
+              if WORKLOAD == "quadcopter" else
+              "tdunes_iters_per_sec_quadcopter_class_256scen")
     result = {
-        "metric": "tdunes_iters_per_sec_quadcopter_class_256scen",
+        "metric": metric,
         "value": round(iters_per_sec, 1),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
         "detail": {
+            "workload": WORKLOAD,
+            "baseline_iters_per_sec": BASELINE_ITERS_PER_SEC,
+            "baseline_note": ("matched-dims single-core C replica of the "
+                              "reference per-iteration kernel sequence "
+                              "(benchmarks/c_baseline, best of 6) x 2.1 "
+                              "BLASFEO headroom"),
             "device": str(dev),
             "scenarios": MD**NR,
             "nodes": qp.topo.Nn,
-            "nx": 2 * NM,
+            "nx": int(qp.topo.nx[0]),
+            "nu": int(qp.topo.nu[0]),
             "horizon": NH,
             "protocol": ("cold chain: CHAIN_R per-solve-perturbed instances, "
                          "each from the exact-zero dual start; per-solve "

@@ -102,7 +102,11 @@ def run_mode(mode):
             factor_dtype="float32" if on_tpu else "same",
             refine_steps=1 if on_tpu else 0, refine_safeguard=False,
             qpgen_factor_dtype="float32" if on_tpu else "same",
-            reg_type="always" if on_tpu else "on_the_fly", reg_value=1e-6)
+            reg_type="always" if on_tpu else "on_the_fly", reg_value=1e-6,
+            # round 5: two-phase precision on the generic path too — the
+            # coarse f32 phase runs the bulk of the Newton iterations
+            # without any emulated-f64 arithmetic (cf. bench.py opts)
+            f32_phase_tol=1e-4 if on_tpu else 0.0, f32_patience=3)
 
         def solve(qp2):
             out = tdunes_solve(qp2, None, opts)

@@ -103,6 +103,13 @@ class IpmOpts:
     # PROFILE>=2 analog: per-iteration [res_g res_b res_d res_m alpha mu
     # sigma] into info["hist"] ([max_iter, 7], NaN-padded)
     record_history: bool = False
+    # Explicit-SPMD mesh axis for running the MULTISTAGE IPM inside
+    # jax.shard_map with chains sharded over this axis and the crown
+    # replicated: cross-device traffic becomes the explicit all-gathers of
+    # the chain-root Riccati contributions (W0/w0) + scalar reductions —
+    # the minimal boundary bytes — instead of GSPMD's auto-partitioned
+    # collectives (parallel/shard_solver.py; round-5). None = single-device.
+    axis_name: str | None = None
 
 
 class _IpmPrep:

@@ -223,6 +223,43 @@ def _oh_segsum(Slots, v):
     return out
 
 
+class _IpmShard:
+    """Explicit-SPMD context for the multistage IPM under ``jax.shard_map``
+    (chains sharded over the mesh axis, crown replicated) — the IPM
+    counterpart of tdunes_multistage._Shard. Boundary traffic: compact
+    all-gathers of the chain-root Riccati contributions W0 [S, nz, nz] /
+    w0 [S, nz] per solve, plus scalar reductions. Reference analog:
+    hpmpc_tree.c:395-398's capability class with the scenario fork-join of
+    dual_Newton_scenarios.c:528-563."""
+
+    def __init__(self, meta, axis: str, S_local: int):
+        self.axis = axis
+        rid = jnp.asarray(np.asarray(meta.root_ids))
+        ax = jax.lax.axis_index(axis)
+        self.start = ax * S_local
+        self.rid_l = jax.lax.dynamic_slice(rid, (self.start,), (S_local,))
+        self.S_local = S_local
+
+    def slice_s(self, v):
+        """Local scenario rows of a global [S, ...] constant."""
+        return jax.lax.dynamic_slice_in_dim(v, self.start, self.S_local, 0)
+
+    def psum(self, v):
+        return jax.lax.psum(v, self.axis)
+
+    def pmax(self, v):
+        return jax.lax.pmax(v, self.axis)
+
+    def pmin(self, v):
+        return jax.lax.pmin(v, self.axis)
+
+    def gather_s(self, v):
+        return jax.lax.all_gather(v, self.axis, axis=0, tiled=True)
+
+    def all_true(self, flag):
+        return self.psum(1 - flag.astype(jnp.int32)) == 0
+
+
 @partial(jax.jit, static_argnames=("opts",))
 def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     """Mehrotra predictor-corrector IPM in crown+chains layout.
@@ -247,8 +284,15 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     dt = ms.q.dtype
     Nc, nxm, num = topo.Nn, topo.nxm, topo.num
     nz = nxm + num
-    S, L = meta.S, meta.L
+    L = meta.L
+    # local scenario count: inside shard_map the chain arrays are the
+    # LOCAL shard, so shapes come from the data, not the (global) meta
+    S = ms.q.shape[0]
+    shard = (_IpmShard(meta, opts.axis_name, S)
+             if opts.axis_name is not None else None)
     rid = np.asarray(meta.root_ids)
+    rid_l = shard.rid_l if shard is not None else rid
+    loc = (lambda v: shard.slice_s(v)) if shard is not None else (lambda v: v)
 
     xm = jnp.asarray(topo.x_mask, dt)
     um = jnp.asarray(topo.u_mask, dt)
@@ -261,8 +305,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     ids = np.stack([np.arange(int(ss[meta.Nr + 1 + j]),
                               int(ss[meta.Nr + 2 + j]))
                     for j in range(L)], axis=1)
-    xmask_ch = jnp.asarray(meta.full_topo.x_mask, dt)[ids]
-    umask_ch = jnp.asarray(meta.full_topo.u_mask, dt)[ids]
+    xmask_ch = loc(jnp.asarray(meta.full_topo.x_mask, dt)[ids])
+    umask_ch = loc(jnp.asarray(meta.full_topo.u_mask, dt)[ids])
     zmask_ch = jnp.concatenate([xmask_ch, umask_ch], axis=2)
 
     # --- stacked diagonal Hessians / gradients / bounds ([.., nz])
@@ -284,7 +328,7 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
     AB_ch = jnp.concatenate([ms.A, ms.B], axis=3)          # [S, L, nxm, nz]
     par = prep.par.copy()
     par[0] = 0
-    Slots, Pg, Rt, Rg = _onehot_mats(par, rid, Nc, S)
+    Slots, Pg, Rt, Rg = _onehot_mats(par, rid, Nc, meta.S)
     use_oh = _use_onehot()
 
     # --- general C/D rows (static: present iff split carried them)
@@ -295,7 +339,7 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                                  qp.D * cm_cr[:, :, None]], axis=2)
         lo_crg, hi_crg = qp.dmin, qp.dmax
         mlo_crg, mhi_crg = _box_data(lo_crg, hi_crg, cm_cr)
-        cm_ch = jnp.asarray(meta.full_topo.c_mask, dt)[ids]
+        cm_ch = loc(jnp.asarray(meta.full_topo.c_mask, dt)[ids])
         Gc_ch = jnp.concatenate([ms.C * cm_ch[..., None],
                                  ms.D * cm_ch[..., None]], axis=3)
         lo_chg, hi_chg = ms.dmin, ms.dmax
@@ -320,11 +364,23 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             return jnp.einsum("ncz,nz->nc", Gc_cr, zc)
         return jnp.einsum("slcz,slz->slc", Gc_ch, zh)
 
-    n_ineq = 0.0
-    for tag in TAGS:
+    _CHAIN_TAGS = ("ch", "chg")
+
+    def _sum_split(per_tag):
+        """Sum a per-tag scalar: crown tags replicated, chain tags local
+        (psummed over the mesh axis under shard_map)."""
+        t_cr = sum(per_tag(tag) for tag in TAGS if tag not in _CHAIN_TAGS)
+        t_ch = sum((per_tag(tag) for tag in TAGS if tag in _CHAIN_TAGS),
+                   start=jnp.zeros((), dt))
+        if shard is not None:
+            t_ch = shard.psum(t_ch)
+        return t_cr + t_ch
+
+    def _ineq_of(tag):
         _, _, mlo, mhi = SEC[tag]
-        n_ineq = n_ineq + jnp.sum(mlo) + jnp.sum(mhi)
-    n_ineq = jnp.maximum(n_ineq, 1.0)
+        return jnp.sum(mlo) + jnp.sum(mhi)
+
+    n_ineq = jnp.maximum(_sum_split(_ineq_of), 1.0)
 
     def residuals(st):
         """res_g / res_b and per-section res_d / res_m."""
@@ -349,6 +405,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                                                 num_segments=Nc)
         # chain-root lambdas pull on their crown parents
         c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], lam_ch[:, 0])
+        if shard is not None:
+            c0 = shard.gather_s(c0)  # compact boundary form [S, nz]
         rg_cr = ((rg_cr + _oh(Rt, c0)) if use_oh
                  else rg_cr.at[rid].add(c0)) * zmask_cr
         # chain res_g: -lam_j (x rows) + AB_{j+1}' lam_{j+1}
@@ -359,7 +417,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         z_par = _oh(Pg, z_cr) if use_oh else z_cr[par]
         rb_cr = (jnp.einsum("nxz,nz->nx", AB_cr, z_par) + qp.b
                  - z_cr[:, :nxm]) * nrxm
-        z_rid = _oh(Rg, z_cr) if use_oh else z_cr[rid]
+        z_rid = (z_cr[rid_l] if shard is not None
+                 else (_oh(Rg, z_cr) if use_oh else z_cr[rid]))
         zp = jnp.concatenate([z_rid[:, None], z_ch[:, :-1]], axis=1)
         rb_ch = jnp.einsum("slxz,slz->slx", AB_ch, zp) + ms.b \
             - z_ch[:, :, :nxm]
@@ -378,8 +437,11 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         mx = lambda *a: jnp.max(jnp.stack([jnp.max(jnp.abs(v)) for v in a]))
         d_all = [v for tag in TAGS for v in rd[tag]]
         m_all = [v for tag in TAGS for v in rm[tag]]
-        return jnp.stack([
+        r4 = jnp.stack([
             mx(rg_cr, rg_ch), mx(rb_cr, rb_ch), mx(*d_all), mx(*m_all)])
+        if shard is not None:
+            r4 = shard.pmax(r4)  # crown terms replicated (max idempotent)
+        return r4
 
     def kkt_rhs(rg, rd_pair, rm_pair, s_lo, s_hi, l_lo, l_hi, mlo, mhi):
         """Eliminate (ds, dl) per section (elementwise in the section's
@@ -428,6 +490,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             r1_cr = r1_cr + jax.ops.segment_sum(contrib[1:], par[1:],
                                                 num_segments=Nc)
         c0 = jnp.einsum("sxz,sx->sz", AB_ch[:, 0], dlh[:, 0])
+        if shard is not None:
+            c0 = shard.gather_s(c0)
         r1_cr = ((r1_cr + _oh(Rt, c0)) if use_oh
                  else r1_cr.at[rid].add(c0)) * zmask_cr
         r1_ch = hb_ch_d * dzh
@@ -440,7 +504,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         dz_par = _oh(Pg, dzc) if use_oh else dzc[par]
         r2_cr = (dzc[:, :nxm]
                  - jnp.einsum("nxz,nz->nx", AB_cr, dz_par)) * nrxm
-        dz_rid = _oh(Rg, dzc) if use_oh else dzc[rid]
+        dz_rid = (dzc[rid_l] if shard is not None
+                  else (_oh(Rg, dzc) if use_oh else dzc[rid]))
         zp = jnp.concatenate([dz_rid[:, None], dzh[:, :-1]], axis=1)
         r2_ch = dzh[:, :, :nxm] - jnp.einsum("slxz,slz->slx", AB_ch, zp)
         return r1_cr, r1_ch, r2_cr, r2_ch
@@ -457,6 +522,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                 p_ch, k_ch, w0 = rk.ric_chain_bwd(fact_ch, rhs_ch_, rb_ch_)
             else:
                 p_ch, k_ch, w0 = _chain_riccati_bwd(fact_ch, rhs_ch_, rb_ch_)
+            if shard is not None:
+                w0 = shard.gather_s(w0)  # [S, nz] boundary vector
             wsum0 = (_oh(Rt, w0) if use_oh else
                      jnp.zeros((Nc, nz), w0.dtype).at[rid].set(w0))
             if "crown_shape" in fact_cr:  # Pallas crown factors
@@ -469,10 +536,10 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
             if "AB_t" in fact_ch:
                 from treeqp_tpu.ops import riccati_kernels as rk
                 dz_ch, dlam_ch = rk.ric_chain_fwd(
-                    fact_ch, p_ch, k_ch, rb_ch_, dz_cr[rid])
+                    fact_ch, p_ch, k_ch, rb_ch_, dz_cr[rid_l])
             else:
                 dz_ch, dlam_ch = _chain_riccati_fwd(
-                    fact_ch, p_ch, k_ch, rb_ch_, dz_cr[rid])
+                    fact_ch, p_ch, k_ch, rb_ch_, dz_cr[rid_l])
             out_dt = rhs_cr_.dtype
             return (dz_cr.astype(out_dt), dz_ch.astype(out_dt),
                     dlam_cr.astype(out_dt), dlam_ch.astype(out_dt))
@@ -594,6 +661,10 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
         else:
             fact_ch = _chain_riccati_factor(hbar_ch, AB_ch, opts, fdt)
             W0ch = fact_ch["W0"]
+        if shard is not None:
+            # chain-root Riccati contributions: THE boundary tensor of the
+            # scenario decomposition ([S, nz, nz] per factorization)
+            W0ch = shard.gather_s(W0ch)
         Wsum0 = (_oh(Rt, W0ch) if use_oh else
                  jnp.zeros((Nc, nz, nz), W0ch.dtype).at[rid].set(W0ch))
         from treeqp_tpu.ops import crown_riccati as ck
@@ -623,27 +694,26 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
                                  (st["lhi_" + tag], exp[tag][3], mhi)):
                     step = max_step(v, dv, m, frac)
                     a = step if a is None else jnp.minimum(a, step)
+            if shard is not None:
+                a = shard.pmin(a)  # crown terms replicated (min idempotent)
             return a
 
         def mu_of(stx):
-            tot = 0.0
-            for tag in TAGS:
+            def term(tag):
                 _, _, mlo, mhi = SEC[tag]
-                tot = (tot
-                       + jnp.sum(stx["slo_" + tag] * stx["llo_" + tag] * mlo)
-                       + jnp.sum(stx["shi_" + tag] * stx["lhi_" + tag] * mhi))
-            return tot / n_ineq
+                return (jnp.sum(stx["slo_" + tag] * stx["llo_" + tag] * mlo)
+                        + jnp.sum(stx["shi_" + tag] * stx["lhi_" + tag] * mhi))
+            return _sum_split(term) / n_ineq
 
         def mu_shifted(exp, a):
-            tot = 0.0
-            for tag in TAGS:
+            def term(tag):
                 _, _, mlo, mhi = SEC[tag]
-                tot = tot + jnp.sum(
+                return jnp.sum(
                     (st["slo_" + tag] + a * exp[tag][0])
                     * (st["llo_" + tag] + a * exp[tag][2]) * mlo) + jnp.sum(
                     (st["shi_" + tag] + a * exp[tag][1])
                     * (st["lhi_" + tag] + a * exp[tag][3]) * mhi)
-            return tot / n_ineq
+            return _sum_split(term) / n_ineq
 
         # predictor
         dzc_a, dzh_a, dlc_a, dlh_a = solve_kkt(
@@ -672,6 +742,8 @@ def ipm_ms_solve(ms: MultistageQP, opts: IpmOpts = IpmOpts(), ws=None):
 
         ok = ~(jnp.isnan(alpha) | jnp.isnan(jnp.sum(dzc)) |
                jnp.isnan(jnp.sum(dzh)))
+        if shard is not None:
+            ok = shard.all_true(ok)  # predicates must agree across devices
         alpha = jnp.where(ok, alpha, 0.0)
         # sanitize the directions too: alpha = 0 alone still poisons the
         # iterate (0 * NaN = NaN) — cf. the same guard in ipm.py

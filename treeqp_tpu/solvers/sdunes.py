@@ -86,6 +86,15 @@ class SdunesOpts:
     # sdunes mirror of the tdunes_ms df64 phase, VERDICT r3 #3).
     # Requires f64 data + factor_dtype="float32".
     df64_phase: bool = False
+    # Explicit-SPMD mesh axis: run the solver body inside jax.shard_map
+    # with the per-scenario arrays (mu, banded systems) sharded over this
+    # axis and the small coupling quantities (lambda, the Jay system)
+    # replicated. Cross-device traffic: all-gathers of the Jay boundary
+    # blocks (Gram [Ns, nl, nl] per factorization, Kv/u-coupling rows per
+    # solve) + scalar reductions — the reference's scenario fork-join
+    # (dual_Newton_scenarios.c:332-345, :528-563). The df64/Pallas paths
+    # are per-device-global and bypassed under an axis. None = single-dev.
+    axis_name: str | None = None
 
     def _as_tdunes(self) -> TdunesOpts:
         return TdunesOpts(reg_type=self.reg_type, reg_tol=self.reg_tol,
@@ -181,6 +190,31 @@ def scenario_data(qp: TreeQPIn) -> ScenarioQP:
         meta=meta)
 
 
+class _SdShard:
+    """Explicit-SPMD context for sdunes under ``jax.shard_map``: scenarios
+    sharded over the mesh axis, the coupling multipliers lambda and the
+    Jay system replicated (they are tiny: [Ns-1, Nr*nu] rows vs the
+    [Ns, Nh, nx] scenario states)."""
+
+    def __init__(self, axis: str, S_local: int):
+        self.axis = axis
+        self.S_local = S_local
+        self.start = jax.lax.axis_index(axis) * S_local
+
+    def slice_s(self, v):
+        """Local scenario rows of a replicated [Ns, ...] array."""
+        return jax.lax.dynamic_slice_in_dim(v, self.start, self.S_local, 0)
+
+    def psum(self, v):
+        return jax.lax.psum(v, self.axis)
+
+    def pmax(self, v):
+        return jax.lax.pmax(v, self.axis)
+
+    def gather_s(self, v):
+        return jax.lax.all_gather(v, self.axis, axis=0, tiled=True)
+
+
 def _coupling_masks(meta: _ScenMeta, dt):
     """cmask [Ns-1, Nr]: 1 where lambda[s,k] exists (k < common prefix)."""
     cm = np.zeros((max(meta.Ns - 1, 1), meta.Nr), dtype=np.float64)
@@ -189,12 +223,16 @@ def _coupling_masks(meta: _ScenMeta, dt):
     return jnp.asarray(cm, dt)
 
 
-def _stage_solve(sqp: ScenarioQP, mu, lam, cmask):
+def _stage_solve(sqp: ScenarioQP, mu, lam, cmask, shard=None):
     """Batched clipping stage solves for all [Ns, Nh+1] scenario stages.
 
     hmod_x[s,k] = -q + mu[s,k] - A[s,k]'mu[s,k+1]        (mu[s,0] := 0)
     hmod_u[s,k] = -r - B[s,k]'mu[s,k+1] - lam[s,k] + lam[s-1,k]
     (dual_Newton_scenarios.c:311-486 with our sign conventions)
+
+    Under ``shard`` the scenario arrays are the LOCAL shard and ``lam``
+    is replicated: the lambda pulls are assembled globally (tiny) and
+    sliced to the local rows.
     """
     Ns, Nr = sqp.meta.Ns, sqp.meta.Nr
     num = sqp.r.shape[-1]
@@ -206,9 +244,14 @@ def _stage_solve(sqp: ScenarioQP, mu, lam, cmask):
     rmod = -sqp.r
     rmod = rmod.at[:, :-1].add(-Btmu)
     if Ns > 1:
-        lm = lam * cmask[..., None]  # [Ns-1, Nr, nu]
-        rmod = rmod.at[:-1, :Nr].add(-lm)
-        rmod = rmod.at[1:, :Nr].add(lm)
+        lm = lam * cmask[..., None]  # [Ns-1, Nr, nu] (replicated)
+        if shard is not None:
+            pulls = jnp.zeros((Ns, Nr, lm.shape[-1]), lm.dtype)
+            pulls = pulls.at[:-1].add(-lm).at[1:].add(lm)
+            rmod = rmod.at[:, :Nr].add(shard.slice_s(pulls))
+        else:
+            rmod = rmod.at[:-1, :Nr].add(-lm)
+            rmod = rmod.at[1:, :Nr].add(lm)
     Qinv, Rinv = 1.0 / sqp.Qd, 1.0 / sqp.Rd
     xUnc, uUnc = Qinv * qmod, Rinv * rmod
     x = jnp.clip(xUnc, sqp.xmin, sqp.xmax)
@@ -218,26 +261,35 @@ def _stage_solve(sqp: ScenarioQP, mu, lam, cmask):
     return dict(qmod=qmod, rmod=rmod, x=x, u=u, xUnc=xUnc, uUnc=uUnc, qt=qt, rt=rt)
 
 
-def _residuals(sqp: ScenarioQP, sol, cmask):
-    """r_mu[s,k] = A x_k + B u_k + b - x_{k+1};  r_lam = u_s - u_{s+1}."""
+def _residuals(sqp: ScenarioQP, sol, cmask, shard=None):
+    """r_mu[s,k] = A x_k + B u_k + b - x_{k+1};  r_lam = u_s - u_{s+1}.
+
+    Under ``shard``: r_mu is local; the u coupling rows are all-gathered
+    (compact [Ns, Nr, nu] boundary form) so r_lam comes out replicated."""
     x, u = sol["x"], sol["u"]
     r_mu = (jnp.einsum("skij,skj->ski", sqp.A, x[:, :-1])
             + jnp.einsum("skij,skj->ski", sqp.B, u[:, :-1]) + sqp.b - x[:, 1:])
     Nr = sqp.meta.Nr
     if sqp.meta.Ns > 1:
-        r_lam = (u[:-1, :Nr] - u[1:, :Nr]) * cmask[..., None]
+        u_c = u[:, :Nr]
+        if shard is not None:
+            u_c = shard.gather_s(u_c)
+        r_lam = (u_c[:-1] - u_c[1:]) * cmask[..., None]
     else:
         r_lam = jnp.zeros((1, Nr, u.shape[-1]), u.dtype)
     return r_mu, r_lam
 
 
-def _dual_value(sqp: ScenarioQP, sol, mu, lam, cmask):
+def _dual_value(sqp: ScenarioQP, sol, mu, lam, cmask, shard=None):
     """f = -g: sum over scenario stages of -1/2 z'Hz + hmod'z, minus
     sum b'mu (the coupling constraints have zero constant term)."""
     x, u = sol["x"], sol["u"]
     quad = jnp.sum(x * sqp.Qd * x) + jnp.sum(u * sqp.Rd * u)
     lin = jnp.sum(sol["qmod"] * x) + jnp.sum(sol["rmod"] * u)
-    return -0.5 * quad + lin - jnp.sum(sqp.b * mu)
+    f = -0.5 * quad + lin - jnp.sum(sqp.b * mu)
+    if shard is not None:
+        f = shard.psum(f)  # every term is scenario-local
+    return f
 
 
 def _banded_blocks(A, B, qt, rt):
@@ -265,7 +317,8 @@ def _coupling_columns(B, rt, meta, dt):
     Returns Uown [Ns, Nh, nx, Nr*nu] (columns of lambda(t,:), sign +) —
     the contribution for lambda(t-1,:) is -Uown of scenario t reindexed.
     """
-    Ns, Nh, Nr = meta.Ns, meta.Nh, meta.Nr
+    Nh, Nr = meta.Nh, meta.Nr
+    Ns = B.shape[0]  # LOCAL scenario count under shard_map
     nu = B.shape[-1]
     nx = B.shape[-2]
     # block at (mu stage k+1, lambda stage k) = B_k * rt_k  -> [Ns,Nr,nx,nu]
@@ -414,7 +467,8 @@ def _sd_full_solve(fact, rhs, topts: TdunesOpts):
     return jnp.flip(z, 1).astype(out_dt) * sc[..., None]
 
 
-def _sd_apply_M(sqp, sol, cmask, dm, dmu, dlam_flat, AT=None, BT=None):
+def _sd_apply_M(sqp, sol, cmask, dm, dmu, dlam_flat, AT=None, BT=None,
+                shard=None):
     """Exact data-dtype action of the full dual Hessian on (dmu, dlam) —
     the iterative-refinement operator for f32-factored solves.
 
@@ -442,19 +496,25 @@ def _sd_apply_M(sqp, sol, cmask, dm, dmu, dlam_flat, AT=None, BT=None):
     # + qt_{k+1} o (dmu_k - A_{k+1}' dmu_{k+1}) (diag + Ssub_k' fold)
     u = dmu.at[:, :-1].add(-t0[:, 1:])
     A = A + qt_c * u
-    rt_l = sol["rt"][:, :Nr].reshape(Ns, nl)
+    rt_c = sol["rt"][:, :Nr]
+    if shard is not None and Ns > 1:
+        rt_c = shard.gather_s(rt_c)  # [Ns, Nr, nu] coupling rows
+    rt_l = rt_c.reshape(Ns, nl)
     if Ns > 1:
         dl = dlam_flat * dm
         coef = jnp.zeros((Ns, nl), dmu.dtype)
         coef = coef.at[:-1].add(dl)
         coef = coef.at[1:].add(-dl)
         # U coef: rows k < Nr get B_k (rt_k o coef[k-block])
-        cfk = coef.reshape(Ns, Nr, nu)
+        cfk = (shard.slice_s(coef) if shard is not None
+               else coef).reshape(-1, Nr, nu)
         add = jnp.einsum("skij,skj->ski", sqp.B[:, :Nr],
                          rt[:, :Nr] * cfk)
         A = A.at[:, :Nr].add(add)
         # kv_t = rt o (B' dmu) rows k < Nr
-        kv = (rt[:, :Nr] * r[:, :Nr]).reshape(Ns, nl)
+        kv = (rt[:, :Nr] * r[:, :Nr]).reshape(r.shape[0], nl)
+        if shard is not None:
+            kv = shard.gather_s(kv)  # [Ns, nl] boundary rows
         Al = (rt_l[:-1] + rt_l[1:]) * dl
         if Ns > 2:
             Al = Al.at[1:].add(-rt_l[1:-1] * dl[:-1])
@@ -466,7 +526,7 @@ def _sd_apply_M(sqp, sol, cmask, dm, dmu, dlam_flat, AT=None, BT=None):
 
 
 def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
-                    patience: int = 0):
+                    patience: int = 0, shard=None):
     """One sdunes dual-Newton while-loop at the dtype of ``sqp``'s data.
 
     The per-iteration linear algebra is restructured around ONE multi-RHS
@@ -499,13 +559,19 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
     def error_of(r_mu, r_lam):
         # pure-chain trees (Ns == 1 or Nr == 0) have no non-anticipativity
         # multipliers: r_lam is a zero-size array and reducing it would
-        # crash ('zero-size array to reduction')
+        # crash ('zero-size array to reduction'). Under shard, r_mu is
+        # local (pmax) and r_lam replicated.
         if opts.termination == "infnorm":
             e = jnp.max(jnp.abs(r_mu))
+            if shard is not None:
+                e = shard.pmax(e)
             if r_lam.size:
                 e = jnp.maximum(e, jnp.max(jnp.abs(r_lam)))
             return e
-        sq = jnp.sum(r_mu**2) + (jnp.sum(r_lam**2) if r_lam.size else 0.0)
+        sq = jnp.sum(r_mu**2)
+        if shard is not None:
+            sq = shard.psum(sq)
+        sq = sq + (jnp.sum(r_lam**2) if r_lam.size else 0.0)
         return jnp.sqrt(sq) if opts.termination == "twonorm" else sq
 
     def coef_of(dlam_flat):
@@ -513,7 +579,7 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
         if Ns > 1:
             coef = coef.at[:-1].add(dlam_flat)
             coef = coef.at[1:].add(-dlam_flat)
-        return coef
+        return shard.slice_s(coef) if shard is not None else coef
 
     # mixed-precision direction algebra: the dual-Hessian blocks, Jay
     # Schur pieces and back-substitutions feed only the f32 factorization
@@ -538,7 +604,14 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
                                   axis=-1), topts)
         z_mu, Zu = Z[..., 0], Z[..., 1:]
         Gram = jnp.einsum("skxl,skxm->slm", Uown, Zu)
-        diag, off, rt_l, _ = _jay_blocks(sqp, {"rt": rt_b}, Gram, cmask)
+        if shard is not None:
+            # Jay boundary blocks: THE boundary tensor of the scenario
+            # decomposition ([Ns, nl, nl] per factorization)
+            Gram = shard.gather_s(Gram)
+            rt_jay = shard.gather_s(rt_b[:, :Nr])
+        else:
+            rt_jay = rt_b
+        diag, off, rt_l, _ = _jay_blocks(sqp, {"rt": rt_jay}, Gram, cmask)
 
         rl_full = (r_lam.reshape(Ns - 1, nl) * dm if Ns > 1
                    else jnp.zeros((1, nl), dt))
@@ -547,6 +620,8 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
             """Direction from a mu-space solve z_mu_ = Mmm^-1 e_mu."""
             if Ns > 1:
                 Kv_ = jnp.einsum("skxl,skx->sl", Uown, z_mu_.astype(bdt))
+                if shard is not None:
+                    Kv_ = shard.gather_s(Kv_)  # [Ns, nl] boundary rows
                 rl = (e_l.astype(bdt) - (Kv_[:-1] - Kv_[1:])) * dm.astype(bdt)
                 dl = _jay_solve(diag, off, rl, opts).astype(dt) * dm
             else:
@@ -560,7 +635,7 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
                        if opts.factor_dtype == "float32" else 0):
             # refinement against the exact data-dtype dual Hessian
             Amu, Al = _sd_apply_M(sqp, sol, cmask, dm, dmu, dlam_flat,
-                                  AT=AT64, BT=BT64)
+                                  AT=AT64, BT=BT64, shard=shard)
             e_mu = r_mu - Amu
             e_l = rl_full - Al
             z2 = _sd_full_solve(fact, e_mu[..., None], topts)[..., 0]
@@ -570,15 +645,18 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
         dlam = dlam_flat.reshape(max(Ns - 1, 1), Nr, nu) * cmask[..., None]
 
         # Armijo line search on f = -g over (lambda, mu) jointly
-        dot = -(jnp.sum(r_mu * dmu) + jnp.sum(r_lam * dlam))
+        dot_mu = jnp.sum(r_mu * dmu)
+        if shard is not None:
+            dot_mu = shard.psum(dot_mu)  # r_lam part is replicated
+        dot = -(dot_mu + jnp.sum(r_lam * dlam))
         descent_ok = dot < 1e-10  # see tdunes.py: documented < 0 deviation
-        f0 = _dual_value(sqp, sol, mu, lam, cmask)
+        f0 = _dual_value(sqp, sol, mu, lam, cmask, shard=shard)
 
         def f_at(tau):
             mu_t = mu + tau * dmu
             lam_t = lam + tau * dlam
-            sol_t = _stage_solve(sqp, mu_t, lam_t, cmask)
-            return _dual_value(sqp, sol_t, mu_t, lam_t, cmask)
+            sol_t = _stage_solve(sqp, mu_t, lam_t, cmask, shard=shard)
+            return _dual_value(sqp, sol_t, mu_t, lam_t, cmask, shard=shard)
 
         # noise-aware Armijo slack (see tdunes._line_search)
         eps_rel = 2.0 ** -45 if dt == jnp.float64 else 2.0 ** -18
@@ -612,18 +690,23 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
             # the dual: direction (r_lam, r_mu) is always ascent for g.
             need_fb = (~descent_ok) | (~acc)
             L_est = jnp.max(jnp.abs(jnp.diagonal(D, axis1=2, axis2=3))).astype(dt)
+            if shard is not None:
+                L_est = shard.pmax(L_est)  # D is local; diag is replicated
             if Ns > 1:
                 L_est = jnp.maximum(
                     L_est, jnp.max(jnp.abs(jnp.diagonal(
                         diag, axis1=1, axis2=2))).astype(dt))
             t0 = 1.0 / jnp.maximum(L_est, 1e-12)
-            dot_g = -(jnp.sum(r_mu * r_mu) + jnp.sum(r_lam * r_lam))
+            g_mu = jnp.sum(r_mu * r_mu)
+            if shard is not None:
+                g_mu = shard.psum(g_mu)
+            dot_g = -(g_mu + jnp.sum(r_lam * r_lam))
 
             def f_at_g(tau_):
                 mu_t = mu + tau_ * r_mu
                 lam_t = lam + tau_ * r_lam
-                sol_t = _stage_solve(sqp, mu_t, lam_t, cmask)
-                return _dual_value(sqp, sol_t, mu_t, lam_t, cmask)
+                sol_t = _stage_solve(sqp, mu_t, lam_t, cmask, shard=shard)
+                return _dual_value(sqp, sol_t, mu_t, lam_t, cmask, shard=shard)
 
             def body_g(c):
                 tau_, f_, i_, a_ = c
@@ -655,8 +738,8 @@ def _sd_newton_loop(sqp: ScenarioQP, lam0, mu0, opts: SdunesOpts, it0,
 
     def body(carry):
         lam, mu, it, err, status, ls_it, best, noimp = carry
-        sol = _stage_solve(sqp, mu, lam, cmask)
-        r_mu, r_lam = _residuals(sqp, sol, cmask)
+        sol = _stage_solve(sqp, mu, lam, cmask, shard=shard)
+        r_mu, r_lam = _residuals(sqp, sol, cmask, shard=shard)
         err = error_of(r_mu, r_lam)
         improved = err < 0.9 * best
         best = jnp.minimum(best, err)
@@ -707,9 +790,14 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
     from treeqp_tpu.solvers.tdunes import _tpu_const_barrier
     sqp = _tpu_const_barrier(sqp)  # see tdunes._tpu_const_barrier
     cmask = _coupling_masks(meta, dt)
+    # explicit-SPMD context: scenario arrays are the LOCAL shard inside
+    # shard_map; lambda / the Jay system stay replicated (round 5)
+    S_loc = sqp.b.shape[0]
+    shard = (_SdShard(opts.axis_name, S_loc)
+             if opts.axis_name is not None else None)
 
     if mu0 is None:
-        mu0 = jnp.zeros((Ns, Nh, nx), dt)
+        mu0 = jnp.zeros((S_loc, Nh, nx), dt)
     if lam0 is None:
         lam0 = jnp.zeros((max(Ns - 1, 1), Nr, nu), dt)
 
@@ -722,29 +810,35 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
             opts, refine_steps=0, tol=max(opts.f32_phase_tol, opts.tol))
         lamA, muA, it0, _, _, _ = _sd_newton_loop(
             sqp32, lam0.astype(jnp.float32), mu0.astype(jnp.float32),
-            optsA, it0, patience=3)
+            optsA, it0, patience=3, shard=shard)
         # f32-phase status is discarded: a not-descent there is expected
         # noise near the f32 residual floor, not a failure
         lam0 = lamA.astype(dt)
         mu0 = muA.astype(dt)
 
     if (opts.df64_phase and dt == jnp.float64
-            and opts.factor_dtype == "float32"):
+            and opts.factor_dtype == "float32" and shard is None):
+        # the df64 phase is per-device-global; bypassed under a mesh axis
         from treeqp_tpu.solvers.sd_df64 import sd_newton_loop_df
         lam, mu, it, err, status, ls_it = sd_newton_loop_df(
             sqp, lam0, mu0, opts, it0)
     else:
         lam, mu, it, err, status, ls_it = _sd_newton_loop(
-            sqp, lam0, mu0, opts, it0)
+            sqp, lam0, mu0, opts, it0, shard=shard)
 
-    sol = _stage_solve(sqp, mu, lam, cmask)
-    r_mu, r_lam = _residuals(sqp, sol, cmask)
+    sol = _stage_solve(sqp, mu, lam, cmask, shard=shard)
+    r_mu, r_lam = _residuals(sqp, sol, cmask, shard=shard)
     if opts.termination == "infnorm":
         err = jnp.max(jnp.abs(r_mu))
+        if shard is not None:
+            err = shard.pmax(err)
         if r_lam.size:
             err = jnp.maximum(err, jnp.max(jnp.abs(r_lam)))
     else:
-        sq = jnp.sum(r_mu**2) + (jnp.sum(r_lam**2) if r_lam.size else 0.0)
+        sq = jnp.sum(r_mu**2)
+        if shard is not None:
+            sq = shard.psum(sq)
+        sq = sq + (jnp.sum(r_lam**2) if r_lam.size else 0.0)
         err = jnp.sqrt(sq) if opts.termination == "twonorm" else sq
     status = jnp.where((status == TDUNES_OPTIMAL) & (err >= opts.tol),
                        TDUNES_MAX_ITER, status)

@@ -331,7 +331,11 @@ def _modified_gradient(qp: TreeQPIn, lam, prep: _Prep, extra_q=None, extra_r=Non
     nx = qp.A.shape[-1]
     AB = jnp.concatenate([qp.A, qp.B], axis=2)
     AtBtL = jnp.einsum("nji,nj->ni", AB, lam)
-    sum_AB = jax.ops.segment_sum(AtBtL[1:], prep.par[1:], num_segments=prep.Nn)
+    if _use_sliced_nodes(prep):
+        sum_AB = _kid_sum_sliced(AtBtL, prep, _node_sliced_sched(prep))
+    else:
+        sum_AB = jax.ops.segment_sum(AtBtL[1:], prep.par[1:],
+                                     num_segments=prep.Nn)
     sum_A, sum_B = sum_AB[..., :nx], sum_AB[..., nx:]
     if extra_q is not None:
         sum_A = sum_A + extra_q
@@ -720,7 +724,11 @@ def _dual_residual(qp: TreeQPIn, sol, prep: _Prep, AT=None, BT=None):
     if AT is None:
         AT, BT = qp.A.swapaxes(1, 2), qp.B.swapaxes(1, 2)
     ABT = jnp.concatenate([AT, BT], axis=1)  # stacked [A'; B'], hoisted
-    zp = jnp.concatenate([sol["x"][prep.par], sol["u"][prep.par]], axis=1)
+    if _use_sliced_nodes(prep):
+        zn = jnp.concatenate([sol["x"], sol["u"]], axis=1)
+        zp = _par_gather_sliced(zn, prep, _node_sliced_sched(prep))
+    else:
+        zp = jnp.concatenate([sol["x"][prep.par], sol["u"][prep.par]], axis=1)
     res = (jnp.einsum("nji,nj->ni", ABT, zp) + qp.b - sol["x"]) * nrxm
     return res
 
@@ -766,18 +774,35 @@ def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep,
     kv = jnp.asarray(kvalid, dt)
     Ak = qp.A.astype(dt)[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,nxm]
     Bk = qp.B.astype(dt)[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,num]
+    # per-iteration gathers become static slices / sliced one-hot stacks
+    # on BFS topologies (the A/B gathers above are loop-INVARIANT and are
+    # hoisted by XLA; sol-dependent gathers below are not)
+    g0s, g_contig = _gnodes_slice(prep)
+    sliced = _use_sliced_nodes(prep)
+    sched_n = _node_sliced_sched(prep) if sliced else None
+
+    def parent_rows(v):
+        vv = v.astype(dt)
+        return vv[g0s:g0s + NpG] if g_contig else vv[prep.gnodes]
 
     if opts.stage_solver == "clipping":
-        qtp = sol["qtilde"].astype(dt)[prep.gnodes]  # [NpG, nxm] parent's masked inverse
-        rtp = sol["rtilde"].astype(dt)[prep.gnodes]
+        qtp = parent_rows(sol["qtilde"])  # [NpG, nxm] parent's masked inverse
+        rtp = parent_rows(sol["rtilde"])
         As = Ak * jnp.sqrt(qtp)[:, None, None, :]
         Bs = Bk * jnp.sqrt(rtp)[:, None, None, :]
         Af = As.reshape(NpG, G, nxm)
         Bf = Bs.reshape(NpG, G, prep.num)
         W = Af @ Af.swapaxes(1, 2) + Bf @ Bf.swapaxes(1, 2)
         # + E P_c E' on the diagonal (add_EPmE): child's own qtilde
-        dvals = jnp.where(kv[:, :, None] > 0, sol["qtilde"].astype(dt)[kidsP],
-                          jnp.ones((), dt)).reshape(NpG, G)
+        if sliced:
+            qt_k = _kid_slot_stack_sl(sol["qtilde"].astype(dt), prep, sched_n)
+            dvals = (qt_k.transpose(1, 0, 2).reshape(NpG, G)
+                     + (1.0 - kv[:, :, None]
+                        * jnp.ones((1, 1, nxm), dt)).reshape(NpG, G))
+        else:
+            dvals = jnp.where(kv[:, :, None] > 0,
+                              sol["qtilde"].astype(dt)[kidsP],
+                              jnp.ones((), dt)).reshape(NpG, G)
         W = W + jnp.zeros((NpG, G, G), dt).at[
             :, jnp.arange(G), jnp.arange(G)].set(dvals)
         # Ut (coupling of group g to its parent's lambda): -qtilde_p * A_k'
@@ -785,14 +810,25 @@ def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep,
     else:
         nzm = nxm + prep.num
         Pmat = (sol["P"] if "P" in sol else data["P"]).astype(dt)
-        Pp = Pmat[prep.gnodes]  # [NpG, nzm, nzm]
+        Pp = Pmat[g0s:g0s + NpG] if g_contig else Pmat[prep.gnodes]
         Cf = jnp.concatenate([Ak, Bk], axis=-1).reshape(NpG, G, nzm)
         W = Cf @ Pp @ Cf.swapaxes(1, 2)
         Px = Pmat[:, :nxm, :nxm]  # E P E' per node
         eye = jnp.eye(nxm, dtype=dt)
-        for k in range(K):
-            blk = jnp.where(kv[:, k, None, None] > 0, Px[kidsP[:, k]], eye[None])
-            W = W.at[:, k * nxm:(k + 1) * nxm, k * nxm:(k + 1) * nxm].add(blk)
+        if sliced:
+            Px_k = _kid_slot_stack_sl(Px.reshape(Px.shape[0], nxm * nxm),
+                                      prep, sched_n)
+            for k in range(K):
+                blk = (Px_k[k].reshape(NpG, nxm, nxm)
+                       + (1.0 - kv[:, k, None, None]) * eye[None])
+                W = W.at[:, k * nxm:(k + 1) * nxm,
+                         k * nxm:(k + 1) * nxm].add(blk)
+        else:
+            for k in range(K):
+                blk = jnp.where(kv[:, k, None, None] > 0, Px[kidsP[:, k]],
+                                eye[None])
+                W = W.at[:, k * nxm:(k + 1) * nxm,
+                         k * nxm:(k + 1) * nxm].add(blk)
         Ut = -(Pp[:, :nxm, :] @ Cf.swapaxes(1, 2))
     return W, Ut
 
@@ -845,6 +881,9 @@ def _tree_chol_factor(W, Ut, opts: TdunesOpts, prep: _Prep):
             reg = opts.reg_value if opts.reg_type == "always" else 0.0
             CholW, CholUt = ckr.crown_factor(W, Ut, prep, reg=reg)
             return dict(kind="pallas", CholW=CholW, CholUt=CholUt)
+    if _use_sliced_chol(prep):
+        return _tree_chol_factor_sliced(W, Ut, opts, prep,
+                                        _sliced_sched(prep))
     dt = W.dtype
     nxm, G, NpG = prep.nxm, prep.G, prep.NpG
     ar = jnp.arange(nxm)
@@ -893,6 +932,9 @@ def _tree_chol_solve(fact, rg, opts: TdunesOpts, prep: _Prep):
         dl = ckr.crown_solve(fact["CholW"], fact["CholUt"],
                              rg.astype(fact["CholW"].dtype), prep)
         return dl.astype(out_dt)
+    if fact.get("kind") == "sliced":
+        return _tree_chol_solve_sliced(fact, rg, opts, prep,
+                                       _sliced_sched(prep))
     CholW, CholUt = fact["CholW"], fact["CholUt"]
     rg = rg.astype(CholW.dtype)
     nxm, NpG, G = prep.nxm, prep.NpG, prep.G
@@ -938,6 +980,259 @@ def _tree_chol_solve(fact, rg, opts: TdunesOpts, prep: _Prep):
     return dlam_x[:NpG].astype(out_dt)
 
 
+def _use_sliced_chol(prep: _Prep) -> bool:
+    """Scatter-free sliced tree Cholesky: on by default on TPU (where
+    `.at[idx].add` scatters serialize), opt-in on CPU for parity tests
+    (TREEQP_SLICED_CHOL=1 forces, =0 disables)."""
+    import os
+    env = os.environ.get("TREEQP_SLICED_CHOL")
+    if env is not None:
+        return env == "1" and _sliced_sched(prep) is not None
+    return (jax.default_backend() in ("tpu", "axon")
+            and _sliced_sched(prep) is not None)
+
+
+def _sliced_sched(prep: _Prep):
+    """Per-level static-slice schedule for the scatter-free tree Cholesky
+    (round 5): each backward level becomes a static slice of the group
+    arrays plus a small one-hot child->parent slot matrix, so the whole
+    sweep is dynamic-slice updates + MXU matmuls — no `.at[idx].add`
+    scatters (which serialize on TPU; BENCH_NOTES "the scatter was the
+    floor"). Applicable when every occupied stage's group ids form a
+    contiguous range (BFS-ordered topologies: multistage trees and the
+    reference's random trees). Returns a list of per-level tuples
+    (c0, w, p0, wp, U[K, wp, w]) deepest-first, or None."""
+    cached = getattr(prep, "_sliced_sched_cache", "miss")
+    if cached != "miss":
+        return cached
+    K, nxm = prep.K, prep.nxm
+    stages = prep.stages
+    occupied = [s for s in range(len(stages) - 1, 0, -1) if len(stages[s]) > 0]
+    sched = []
+    ok = True
+    for s in occupied:
+        g = np.asarray(stages[s])
+        gp = np.asarray(stages[s - 1]) if len(stages[s - 1]) else None
+        if gp is None or np.any(np.diff(g) != 1) or np.any(np.diff(gp) != 1):
+            ok = False
+            break
+        c0, w = int(g[0]), len(g)
+        p0, wp = int(gp[0]), len(gp)
+        dads = prep.gdad[g]
+        if np.any((dads < p0) | (dads >= p0 + wp)):
+            ok = False
+            break
+        U = np.zeros((K, wp, w), np.float32)
+        U[prep.gslot[g], dads - p0, np.arange(w)] = 1.0
+        sched.append((c0, w, p0, wp, U))
+    if not ok or (len(stages[0]) != 1 or stages[0][0] != 0):
+        sched = None
+    prep._sliced_sched_cache = sched
+    return sched
+
+
+def _node_sliced_sched(prep: _Prep):
+    """Per-level node<->group schedule (round 5): for each occupied group
+    stage, (g0, wg, np0, n0, wn, V[K, wg, wn]) where groups g0..g0+wg sit
+    on parent nodes np0..np0+wg and their kids are nodes n0..n0+wn;
+    V[s][g-g0, n-n0] = 1 iff node n is kid slot s of group g. Per-slot V
+    matrices have <= 1 nonzero per row AND per column, so f64 operands can
+    ride exact hi/lo f32 MXU matmuls (cf. ipm_multistage._oh). Requires
+    level-contiguous group ids, parent-node ids and kid-node ids (BFS
+    topologies). None if not applicable."""
+    cached = getattr(prep, "_node_sliced_cache", "miss")
+    if cached != "miss":
+        return cached
+    K = prep.K
+    stages = prep.stages
+    kidsP = np.asarray(prep.kidsP)
+    kvalid = np.asarray(prep.kvalid).astype(bool)
+    gnodes = np.asarray(prep.gnodes)
+    sched = []
+    ok = True
+    for s in range(len(stages)):
+        g = np.asarray(stages[s])
+        if len(g) == 0:
+            continue
+        if np.any(np.diff(g) != 1):
+            ok = False
+            break
+        g0, wg = int(g[0]), len(g)
+        pn = gnodes[g]
+        kids = kidsP[g][kvalid[g]]
+        if (len(kids) == 0 or np.any(np.diff(pn) != 1)
+                or kids.min() + len(kids) - 1 != kids.max()
+                or len(np.unique(kids)) != len(kids)):
+            ok = False
+            break
+        n0, wn = int(kids.min()), len(kids)
+        V = np.zeros((K, wg, wn), np.float32)
+        for gl in range(wg):
+            for sl in range(K):
+                if kvalid[g0 + gl, sl]:
+                    V[sl, gl, kidsP[g0 + gl, sl] - n0] = 1.0
+        sched.append((g0, wg, int(pn[0]), n0, wn, V))
+    if not ok:
+        sched = None
+    prep._node_sliced_cache = sched
+    return sched
+
+
+def _hilo_mm(M32, v):
+    """Exact one-summand matmul for f64 operands via hi/lo f32 split
+    (each output element receives <= 1 summand through M32, a 0/1 matrix
+    with <= 1 nonzero per row); plain matmul for f32."""
+    M = jnp.asarray(M32)
+    if v.dtype == jnp.float64:
+        hi = v.astype(jnp.float32)
+        lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+        return (M @ hi).astype(jnp.float64) + (M @ lo).astype(jnp.float64)
+    return (M @ v.astype(M.dtype)).astype(v.dtype)
+
+
+def _kid_sum_sliced(v, prep: _Prep, sched_n):
+    """Segment-sum replacement: out[p] = sum_{kids c of p} v[c], zeros on
+    leaves — static slices + per-slot one-hot matmuls (no scatters)."""
+    out = jnp.zeros_like(v)
+    for g0, wg, np0, n0, wn, V in sched_n:
+        vb = v[n0:n0 + wn]
+        acc = _hilo_mm(V[0], vb)
+        for s in range(1, V.shape[0]):
+            acc = acc + _hilo_mm(V[s], vb)
+        out = out.at[np0:np0 + wg].set(acc)
+    return out
+
+
+def _par_gather_sliced(v, prep: _Prep, sched_n):
+    """Parent-gather replacement: out[c] = v[par(c)] for non-root rows
+    (root row zero — callers mask with nrxm)."""
+    out = jnp.zeros_like(v)
+    for g0, wg, np0, n0, wn, V in sched_n:
+        vb = v[np0:np0 + wg]
+        acc = _hilo_mm(V[0].T, vb)
+        for s in range(1, V.shape[0]):
+            acc = acc + _hilo_mm(V[s].T, vb)
+        out = out.at[n0:n0 + wn].set(acc)
+    return out
+
+
+def _kid_slot_stack_sl(v_n, prep: _Prep, sched_n):
+    """Per-slot grouped kid stacks [K, NpG, r] of node rows [Nn, r]
+    (the `v[kidsP[:, k]]` gather family), sliced; invalid slots zero."""
+    K = prep.K
+    r = v_n.shape[1]
+    out = jnp.zeros((K, prep.NpG, r), v_n.dtype)
+    for g0, wg, np0, n0, wn, V in sched_n:
+        vb = v_n[n0:n0 + wn]
+        for s in range(K):
+            out = out.at[s, g0:g0 + wg].set(_hilo_mm(V[s], vb))
+    return out
+
+
+def _gnodes_slice(prep: _Prep):
+    """(start, True) when group->parent-node ids are one contiguous run
+    (BFS topologies) so `v[prep.gnodes]` is a static slice."""
+    cached = getattr(prep, "_gnodes_slice_cache", None)
+    if cached is None:
+        g = prep.gnodes
+        ok = bool(len(g) and np.all(np.diff(g) == 1))
+        cached = (int(g[0]) if ok else 0, ok)
+        prep._gnodes_slice_cache = cached
+    return cached
+
+
+def _use_sliced_nodes(prep: _Prep) -> bool:
+    """Sliced node<->group index ops: on by default on TPU (indexed
+    gathers/scatters/segment-sums serialize there), opt-in/out via
+    TREEQP_SLICED_CHOL like the sliced Cholesky."""
+    import os
+    env = os.environ.get("TREEQP_SLICED_CHOL")
+    if env is not None:
+        return env == "1" and _node_sliced_sched(prep) is not None
+    return (jax.default_backend() in ("tpu", "axon")
+            and _node_sliced_sched(prep) is not None)
+
+
+def _nodes_to_group_sl(v_n, prep: _Prep, sched_n):
+    """[Nn, nxm] node rows -> [NpG, G] grouped kid stacks, sliced."""
+    nxm = prep.nxm
+    out = jnp.zeros((prep.NpG, prep.G), v_n.dtype)
+    for g0, wg, np0, n0, wn, V in sched_n:
+        vb = v_n[n0:n0 + wn]
+        blocks = [_hilo_mm(V[s], vb) for s in range(V.shape[0])]
+        out = out.at[g0:g0 + wg].set(jnp.concatenate(blocks, axis=1))
+    return out
+
+
+def _group_to_nodes_sl(v_g, prep: _Prep, sched_n, dt):
+    """[NpG, G] grouped -> [Nn, nxm] node rows (root row zero), sliced."""
+    nxm = prep.nxm
+    out = jnp.zeros((prep.group_of_node.shape[0], nxm), v_g.dtype)
+    for g0, wg, np0, n0, wn, V in sched_n:
+        vg = v_g[g0:g0 + wg]
+        acc = _hilo_mm(V[0].T, vg[:, :nxm])
+        for s in range(1, V.shape[0]):
+            acc = acc + _hilo_mm(V[s].T, vg[:, s * nxm:(s + 1) * nxm])
+        out = out.at[n0:n0 + wn].set(acc)
+    return out.astype(dt)
+
+
+def _tree_chol_factor_sliced(W, Ut, opts: TdunesOpts, prep: _Prep, sched):
+    """Scatter-free level-synchronous tree Cholesky: per backward level a
+    static slice is factored, the Schur complements are placed into the
+    parent level's diagonal blocks via the static one-hot slot matrices
+    (dual_Newton_tree.c:668-735 semantics, TPU layout)."""
+    dt = W.dtype
+    nxm, G, NpG, K = prep.nxm, prep.G, prep.NpG, prep.K
+    CholW = jnp.zeros((NpG, G, G), dt)
+    CholUt = jnp.zeros((NpG, nxm, G), dt)
+    for c0, w, p0, wp, U in sched:
+        Lb = _reg_cholesky(W[c0:c0 + w], opts)
+        CUb = jax.lax.linalg.triangular_solve(
+            Lb, Ut[c0:c0 + w], left_side=False, lower=True, transpose_a=True)
+        Sb = CUb @ CUb.swapaxes(1, 2)                    # [w, nxm, nxm]
+        Um = jnp.asarray(U.reshape(K * wp, w), dt)
+        upds = (Um @ Sb.reshape(w, nxm * nxm)).reshape(K, wp, nxm, nxm)
+        zero = jnp.zeros((wp, nxm, nxm), dt)
+        rows = [jnp.concatenate([upds[s] if t == s else zero
+                                 for t in range(K)], axis=2)
+                for s in range(K)]
+        W = W.at[p0:p0 + wp].add(-jnp.concatenate(rows, axis=1))
+        CholW = CholW.at[c0:c0 + w].set(Lb)
+        CholUt = CholUt.at[c0:c0 + w].set(CUb)
+    L0 = _reg_cholesky(W[0:1], opts)
+    CholW = CholW.at[0:1].set(L0)
+    return dict(kind="sliced", CholW=CholW, CholUt=CholUt)
+
+
+def _tree_chol_solve_sliced(fact, rg, opts: TdunesOpts, prep: _Prep, sched):
+    """Solve with `_tree_chol_factor_sliced` factors: static-slice backward
+    RHS sweep, root solve, forward substitution (dual_Newton_tree.c:745-775)."""
+    CholW, CholUt = fact["CholW"], fact["CholUt"]
+    out_dt = rg.dtype
+    rd = rg.astype(CholW.dtype)
+    nxm, G, NpG, K = prep.nxm, prep.G, prep.NpG, prep.K
+    ys = jnp.zeros((NpG, G), rd.dtype)
+    for c0, w, p0, wp, U in sched:
+        yb = _tri_solve(CholW[c0:c0 + w], rd[c0:c0 + w])          # [w, G]
+        rv = jnp.einsum("big,bg->bi", CholUt[c0:c0 + w], yb)      # [w, nxm]
+        Um = jnp.asarray(U.reshape(K * wp, w), rd.dtype)
+        radd = (Um @ rv).reshape(K, wp, nxm).transpose(1, 0, 2).reshape(wp, G)
+        rd = rd.at[p0:p0 + wp].add(-radd)
+        ys = ys.at[c0:c0 + w].set(yb)
+    y0 = _tri_solve(CholW[0:1], rd[0:1])
+    dl0 = _tri_solve(CholW[0:1], y0, trans=True)
+    dlam = jnp.zeros((NpG, G), rd.dtype).at[0:1].set(dl0)
+    for c0, w, p0, wp, U in reversed(sched):
+        Ut_s = jnp.asarray(U.transpose(0, 2, 1), rd.dtype)        # [K, w, wp]
+        dpar = dlam[p0:p0 + wp].reshape(wp, K, nxm).transpose(1, 0, 2)
+        dp = jnp.einsum("kwp,kpi->wi", Ut_s, dpar)                # [w, nxm]
+        d = ys[c0:c0 + w] - jnp.einsum("big,bi->bg", CholUt[c0:c0 + w], dp)
+        dl = _tri_solve(CholW[c0:c0 + w], d, trans=True)
+        dlam = dlam.at[c0:c0 + w].set(dl)
+    return dlam.astype(out_dt)
+
+
 def _newton_factor(W, Ut, opts: TdunesOpts, prep: _Prep):
     """Equilibrate (M~ = S M S, S = 1/sqrt(diag M)) and factor; returns
     (scales, factors) for repeated `_newton_solve` calls."""
@@ -964,10 +1259,17 @@ def _apply_M_nodes(qp: TreeQPIn, sol, data, d_nodes, opts: TdunesOpts,
     xm, um, nrxm = _masks(qp)
     if AT is None:
         AT, BT = qp.A.swapaxes(1, 2), qp.B.swapaxes(1, 2)
+    sliced = _use_sliced_nodes(prep)
     AtL = jnp.einsum("nji,nj->ni", qp.A, d_nodes)
     BtL = jnp.einsum("nji,nj->ni", qp.B, d_nodes)
-    sum_A = jax.ops.segment_sum(AtL[1:], prep.par[1:], num_segments=prep.Nn)
-    sum_B = jax.ops.segment_sum(BtL[1:], prep.par[1:], num_segments=prep.Nn)
+    if sliced:
+        sched_n = _node_sliced_sched(prep)
+        AtBt = jnp.concatenate([AtL, BtL], axis=1)
+        sums = _kid_sum_sliced(AtBt, prep, sched_n)
+        sum_A, sum_B = sums[:, : prep.nxm], sums[:, prep.nxm:]
+    else:
+        sum_A = jax.ops.segment_sum(AtL[1:], prep.par[1:], num_segments=prep.Nn)
+        sum_B = jax.ops.segment_sum(BtL[1:], prep.par[1:], num_segments=prep.Nn)
     ql = (d_nodes - sum_A) * xm
     rl = (-sum_B) * um
     if opts.stage_solver == "clipping":
@@ -978,8 +1280,14 @@ def _apply_M_nodes(qp: TreeQPIn, sol, data, d_nodes, opts: TdunesOpts,
         hl = jnp.concatenate([ql, rl], axis=1)
         zl = jnp.einsum("nij,nj->ni", Pmat, hl)
         xl, ul = zl[:, : prep.nxm] * xm, zl[:, prep.nxm:] * um
-    res = (jnp.einsum("nji,nj->ni", AT, xl[prep.par])
-           + jnp.einsum("nji,nj->ni", BT, ul[prep.par]) - xl) * nrxm
+    if sliced:
+        zl_p = _par_gather_sliced(jnp.concatenate([xl, ul], axis=1),
+                                  prep, sched_n)
+        xl_p, ul_p = zl_p[:, : prep.nxm], zl_p[:, prep.nxm:]
+    else:
+        xl_p, ul_p = xl[prep.par], ul[prep.par]
+    res = (jnp.einsum("nji,nj->ni", AT, xl_p)
+           + jnp.einsum("nji,nj->ni", BT, ul_p) - xl) * nrxm
     return -res
 
 
@@ -1062,6 +1370,8 @@ def _gn_mm_ok(prep: _Prep) -> bool:
 
 
 def _group_to_nodes_mm(v_g, prep: _Prep, dt):
+    if _use_sliced_nodes(prep):
+        return _group_to_nodes_sl(v_g, prep, _node_sliced_sched(prep), dt)
     if not _gn_mm_ok(prep):
         return _group_to_nodes(v_g, prep, dt)
     mats = _gn_mats(prep)
@@ -1075,6 +1385,8 @@ def _group_to_nodes_mm(v_g, prep: _Prep, dt):
 
 
 def _nodes_to_group_mm(v_n, prep: _Prep):
+    if _use_sliced_nodes(prep):
+        return _nodes_to_group_sl(v_n, prep, _node_sliced_sched(prep))
     if not _gn_mm_ok(prep):
         return _nodes_to_group(v_n, prep)
     mats = _gn_mats(prep)
@@ -1274,7 +1586,13 @@ def _td_newton_loop(qp: TreeQPIn, lam0, opts: TdunesOpts, it0, hist0,
 
     def newton_step(carry, sol, res):
         lam, it, err, status, restart, ls_it, ws = carry
-        W, Ut = _build_dual_hessian(qp, sol, data, opts, prep)
+        # with an f32 factorization the blocks are built DIRECTLY in f32:
+        # they feed only the factorization (which would cast anyway), and
+        # on TPU the node-major f64 build runs in emulated f64 — the
+        # dominant per-iteration cost on general C/D trees (round 5).
+        # Direction accuracy is restored by the exact-dtype refinement.
+        build_dt = jnp.float32 if opts.factor_dtype == "float32" else None
+        W, Ut = _build_dual_hessian(qp, sol, data, opts, prep, dtype=build_dt)
         rg = _nodes_to_group_mm(res, prep)
         dlam_g = _newton_direction(W, Ut, rg, opts, prep,
                                    qp=qp, sol=sol, data=data)
