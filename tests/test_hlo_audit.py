@@ -159,6 +159,64 @@ def test_sdunes_collective_audit():
     assert big_gather < band_bytes / 2, big_gather
 
 
+def test_ipm_shmap_path_byte_budget():
+    """The round-5 explicit-SPMD IPM path: boundary traffic is the
+    chain-root Riccati contributions (W0 [S, nz, nz] f32 per
+    factorization, w0 [S, nz] per solve) + scalar reductions — audited
+    here at the 256-scenario headline size on an 8-device mesh."""
+    from treeqp_tpu.solvers.ipm import IpmOpts
+    from treeqp_tpu.solvers.tdunes_multistage import split_multistage
+    from treeqp_tpu.parallel.sharding import scenario_mesh
+    from treeqp_tpu.parallel.shard_solver import ipm_ms_solve_shmap
+    from benchmarks.models import spring_mass_chain
+
+    qp, _ = spring_mass_chain(nm=4, md=4, Nr=4, Nh=20)
+    ms = split_multistage(qp)
+    mesh = scenario_mesh(jax.devices()[:8])
+    opts = IpmOpts(tol=1e-8, max_iter=25, factor_dtype="float32",
+                   refine_steps=1)
+    fn = jax.jit(lambda m: ipm_ms_solve_shmap(m, opts, mesh))
+    a = audit_compiled(fn.lower(ms).compile(), "ipm_ms_solve",
+                       scan_weight=ms.meta.L)
+    meta = ms.meta
+    nz = meta.nx + 1  # nu = 1 on this model
+    # budget: W0 gather (f32) + a few [S, nz] f64 vectors per iteration
+    # (predictor + corrector solves x refinement) + scalars
+    assert a["per_iter_bytes"] < 2_500_000, a["per_iter_bytes"]
+    # largest single collective is the W0 boundary gather, never a
+    # chain-interior tensor
+    big_gather = max((o.bytes_global for o in a["ops"]
+                      if o.kind != "all-reduce"), default=0)
+    assert big_gather <= meta.S * nz * nz * 8, big_gather
+
+
+def test_sdunes_shmap_path_byte_budget():
+    """The round-5 explicit-SPMD sdunes path: boundary traffic is the
+    Jay Gram blocks [Ns, nl, nl] + u/rt/Kv coupling rows — tiny next to
+    the sharded [Ns, Nh, nx] banded systems."""
+    from treeqp_tpu.solvers.sdunes import SdunesOpts, scenario_data
+    from treeqp_tpu.parallel.sharding import scenario_mesh
+    from treeqp_tpu.parallel.shard_solver import sdunes_solve_shmap
+    from benchmarks.models import spring_mass_chain
+
+    qp, _ = spring_mass_chain(nm=4, md=4, Nr=4, Nh=20)
+    sqp = scenario_data(qp)
+    mesh = scenario_mesh(jax.devices()[:8])
+    opts = SdunesOpts(tol=1e-8, max_iter=30, factor_dtype="float32",
+                      refine_steps=1, f32_phase_tol=1e-4)
+    fn = jax.jit(lambda s: sdunes_solve_shmap(s, None, None, opts, mesh))
+    a = audit_compiled(fn.lower(sqp).compile(), "sdunes_solve",
+                       scan_weight=sqp.meta.Nh)
+    meta = sqp.meta
+    nl = meta.Nr * sqp.r.shape[-1]
+    assert a["per_iter_bytes"] < 1_000_000, a["per_iter_bytes"]
+    big_gather = max((o.bytes_global for o in a["ops"]
+                      if o.kind != "all-reduce"), default=0)
+    # largest gather: the Jay Gram boundary blocks (f64 in the exact
+    # phase), never the banded chain interiors
+    assert big_gather <= meta.Ns * nl * nl * 8, big_gather
+
+
 def test_shard_map_path_reaches_model_bytes():
     """The explicit-SPMD shard_map path (parallel/shard_solver.py) must
     stay within a small factor of the communication model's minimal
