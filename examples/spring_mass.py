@@ -52,15 +52,21 @@ def main():
     cro, cho, info = ipm_ms_solve(ms, IpmOpts(tol=1e-10, max_iter=40))
     results["ipm_ms"] = merge_output(ms, cro, cho, info)
 
-    # sdunes: dual Newton's global phase is weak on cold starts (the
-    # reference ships warm-start txt files for this exact instance,
-    # spring_mass.c:69-83) — warm start it from the IPM duals
+    # sdunes COLD (round 5): the static-LM default (SdunesOpts.reg_type
+    # "always") converges from the zero dual start on this instance — the
+    # reference instead ships warm-start txt files (spring_mass.c:69-83).
     sqp = scenario_data(qp)
-    lam0, mu0 = scenario_duals_from_tree(sqp, results["ipm"].lam,
-                                         results["ipm"])
-    sol, lam, mu, sinfo = sdunes_solve(sqp, lam0, mu0,
+    sol, lam, mu, sinfo = sdunes_solve(sqp, None, None,
                                        SdunesOpts(tol=1e-8, max_iter=100))
     results["sdunes"] = scenario_output(sqp, sol, lam, mu, sinfo)
+
+    # the warm-started variant (the reference's own usage pattern) must
+    # still converge in a handful of iterations
+    lam0, mu0 = scenario_duals_from_tree(sqp, results["ipm"].lam,
+                                         results["ipm"])
+    sol_w, lam_w, mu_w, sinfo_w = sdunes_solve(
+        sqp, lam0, mu0, SdunesOpts(tol=1e-8, max_iter=100))
+    results["sdunes_ws"] = scenario_output(sqp, sol_w, lam_w, mu_w, sinfo_w)
 
     ref = np.asarray(results["tdunes"].x)
     for name, out in results.items():

@@ -50,15 +50,18 @@ def test_quadratic_dual_converges_in_two_iters():
 
 
 def test_constrained_chain_agrees_with_tdunes():
+    # solved TIGHT (1e-8): at tol=1e-6 the solution-agreement bar is
+    # path-dependent (a stop just under the tolerance leaves u at
+    # ~err/cond, which the pre-round-5 path masked by overshooting)
     qp, _ = spring_mass_chain(nm=2, md=2, Nr=3, Nh=8)
     sqp = scenario_data(qp)
     sol, lam, mu, info = sdunes_solve(sqp, None, None,
-                                      SdunesOpts(tol=1e-6, max_iter=250))
+                                      SdunesOpts(tol=1e-8, max_iter=250))
     out = scenario_output(sqp, sol, lam, mu, info)
-    assert float(info["error"]) < 1e-6
+    assert float(info["error"]) < 1e-8
     ref = tdunes_solve(qp, None, TD)
-    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 1e-5
-    assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-5
+    assert float(jnp.max(jnp.abs(out.x - ref.x))) < 1e-7
+    assert float(jnp.max(jnp.abs(out.u - ref.u))) < 1e-7
 
 
 def test_warm_start_resumes():

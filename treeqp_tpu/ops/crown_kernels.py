@@ -424,9 +424,13 @@ def _get_eval_sched(prep):
 
 
 def crown_eval_supported(prep) -> bool:
-    # whole-crown arrays must fit one VMEM block; 1024 node-lanes is
-    # ~0.6 MB per [nz, NPc] tensor — far inside VMEM for crown sizes
-    return prep.Nn <= 1024
+    # whole-crown arrays must fit one VMEM block: the row tensors are
+    # tiny ([nz, NPc] ~ 0.1 MB at 1408 lanes) — the binding term is the
+    # [NPc, NPc] parent one-hot (7.9 MB at 1408 lanes, f32) next to the
+    # rest of the mega-kernel's working set under the 100 MB scoped
+    # limit. 2048 lanes (16 MB) covers the 1024-scenario tree's
+    # 1365-node crown (round 5; was 1024).
+    return prep.Nn <= 2048
 
 
 def crown_eval_data(qp, prep, xm, um, nrxm):

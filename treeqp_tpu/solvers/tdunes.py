@@ -776,10 +776,14 @@ def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep,
     Bk = qp.B.astype(dt)[kidsP] * kv[:, :, None, None]  # [NpG,K,nxm,num]
     # per-iteration gathers become static slices / sliced one-hot stacks
     # on BFS topologies (the A/B gathers above are loop-INVARIANT and are
-    # hoisted by XLA; sol-dependent gathers below are not)
-    g0s, g_contig = _gnodes_slice(prep)
+    # hoisted by XLA; sol-dependent gathers below are not). TPU-gated:
+    # under GSPMD-auto on CPU meshes the dynamic-slice form degrades the
+    # partitioner's placement (measured: headline audit 5.8 -> 17 MB/iter),
+    # while on TPU it removes serializing gathers — gate both together.
     sliced = _use_sliced_nodes(prep)
     sched_n = _node_sliced_sched(prep) if sliced else None
+    g0s, g_contig = _gnodes_slice(prep)
+    g_contig = g_contig and sliced
 
     def parent_rows(v):
         vv = v.astype(dt)
@@ -810,7 +814,7 @@ def _build_dual_hessian(qp: TreeQPIn, sol, data, opts: TdunesOpts, prep: _Prep,
     else:
         nzm = nxm + prep.num
         Pmat = (sol["P"] if "P" in sol else data["P"]).astype(dt)
-        Pp = Pmat[g0s:g0s + NpG] if g_contig else Pmat[prep.gnodes]
+        Pp = (Pmat[g0s:g0s + NpG] if g_contig else Pmat[prep.gnodes])
         Cf = jnp.concatenate([Ak, Bk], axis=-1).reshape(NpG, G, nzm)
         W = Cf @ Pp @ Cf.swapaxes(1, 2)
         Px = Pmat[:, :nxm, :nxm]  # E P E' per node
