@@ -107,6 +107,15 @@ def run_mode(mode):
             # coarse f32 phase runs the bulk of the Newton iterations
             # without any emulated-f64 arithmetic (cf. bench.py opts)
             f32_phase_tol=1e-4 if on_tpu else 0.0, f32_patience=3)
+        # static data-derived hints must be derived OUTSIDE jit (the
+        # solve runs under run_one's jit, where qp is a tracer)
+        from treeqp_tpu.solvers.tdunes import (
+            diag_weights_applicable, clipping_applicable_nodes)
+        if mode == "tdunes_mixed":
+            opts = dataclasses.replace(
+                opts, node_solver=clipping_applicable_nodes(qp))
+        opts = dataclasses.replace(
+            opts, h_diag=diag_weights_applicable(qp))
 
         def solve(qp2):
             out = tdunes_solve(qp2, None, opts)

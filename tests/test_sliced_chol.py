@@ -29,7 +29,12 @@ def _rand_blocks(prep, seed=0):
 
 
 @pytest.mark.parametrize("dims", [(3, 2, 10), (2, 3, 6)])
-def test_sliced_factor_solve_parity(dims):
+def test_sliced_factor_solve_parity(dims, monkeypatch):
+    # the random W here has no chain blockdiag structure, so the
+    # dispatching _tree_chol_factor (which may pick the multistage-split
+    # path under TREEQP_SLICED_CHOL=1) must be pinned to the scan path
+    # as the reference; the sliced path is called explicitly.
+    monkeypatch.setenv("TREEQP_SLICED_CHOL", "0")
     md, Nr, Nh = dims
     qp, _ = spring_mass_chain(nm=3, md=md, Nr=Nr, Nh=Nh)
     prep = _get_prep(qp.topo)
@@ -46,6 +51,55 @@ def test_sliced_factor_solve_parity(dims):
                                np.asarray(f_ref["CholW"][:NpG]), atol=1e-11)
     np.testing.assert_allclose(np.asarray(dl_sl), np.asarray(dl_ref),
                                atol=1e-9)
+
+
+def test_split_factor_solve_parity():
+    """The multistage-split path (chain levels through the banded chain
+    machinery + sliced crown, round 5) against the scan path, on REAL
+    dual-Hessian blocks (the chain blocks carry the blockdiag structure
+    the split exploits) with slot-masked RHS (the solver's rg is always
+    masked by kvalid)."""
+    from treeqp_tpu.solvers import tdunes as td
+    from benchmarks.models import with_general_rows
+
+    qp0, _ = spring_mass_chain(nm=3, md=3, Nr=2, Nh=10)
+    qp = with_general_rows(qp0, cmax=0.6)
+    prep = td._get_prep(qp.topo)
+    split = td._split_sched(prep)
+    assert split is not None and len(split[0]) >= 3
+    opts = TdunesOpts(stage_solver="qpgen", reg_type="always",
+                      reg_value=1e-6)
+    data = td._stage_data(qp, opts)
+    rng = np.random.default_rng(0)
+    lam = jnp.asarray(0.1 * rng.standard_normal(
+        (qp.topo.Nn, qp.topo.nxm))) * td._masks(qp)[2]
+    sol = td._stage_solve(qp, lam, data, opts, prep)
+    W, Ut = td._build_dual_hessian(qp, sol, data, opts, prep)
+    kv = np.repeat(np.asarray(prep.kvalid), prep.nxm, axis=1)
+    rg = jnp.asarray(rng.standard_normal((prep.NpG, prep.G)) * kv)
+    f_ref = td._tree_chol_factor(W, Ut, opts, prep)
+    dl_ref = td._tree_chol_solve(f_ref, rg, opts, prep)
+    f_sp = td._tree_chol_factor_split(W, Ut, opts, prep, split)
+    dl_sp = td._tree_chol_solve_split(f_sp, rg, opts, prep, split)
+    np.testing.assert_allclose(np.asarray(dl_sp), np.asarray(dl_ref),
+                               atol=1e-9)
+
+
+def test_split_solver_end_to_end(monkeypatch):
+    """Full qpgen solve with the split factorization forced (the TPU
+    default on multistage-shaped trees)."""
+    monkeypatch.setenv("TREEQP_SLICED_CHOL", "1")
+    from benchmarks.models import with_general_rows
+    qp0, _ = spring_mass_chain(nm=3, md=3, Nr=2, Nh=10)
+    qp = with_general_rows(qp0, cmax=0.6)
+    opts = TdunesOpts(stage_solver="qpgen", tol=2.5e-9, max_iter=150,
+                      factor_dtype="float32", refine_steps=1,
+                      refine_safeguard=False, qpgen_factor_dtype="float32",
+                      reg_type="always", reg_value=1e-6,
+                      f32_phase_tol=1e-4, f32_patience=3)
+    out = tdunes_solve(qp, None, opts)
+    assert int(out.info["status"]) == 0
+    assert float(max_kkt_residual(qp, out)) < 1e-8
 
 
 def test_sliced_solver_end_to_end(monkeypatch):

@@ -171,6 +171,11 @@ class TdunesOpts:
     # residual error and line-search iteration counts into
     # info["err_hist"] / info["ls_hist"] (length max_iter, NaN/-1 padded).
     record_history: bool = False
+    # Static hint set by tdunes_solve on concrete data: the stage
+    # Hessians are diagonal (S = 0), so dual values may use the
+    # elementwise quadratic form instead of the dense emulated-f64
+    # einsum. Never set this by hand on non-diagonal instances.
+    h_diag: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +293,7 @@ def _stage_data(qp: TreeQPIn, opts: TdunesOpts):
         H = _dense_H(qp)
         G, lo, hi, m_lo, m_hi = _constraint_data(qp)
         data["H"] = H
+        data["Hd"] = jnp.diagonal(H, axis1=1, axis2=2)
         data["Hinv"] = _batched_inverse_spd(H)
         data["G"], data["lo"], data["hi"] = G, lo, hi
         data["m_lo"], data["m_hi"] = m_lo, m_hi
@@ -753,7 +759,13 @@ def _dual_value(qp: TreeQPIn, lam, sol, data, opts: TdunesOpts):
         tu = u * (sol["rmod"] - 0.5 * data["Rd"] * u)
         return jnp.sum(tx) + jnp.sum(tu)
     z = jnp.concatenate([x, u], axis=1)
-    quad = jnp.sum(z * jnp.einsum("nij,nj->ni", data["H"], z))
+    if opts.h_diag and "Hd" in data:
+        # diagonal Hessians (all benchmark families): the dense einsum is
+        # an emulated-f64 batched matvec on TPU, ~1.9 ms per LS trial at
+        # 4437 nodes — the elementwise form is ~free (round-5 profiler)
+        quad = jnp.sum(z * data["Hd"] * z)
+    else:
+        quad = jnp.sum(z * jnp.einsum("nij,nj->ni", data["H"], z))
     lin = jnp.sum(sol["qmod"] * x) + jnp.sum(sol["rmod"] * u)
     cmod = jnp.sum(qp.b * lam)  # lam rows are masked to non-root support
     return -0.5 * quad + lin - cmod
@@ -886,6 +898,10 @@ def _tree_chol_factor(W, Ut, opts: TdunesOpts, prep: _Prep):
             CholW, CholUt = ckr.crown_factor(W, Ut, prep, reg=reg)
             return dict(kind="pallas", CholW=CholW, CholUt=CholUt)
     if _use_sliced_chol(prep):
+        if opts.reg_type in ("always", "none"):
+            split = _split_sched(prep)
+            if split is not None:
+                return _tree_chol_factor_split(W, Ut, opts, prep, split)
         return _tree_chol_factor_sliced(W, Ut, opts, prep,
                                         _sliced_sched(prep))
     dt = W.dtype
@@ -936,6 +952,9 @@ def _tree_chol_solve(fact, rg, opts: TdunesOpts, prep: _Prep):
         dl = ckr.crown_solve(fact["CholW"], fact["CholUt"],
                              rg.astype(fact["CholW"].dtype), prep)
         return dl.astype(out_dt)
+    if fact.get("kind") == "split":
+        return _tree_chol_solve_split(fact, rg, opts, prep,
+                                      _split_sched(prep))
     if fact.get("kind") == "sliced":
         return _tree_chol_solve_sliced(fact, rg, opts, prep,
                                        _sliced_sched(prep))
@@ -982,6 +1001,120 @@ def _tree_chol_solve(fact, rg, opts: TdunesOpts, prep: _Prep):
 
         dlam_x, _ = jax.lax.scan(fwd, dlam_x, fwd_xs)
     return dlam_x[:NpG].astype(out_dt)
+
+
+def _split_sched(prep: _Prep):
+    """Multistage split of the sliced level schedule (round 5): the deep
+    levels of a scenario tree are CHAINS (every group has exactly one kid
+    at slot 0, constant width S, identity scenario alignment level to
+    level) — their blocks are [nxm, nxm] inside the uniform [G, G]
+    layout, so factoring them through the generic per-level sweep wastes
+    K^2x flops AND runs XLA batched Cholesky per level. This schedule
+    routes them through the lane-batched banded chain machinery of the
+    multistage solver (ONE Pallas launch for all chain levels,
+    tdunes_multistage._chain_factor) and leaves only the small crown to
+    the per-level sliced sweep.
+
+    Returns (chain_levels, crown_levels) — both in the sliced-schedule
+    format, chain deepest-first ending with the boundary level (whose
+    dads are crown groups) — or None when the tree is not
+    multistage-shaped. Match: the crown+chains decomposition of
+    setup_multistage_tree trees (tree.c:247-280)."""
+    cached = getattr(prep, "_split_sched_cache", "miss")
+    if cached != "miss":
+        return cached
+    sched = _sliced_sched(prep)
+    out = None
+    if sched is not None and len(sched) >= 4:
+        kvalid = np.asarray(prep.kvalid).astype(bool)
+        S = sched[0][1]
+        eyeS = np.eye(S, dtype=np.float32)
+        chain = []
+        i = 0
+        while i < len(sched):
+            c0, w, p0, wp, U = sched[i]
+            kv = kvalid[c0:c0 + w]
+            if w != S or not ((kv.sum(1) == 1).all() and kv[:, 0].all()):
+                break
+            if wp == S:
+                if not (np.array_equal(U[0], eyeS) and not U[1:].any()):
+                    break
+                chain.append(sched[i])
+                i += 1
+            else:
+                chain.append(sched[i])  # boundary level: dads in the crown
+                i += 1
+                break
+        if (len(chain) >= 3 and chain[-1][3] < S and i < len(sched)):
+            out = (chain, sched[i:])
+    prep._split_sched_cache = out
+    return out
+
+
+def _tree_chol_factor_split(W, Ut, opts: TdunesOpts, prep: _Prep, split):
+    """Chain part through the lane-batched banded factorization, crown
+    part through the sliced per-level sweep (see _split_sched)."""
+    from treeqp_tpu.solvers import tdunes_multistage as tm
+    chain_levels, crown_levels = split
+    S = chain_levels[0][1]
+    nxm, G, K = prep.nxm, prep.G, prep.K
+    dt = W.dtype
+    # ms chain layout: j = 0 is the SHALLOWEST chain level (boundary)
+    Wc = jnp.stack([W[c0:c0 + S, :nxm, :nxm]
+                    for c0, w, p0, wp, U in reversed(chain_levels)], axis=1)
+    Utc = jnp.stack([Ut[c0:c0 + S, :, :nxm]
+                     for c0, w, p0, wp, U in reversed(chain_levels)], axis=1)
+    if opts.reg_type == "always":
+        # the chain backends apply no LM shift themselves; pre-add it
+        Wc = Wc + opts.reg_value * jnp.eye(nxm, dtype=dt)
+    nreg = dataclasses.replace(opts, reg_type="none")
+    Ls, CUs, schur0 = tm._chain_factor(Wc, Utc, nreg)
+    # boundary: the chain-root Schur flows into the crown groups at each
+    # scenario's (slot, slot) block
+    c0b, wb, p0b, wpb, Ub = chain_levels[-1]
+    Um = jnp.asarray(Ub.reshape(K * wpb, S), dt)
+    upds = (Um @ schur0.astype(dt).reshape(S, nxm * nxm)
+            ).reshape(K, wpb, nxm, nxm)
+    zero = jnp.zeros((wpb, nxm, nxm), dt)
+    rows = [jnp.concatenate([upds[s] if t == s else zero
+                             for t in range(K)], axis=2)
+            for s in range(K)]
+    W = W.at[p0b:p0b + wpb].add(-jnp.concatenate(rows, axis=1))
+    crown_fact = _tree_chol_factor_sliced(W, Ut, opts, prep, crown_levels)
+    return dict(kind="split", Ls=Ls, CUs=CUs,
+                CholW=crown_fact["CholW"], CholUt=crown_fact["CholUt"])
+
+
+def _tree_chol_solve_split(fact, rg, opts: TdunesOpts, prep: _Prep, split):
+    """Solve with _tree_chol_factor_split factors: chain backward sweep
+    (one launch), boundary injection, sliced crown solve, chain forward."""
+    from treeqp_tpu.solvers import tdunes_multistage as tm
+    chain_levels, crown_levels = split
+    S = chain_levels[0][1]
+    nxm, G, K = prep.nxm, prep.G, prep.K
+    out_dt = rg.dtype
+    fdt = fact["CholW"].dtype
+    rd = rg.astype(fdt)
+    rch = jnp.stack([rd[c0:c0 + S, :nxm]
+                     for c0, w, p0, wp, U in reversed(chain_levels)], axis=1)
+    ys, radd0 = tm._chain_solve_bwd(fact["Ls"], fact["CUs"], rch, opts)
+    c0b, wb, p0b, wpb, Ub = chain_levels[-1]
+    Um = jnp.asarray(Ub.reshape(K * wpb, S), fdt)
+    radd = (Um @ radd0.astype(fdt)).reshape(K, wpb, nxm)
+    rd = rd.at[p0b:p0b + wpb].add(
+        -radd.transpose(1, 0, 2).reshape(wpb, G))
+    dl = _tree_chol_solve_sliced(
+        dict(CholW=fact["CholW"], CholUt=fact["CholUt"]), rd, opts, prep,
+        crown_levels)
+    dl = dl.astype(fdt)
+    # chain roots read their dad's dlam rows (slot placement via Ub)
+    dpar = dl[p0b:p0b + wpb].reshape(wpb, K, nxm).transpose(1, 0, 2)
+    Ut_s = jnp.asarray(Ub.transpose(0, 2, 1), fdt)          # [K, S, wp]
+    droot = jnp.einsum("ksp,kpi->si", Ut_s, dpar)           # [S, nxm]
+    dls = tm._chain_forward(fact["Ls"], fact["CUs"], ys, droot, opts)
+    for j, (c0, w, p0, wp, U) in enumerate(reversed(chain_levels)):
+        dl = dl.at[c0:c0 + S, :nxm].set(dls[:, j])
+    return dl.astype(out_dt)
 
 
 def _use_sliced_chol(prep: _Prep) -> bool:
@@ -1529,6 +1662,10 @@ def tdunes_solve(qp: TreeQPIn, lam0=None, opts: TdunesOpts = TdunesOpts(),
             and not isinstance(qp.Q, jax.core.Tracer)):
         opts = dataclasses.replace(
             opts, node_solver=clipping_applicable_nodes(qp))
+    if (opts.stage_solver in ("qpgen", "mixed", "boxqp", "dense")
+            and not opts.h_diag and not isinstance(qp.Q, jax.core.Tracer)
+            and diag_weights_applicable(qp)):
+        opts = dataclasses.replace(opts, h_diag=True)
     return _tdunes_solve_jit(qp, lam0, opts, stage_ws)
 
 
