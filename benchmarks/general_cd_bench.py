@@ -105,8 +105,11 @@ def run_mode(mode):
             reg_type="always" if on_tpu else "on_the_fly", reg_value=1e-6,
             # round 5: two-phase precision on the generic path too — the
             # coarse f32 phase runs the bulk of the Newton iterations
-            # without any emulated-f64 arithmetic (cf. bench.py opts)
-            f32_phase_tol=1e-4 if on_tpu else 0.0, f32_patience=3)
+            # without any emulated-f64 arithmetic (cf. bench.py opts).
+            # TREEQP_CD_F32PHASE=0 disables (protocol experiments).
+            f32_phase_tol=(1e-4 if on_tpu else 0.0)
+            if os.environ.get("TREEQP_CD_F32PHASE", "1") == "1" else 0.0,
+            f32_patience=3)
         # static data-derived hints must be derived OUTSIDE jit (the
         # solve runs under run_one's jit, where qp is a tracer)
         from treeqp_tpu.solvers.tdunes import (

@@ -100,6 +100,7 @@ def test_generic_tdunes_f32_refinement(problem):
     assert int(out.info["iter"]) <= int(out_nr.info["iter"])
 
 
+@pytest.mark.slow
 def test_batched_ls_matches_sequential(problem):
     """ls_batch changes scheduling, not Armijo decisions."""
     qp, ms = problem

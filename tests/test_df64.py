@@ -70,6 +70,7 @@ def test_dot_matches_f64():
     assert (np.abs(got - want) / scale).max() < 1e-13
 
 
+@pytest.mark.slow
 def test_df_sum_odd_sizes():
     for n in (1, 2, 3, 7, 20, 33, 256):
         a = _rand(jax.random.PRNGKey(n), (5, n), scale_pow=6)

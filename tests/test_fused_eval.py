@@ -28,6 +28,7 @@ def _problem():
     return qp, tm.split_multistage(qp)
 
 
+@pytest.mark.slow
 def test_chain_eval_matches_unfused():
     qp, ms = _problem()
     rng = np.random.default_rng(1)

@@ -47,6 +47,7 @@ def test_performance_profile():
     assert np.all(np.diff(rho, axis=0) >= 0)
 
 
+@pytest.mark.slow
 def test_fault_tolerance_markov_switching():
     log = run_fault_tolerant_mpc(nsim=12, seed=1)
     assert log.kkt.max() < 1e-6
@@ -67,6 +68,7 @@ def test_cli_roundtrip(tmp_path):
     assert len(j["nodes"]) == 6
 
 
+@pytest.mark.slow
 def test_cli_multistage_dispatch(tmp_path):
     """CLI auto-detects multistage+clipping instances and dispatches the
     crown+chains solvers (VERDICT: expose the ms engines externally),

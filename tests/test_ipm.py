@@ -150,6 +150,7 @@ def test_ipm_mixed_precision_matches_f64():
     assert int(o32r.info["iter"]) == int(o64.info["iter"])
 
 
+@pytest.mark.slow
 def test_generic_ipm_crown_riccati_pallas():
     """Generic-tree IPM speed path (VERDICT r2 #1): on a diagonal-Hessian
     box-only ASYMMETRIC tree, the f32 phase runs the fused whole-tree

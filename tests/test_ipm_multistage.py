@@ -164,6 +164,7 @@ def general_problem():
     return qp_g, split_multistage(qp_g)
 
 
+@pytest.mark.slow
 def test_general_rows_match_generic_ipm(general_problem):
     """ipm_ms with C/D rows == generic ipm_solve on the same instance
     (dense barrier blocks, dense chain Riccati)."""

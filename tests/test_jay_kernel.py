@@ -31,8 +31,9 @@ def _random_system(P, b, seed, singular=False):
 
 @pytest.mark.parametrize("P,b", [
     pytest.param(5, 4, marks=pytest.mark.slow),
-    pytest.param(100, 3, marks=pytest.mark.slow),
-    (255, 4),   # the headline shape; the others are slow-marked (CI)
+    (100, 3),   # the daily-gate representative (the 255-lane headline
+    # shape costs ~20 s in interpret mode; CI's full matrix runs it)
+    pytest.param(255, 4, marks=pytest.mark.slow),
     pytest.param(127, 8, marks=pytest.mark.slow),
 ])
 def test_jay_kernel_parity(P, b):

@@ -31,6 +31,7 @@ def test_multistage_matches_generic_spring_mass():
     assert float(jnp.max(jnp.abs(out.lam - ref.lam))) < 1e-9
 
 
+@pytest.mark.slow
 def test_sharded_matches_unsharded():
     qp, _ = spring_mass_chain(nm=2, md=2, Nr=3, Nh=8)
     ms = split_multistage(qp)

@@ -58,6 +58,7 @@ def _both(hmod, data, opts, ws=None):
     return ref, out
 
 
+@pytest.mark.slow
 def test_lanes_matches_node_path_cold(stage_instance):
     hmod, data, opts = stage_instance
     (z0, P0, mu0, res0, ws0), (z1, P1, mu1, res1, ws1) = _both(

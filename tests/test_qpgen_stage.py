@@ -67,6 +67,7 @@ def test_qpgen_batch_standalone():
         assert np.max(np.abs(r.x - np.asarray(z[n]))) < 1e-5
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("solver", ["qpgen", "mixed"])
 def test_general_constraints_match_ipm(constrained_qp, solver):
     """tdunes with general stage QPs matches the IPM to 1e-8 on a tree
@@ -150,6 +151,7 @@ def test_qpgen_hotstart_skips_admm():
     assert float(res1) < 1e-8
 
 
+@pytest.mark.slow
 def test_qpgen_f32_factor_parity(constrained_qp):
     """qpgen_factor_dtype=float32 (f32 working-set factors + iterative
     refinement / Newton-Schulz elimination-matrix refinement — the TPU

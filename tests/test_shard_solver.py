@@ -4,6 +4,7 @@ the psum-only communication structure is audited in test_hlo_audit.py)."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from benchmarks.models import spring_mass_chain
 from treeqp_tpu.core.kkt import max_kkt_residual
@@ -70,6 +71,7 @@ def test_ipm_shmap_general_rows():
     assert float(max_kkt_residual(qp, out)) < 1e-7
 
 
+@pytest.mark.slow
 def test_sdunes_shmap_matches_single_device():
     """Explicit-SPMD sdunes (round 5): parity with the single-device
     solver on the virtual 8-device mesh (warm-started from IPM duals,

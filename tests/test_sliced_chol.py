@@ -62,7 +62,7 @@ def test_split_factor_solve_parity():
     from treeqp_tpu.solvers import tdunes as td
     from benchmarks.models import with_general_rows
 
-    qp0, _ = spring_mass_chain(nm=3, md=3, Nr=2, Nh=10)
+    qp0, _ = spring_mass_chain(nm=2, md=3, Nr=2, Nh=8)
     qp = with_general_rows(qp0, cmax=0.6)
     prep = td._get_prep(qp.topo)
     split = td._split_sched(prep)
@@ -90,7 +90,7 @@ def test_split_solver_end_to_end(monkeypatch):
     default on multistage-shaped trees)."""
     monkeypatch.setenv("TREEQP_SLICED_CHOL", "1")
     from benchmarks.models import with_general_rows
-    qp0, _ = spring_mass_chain(nm=3, md=3, Nr=2, Nh=10)
+    qp0, _ = spring_mass_chain(nm=2, md=3, Nr=2, Nh=8)
     qp = with_general_rows(qp0, cmax=0.6)
     opts = TdunesOpts(stage_solver="qpgen", tol=2.5e-9, max_iter=150,
                       factor_dtype="float32", refine_steps=1,
@@ -104,7 +104,7 @@ def test_split_solver_end_to_end(monkeypatch):
 
 def test_sliced_solver_end_to_end(monkeypatch):
     monkeypatch.setenv("TREEQP_SLICED_CHOL", "1")
-    qp0, _ = spring_mass_chain(nm=3, md=3, Nr=2, Nh=8)
+    qp0, _ = spring_mass_chain(nm=2, md=3, Nr=2, Nh=8)
     qp = with_general_rows(qp0, cmax=0.6)
     opts = TdunesOpts(stage_solver="qpgen", tol=2.5e-9, max_iter=150,
                       factor_dtype="float32", refine_steps=1,
