@@ -102,6 +102,10 @@ def run_mode(mode):
             factor_dtype="float32" if on_tpu else "same",
             refine_steps=1 if on_tpu else 0, refine_safeguard=False,
             qpgen_factor_dtype="float32" if on_tpu else "same",
+            # round 5: the multistage-split factorization routes the chain
+            # levels through the banded chain kernels — pallas puts each
+            # sweep in ONE launch (xla = scan fallback)
+            chain_backend="pallas" if on_tpu else "xla",
             reg_type="always" if on_tpu else "on_the_fly", reg_value=1e-6,
             # round 5: two-phase precision on the generic path too — the
             # coarse f32 phase runs the bulk of the Newton iterations

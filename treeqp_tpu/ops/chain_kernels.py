@@ -34,6 +34,7 @@ __all__ = ["chain_factor", "chain_solve_bwd", "chain_forward"]
 
 _TS = 128  # lane tile: scenarios per grid step
 _PIVOT_FLOOR = 1e-8
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 # NOTE: all intermediates are kept >= 2D ([1, T] for "scalars") — Mosaic
@@ -165,7 +166,7 @@ def chain_factor(Wc, Utc):
             out_shape=(jax.ShapeDtypeStruct((L, n, n, S_pad), Wc.dtype),
                        jax.ShapeDtypeStruct((L, n, n, S_pad), Wc.dtype),
                        jax.ShapeDtypeStruct((n, n, S_pad), Wc.dtype)),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(Wt, Ut_t)
     schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
     return Ls, CUs, schur0
@@ -198,7 +199,7 @@ def chain_solve_bwd(Lt, CUt, res):
             out_specs=(_spec3(L, n), _spec_v(n)),
             out_shape=(jax.ShapeDtypeStruct((L, n, S_pad), Lt.dtype),
                        jax.ShapeDtypeStruct((n, S_pad), Lt.dtype)),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(Lt, CUt, rt)
     return ys, jnp.transpose(radd0[..., :S], (1, 0))
 
@@ -229,7 +230,7 @@ def chain_forward(Lt, CUt, ys, droot):
             in_specs=[_spec4(L, n), _spec4(L, n), _spec3(L, n), _spec_v(n)],
             out_specs=_spec3(L, n),
             out_shape=jax.ShapeDtypeStruct((L, n, S_pad), Lt.dtype),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(Lt, CUt, yt, dr)
     return jnp.transpose(dls[..., :S], (2, 0, 1))
 
@@ -302,7 +303,7 @@ def chain_full_solve_mat(Lt, CUt, rhs):
             out_specs=(_spec_m(L), _spec_m(L)),
             out_shape=(jax.ShapeDtypeStruct((L, n, m, S_pad), Lt.dtype),
                        jax.ShapeDtypeStruct((L, n, m, S_pad), Lt.dtype)),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(Lt, CUt, rt)
     return jnp.transpose(z[..., :S], (3, 0, 1, 2))
 
@@ -390,7 +391,7 @@ def chain_blocks_factor(ABt, ztp, qtc, s_root):
                        jax.ShapeDtypeStruct((L, nx, S_pad), jnp.float32)),
             scratch_shapes=[pltpu.VMEM((L, nx, nx, _TS), jnp.float32),
                             pltpu.VMEM((L, nx, nx, _TS), jnp.float32)],
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(AB_k.astype(jnp.float32), ztp_k.astype(jnp.float32),
           qtc_k.astype(jnp.float32), sr_k.astype(jnp.float32))
     schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
@@ -496,7 +497,7 @@ def chain_eval(data_l, lam):
                 ((L, nx, S_pad), (L, nu, S_pad), (L, nx, S_pad),
                  (L, nu, S_pad), (L, nx, S_pad), (L, nu, S_pad),
                  (L, nx, S_pad), (nz, S_pad), (1, S_pad))),
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(ABt, data_l["q"], data_l["r"], data_l["Qd"], data_l["Rd"],
           data_l["Qinv"], data_l["Rinv"], data_l["xmin"], data_l["xmax"],
           data_l["umin"], data_l["umax"], data_l["b"], lam_t)
@@ -602,7 +603,7 @@ def chain_blocks_factor_lanes(ABt_l, qt_l, rt_l, ztp_root, s_root):
                        jax.ShapeDtypeStruct((L, nx, S_pad), jnp.float32)),
             scratch_shapes=[pltpu.VMEM((L, nx, nx, _TS), jnp.float32),
                             pltpu.VMEM((L, nx, nx, _TS), jnp.float32)],
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(ABt_l, qt_l, rt_l, ztpr, sr_k)
     schur0 = jnp.transpose(schur0[..., :S], (2, 0, 1))
     sc = jnp.transpose(sc[..., :S], (2, 0, 1))

@@ -38,7 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from treeqp_tpu.ops import df64 as df
 from treeqp_tpu.ops.df64 import Df
+
 from treeqp_tpu.ops.chain_kernels import _TS, _pad_s, _interpret
+
+# raised scoped-VMEM limit (default 16 MB): the crown df kernels hold
+# (K+1) [NPc, NPc] one-hot matrices plus ~60 hi/lo row tensors
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 __all__ = ["chain_eval_df", "chain_eval_df_data",
            "crown_eval_df", "crown_eval_df_data", "crown_eval_df_supported"]
@@ -209,7 +214,7 @@ def chain_eval_df(data_l, lam: Df):
         outs = pl.pallas_call(
             kernel, grid=(S_pad // _TS,),
             in_specs=list(in_specs), out_specs=out_specs,
-            out_shape=out_shape, interpret=_interpret(),
+            out_shape=out_shape, interpret=_interpret(), compiler_params=_PARAMS,
         )(*args)
     (xh, xl, uh, ul, qth, qtl, rth, rtl, xUh, xUl, uUh, uUl,
      resh, resl, cqh, cql, fh, fl) = outs
@@ -301,7 +306,7 @@ def chain_apply_df(data_l, qt: Df, rt: Df, dch):
         outs = pl.pallas_call(
             kernel, grid=(S_pad // _TS,),
             in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
-            interpret=_interpret(),
+            interpret=_interpret(), compiler_params=_PARAMS,
         )(ABh, ABl, qt.hi, qt.lo, rt.hi, rt.lo, d_l)
     xlh, xll, ulh, ull, resh, resl, cqh, cql = outs
     tr = lambda h, l: Df(jnp.transpose(h[..., :S], (2, 0, 1)),
@@ -344,12 +349,14 @@ def _get_df_sched(prep):
 
 
 def crown_eval_df_supported(prep) -> bool:
-    # P matrices are [NPc, NPc]; (K+1) of them must stay comfortably in
-    # VMEM next to the ~30 row tensors. Round 5: budget raised to 48 MB
-    # under the 100 MB scoped limit (the 1024-scenario tree's 1365-node
-    # crown needs (4+1) x 7.9 MB); the row tensors stay ~2 MB total.
+    # P matrices are [NPc, NPc]; (K+1) of them dominate the kernel's
+    # scoped-VMEM stack. Measured on v5e (round 5): ACTUAL stack = ~2.6x
+    # this P-matrix estimate (102 MB at NPc=1408 / est 39.6 MB), so the
+    # budget keeps est <= 28 MB -> actual <~75 MB under the raised 100 MB
+    # limit. The 1024-scenario tree's 1365-node crown stays on the
+    # unfused df64 path; its f32 kernels (crown_eval cap 2048) are fused.
     NPc, K, _, _ = _get_df_sched(prep)
-    return NPc * NPc * (K + 1) * 4 <= 48 * 2**20
+    return NPc * NPc * (K + 1) * 4 <= 28 * 2**20
 
 
 def crown_eval_df_data(qp, prep, xm, um, nrxm):
@@ -527,7 +534,7 @@ def crown_eval_df(data, lam: Df, extra: Df):
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel, in_specs=list(in_specs), out_specs=out_specs,
-            out_shape=out_shape, interpret=_interpret(),
+            out_shape=out_shape, interpret=_interpret(), compiler_params=_PARAMS,
         )(*args)
     (xh, xl, uh, ul, qth, qtl, rth, rtl, xUh, xUl, uUh, uUl,
      resh, resl, fh, fl) = outs
@@ -631,7 +638,7 @@ def crown_apply_df(data, qtilde: Df, rtilde: Df, dcr, extra: Df):
     with jax.enable_x64(False):
         outs = pl.pallas_call(
             kernel, in_specs=in_specs, out_specs=out_specs,
-            out_shape=out_shape, interpret=_interpret(),
+            out_shape=out_shape, interpret=_interpret(), compiler_params=_PARAMS,
         )(ABh, ABl, data["P_par"], data["P_kid"], qtilde.hi, qtilde.lo,
           rtilde.hi, rtilde.lo, data["xm"], data["um"], data["nrxm"],
           d_l, extra.hi, extra.lo)
