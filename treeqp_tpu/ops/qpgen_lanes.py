@@ -56,8 +56,13 @@ def qpgen_lanes_enabled(opts, dtype) -> bool:
         return False
     if os.environ.get("TREEQP_QPGEN_LANES") == "1":
         return True
+    # round 5: f32 data rides the same pipeline (from_f64 of an f32
+    # array is (x, 0) — the df64 internals just carry zero low words),
+    # so the two-phase schedule's coarse phase no longer falls back to
+    # the node-major batched path (~3x the per-iteration cost at 4437
+    # nodes, measured round 5)
     return (opts.qpgen_factor_dtype == "float32"
-            and dtype == jnp.dtype(jnp.float64)
+            and dtype in (jnp.dtype(jnp.float64), jnp.dtype(jnp.float32))
             and jax.default_backend() in ("tpu", "axon"))
 
 

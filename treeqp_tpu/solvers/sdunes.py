@@ -843,6 +843,17 @@ def sdunes_solve(sqp: ScenarioQP, lam0=None, mu0=None,
     shard = (_SdShard(opts.axis_name, S_loc)
              if opts.axis_name is not None else None)
 
+    # the stall-triggered proximal escalation is a COLD-START
+    # globalization: on warm-started solves (MPC steps, bootstrapped
+    # runs) the early-iterate residual can sit on the O(1) plateau the
+    # trigger watches for while the warm duals are already good — the
+    # engaged shift then degrades the convergence tail (measured: one
+    # 256-scenario closed-loop cell fell from KKT 8.8e-10 to 2.9e-6).
+    # Host-side gate (BEFORE the zero-defaulting below): keep it only
+    # when the caller provided NO duals.
+    if (lam0 is not None or mu0 is not None) and opts.stall_boost_after:
+        opts = dataclasses.replace(opts, stall_boost_after=0)
+
     if mu0 is None:
         mu0 = jnp.zeros((S_loc, Nh, nx), dt)
     if lam0 is None:
