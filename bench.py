@@ -260,15 +260,31 @@ def main():
             body, (lam0c, lam0h), jnp.arange(CHAIN_R, dtype=ms.q.dtype))
         return iters, errs, stats
 
+    # plausibility floor for one timed chain dispatch: no solver on this
+    # hardware completes a CHAIN_R-solve chain in under ~0.03 ms/solve —
+    # times below it are the axon executable-dispatch anomaly (the call
+    # returns without executing; BENCH_NOTES "round 5: general C/D"),
+    # which would otherwise record a nonsense headline
+    T_FLOOR = CHAIN_R * 0.03e-3
+
     def timed_mode(warm):
         # warmup call compiles (first call) / touches the executable
         out = jax.block_until_ready(run_chain(np.float64(warm), np.float64(0)))
         times = []
-        for k in range(NREP):
+        anomalies = 0
+        k = 0
+        while len(times) < NREP:
+            k += 1
             t0 = time.perf_counter()
             out = jax.block_until_ready(
-                run_chain(np.float64(warm), np.float64(k + 1)))
-            times.append(time.perf_counter() - t0)
+                run_chain(np.float64(warm), np.float64(k)))
+            t1 = time.perf_counter() - t0
+            if t1 < T_FLOOR:
+                anomalies += 1
+                assert anomalies <= 3 * NREP, \
+                    f"persistent dispatch anomaly: {t1 * 1e3:.3f} ms chain"
+                continue  # drop the anomalous sample and re-dispatch
+            times.append(t1)
         iters, errs, stats = (np.asarray(v) for v in out)
         # per-solve convergence asserts (VERDICT r2: certify the TIMED
         # computation, not just an out-of-chain proxy)
