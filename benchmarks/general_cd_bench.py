@@ -124,10 +124,11 @@ def run_mode(mode):
         opts = dataclasses.replace(
             opts, h_diag=diag_weights_applicable(qp))
 
-        def solve(qp2):
-            out = tdunes_solve(qp2, None, opts)
+        def solve(qp2, lam0=None, stage_ws=None):
+            out = tdunes_solve(qp2, lam0, opts, stage_ws=stage_ws)
             return (out.info["iter"], out.info["error"], out.info["status"],
-                    max_kkt_residual(qp2, out))
+                    max_kkt_residual(qp2, out), out.lam,
+                    out.info.get("qpgen_ws"))
     else:
         from treeqp_tpu.solvers.ipm import IpmOpts
         from treeqp_tpu.solvers.ipm_multistage import ipm_ms_solve
@@ -163,7 +164,7 @@ def run_mode(mode):
                                               b=ms0.crown.b + eps))
                 it, err, st, kkt = solve(ms2, qp2)
             else:
-                it, err, st, kkt = solve(qp2)
+                it, err, st, kkt = solve(qp2)[:4]
             return it, err, st, kkt
         jax.block_until_ready(run_one(np.float64(0.0)))
         ts, its, kkts, stats = [], [], [], []
@@ -189,9 +190,17 @@ def run_mode(mode):
             "max_kkt": max(kkts), "nrep": max(NREP, 3)}))
         return
 
+    # TREEQP_CD_WARM=1: warm-started MPC chain (tdunes modes only) — each
+    # solve warm-starts from the previous solve's dual multipliers AND
+    # qpgen working-set masks (the qpOASES cross-MPC-step hotstart,
+    # dual_Newton_tree_qpoases.c:312-356 / treeqp_solve.m:6-17)
+    warm = (os.environ.get("TREEQP_CD_WARM") == "1"
+            and mode.startswith("tdunes"))
+
     @jax.jit
     def run_chain(seed):
         def body(carry, k):
+            tot, lam_prev, ws_prev = carry
             eps = 1e-6 * (k + 1.0) * seed
             qp2 = dataclasses.replace(qp, b=qp.b + eps)
             if mode == "ipm_ms":
@@ -199,11 +208,28 @@ def run_mode(mode):
                     ms0, b=ms0.b + eps,
                     crown=dataclasses.replace(ms0.crown, b=ms0.crown.b + eps))
                 it, err, st, kkt = solve(obj, qp2)
+            elif warm:
+                it, err, st, kkt, lam_prev, ws_prev = solve(
+                    qp2, lam0=lam_prev, stage_ws=ws_prev)
             else:
-                it, err, st, kkt = solve(qp2)
-            return carry + it, (err, st, kkt)
-        tot, (errs, stats, kkts) = jax.lax.scan(
-            body, jnp.zeros((), jnp.int32),
+                it, err, st, kkt = solve(qp2)[:4]
+            return (tot + it, lam_prev, ws_prev), (err, st, kkt)
+        if warm:
+            # zero warm-start carriers (the first chained solve is cold);
+            # ws shapes mirror tdunes._td_newton_loop's ws0
+            topo = qp.topo
+            lam00 = jnp.zeros((topo.Nn, topo.nxm), qp.q.dtype)
+            ng = topo.nxm + topo.num + topo.ncm
+            if mode == "tdunes_mixed":
+                n_ws = int(np.sum(np.asarray(opts.node_solver) == 0))
+            else:
+                n_ws = topo.Nn
+            ws00 = (jnp.zeros((n_ws, ng), qp.q.dtype),
+                    jnp.zeros((n_ws, ng), qp.q.dtype))
+        else:
+            lam00, ws00 = jnp.zeros((), qp.q.dtype), ()
+        (tot, _, _), (errs, stats, kkts) = jax.lax.scan(
+            body, (jnp.zeros((), jnp.int32), lam00, ws00),
             jnp.arange(CHAIN_R, dtype=qp.q.dtype))
         return tot, errs, stats, kkts
 
@@ -220,10 +246,14 @@ def run_mode(mode):
     assert np.all(stats == 0), f"{mode}: non-optimal solves {stats}"
     assert np.all(kkts < TOL), f"{mode}: KKT above tol {kkts}"
     print(json.dumps({
-        "mode": mode, "protocol": "chain", "valid": True,
+        "mode": mode, "protocol": "chain_warm" if warm else "chain",
+        "valid": True,
         "protocol_note": (f"{CHAIN_R} scan-chained perturbed solves per "
                           "timed dispatch, min over NREP; per-solve "
-                          "status + in-program KKT oracle asserted"),
+                          "status + in-program KKT oracle asserted"
+                          + ("; each solve warm-starts from the previous "
+                             "solve's duals + qpgen working sets (MPC "
+                             "pattern; first solve cold)" if warm else "")),
         "device": str(dev), "nodes": int(qp.topo.Nn),
         "scenarios": MD**NR, "nc_rows": int(np.sum(np.asarray(qp.topo.nc))),
         "solve_ms": round(t / CHAIN_R * 1e3, 2),
